@@ -1,0 +1,73 @@
+"""Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + count via a cheap
+action that still materializes every row: summary count on the
+DataFrame). Session build time is excluded; a warmup query primes the
+JVM/codegen so per-query numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from porcupine_spark.plans.registry import load_all_plans
+from porcupine_spark.session import get_spark
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+# Headline set: every registered query (correctness surface == bench
+# surface), ordered cheap-first so failures surface early.
+EXCLUDE: set[str] = set()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    specs = load_all_plans()
+    spark = get_spark("porcupine_bench")
+
+    # Warmup: prime JVM, codegen and the parquet footer cache.
+    specs["q1_pricing_summary"].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, spec in sorted(specs.items()):
+        if name in EXCLUDE:
+            continue
+        t0 = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        rows[name] = n
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "n_queries": len(timings),
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

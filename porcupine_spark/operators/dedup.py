@@ -1,0 +1,305 @@
+"""Deduplication suite for large-scale corpus curation.
+
+Four escalating strategies, all expressed in built-in (JVM-side,
+codegen'd) functions — no Python in the hot path:
+
+- exact:        hash-groupBy on normalized text (one shuffle);
+- n-gram Jaccard: shingle self-join restricted to shared shingles
+                  (candidate space = docs sharing >=1 shingle, the
+                  standard inverted-index trick — never N^2);
+- MinHash+LSH:  per-doc signatures in ONE agg pass (k min-hashes as k
+                  agg expressions, no permutation explosion), banded
+                  into buckets, candidates = bucket collisions only —
+                  the 100 TB path;
+- SimHash:      hex-digit-projection signature (16x4-bit variant) per
+                  doc in one explode+agg.
+
+Hashing is md5 (identical hex output in Spark and DuckDB), so every
+stage has an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from porcupine_spark.functions import seq1
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_table
+
+N_PERMS = 8  # minhash permutations
+N_BANDS = 4  # LSH bands (2 rows each)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a whitespace-tokenized text."""
+    toks = F.split(F.trim(text), r"\s+")
+    grams = F.transform(
+        seq1(F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded, distinct per doc."""
+    return docs.select("doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle"))
+
+
+# SQL mirror: DuckDB shingle CTE (distinct word n-grams, n=3)
+SQL_SHINGLES = """
+  shingles AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+    FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+          FROM documents),
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(toks) - 2, 0))) AS i) t
+  )
+"""
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(trim(text)) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(text))
+    """,
+    tags=("dedup",),
+    doc="Exact dedup: hash-groupBy on normalized text, keep lowest id. "
+    "One shuffle on the 32-hex digest (never on the full text bytes - "
+    "at 100 TB the shuffle key must be the digest).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.trim(F.col("text"))).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+    """,
+    tags=("dedup", "join"),
+    doc="Near-dup by word-3-gram Jaccard. Candidates come from an "
+    "inverted shingle index self-join (only docs sharing a shingle are "
+    "compared), then |A∩B|/|A∪B| from group counts. jaccard is one IEEE "
+    "division of exact ints -> bit-identical to the oracle.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+def minhash_signature_exprs() -> list[Column]:
+    """k min-hashes as k agg expressions over the exploded shingle table
+    (single pass; the standard trick to avoid a k-way row explosion)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(N_PERMS)
+    ]
+
+
+def _sql_minhash_exprs() -> str:
+    return ",\n           ".join(
+        f"MIN(md5(concat('{p}:', shingle))) AS mh{p}" for p in range(N_PERMS)
+    )
+
+
+def _sql_bands() -> str:
+    selects = [
+        f"SELECT doc_id, {b} AS band, md5(concat(mh{2*b}, mh{2*b+1})) AS sig FROM sigs"
+        for b in range(N_BANDS)
+    ]
+    return "\n      UNION ALL\n      ".join(selects)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+           {_sql_minhash_exprs()}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_bands()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.doc_a
+      JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 0.0) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    """,
+    tags=("dedup", "lsh"),
+    doc=f"MinHash+LSH near-dup: {N_PERMS} md5 min-hashes per doc in one agg "
+    f"pass, {N_BANDS} bands of 2 rows; candidate pairs = band-bucket "
+    "collisions (the only pairs ever materialized — at 100 TB the "
+    "bucket join replaces the N^2 comparison), then exact Jaccard "
+    "verification on candidates.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs).cache()
+    sigs = sh.groupBy("doc_id").agg(*minhash_signature_exprs())
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"]).groupBy("doc_a", "doc_b").agg(
+            F.count(F.lit(1)).alias("i")
+        )
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.coalesce(
+        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), F.lit(0.0)
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
+@query(
+    "simhash_signatures",
+    """
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, p.pos,
+             SUM(CASE WHEN strpos('89abcdef', substr(md5(tok), p.pos, 1)) > 0
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, 16)) AS pos) p
+      GROUP BY doc_id, p.pos
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+    doc="SimHash (16-bit hex-digit-projection variant): token md5 hex "
+    "digit at position p contributes +1 if >=8 else -1; signature bit = "
+    "sign of the sum. Token multiplicity is the weight. One explode "
+    "(tokens x 16) + one agg.",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    bits = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(16)),
+                    lambda p: F.when(
+                        F.substring(F.col("h"), 1, 16).substr(p, F.lit(1)).rlike("[89a-f]"),
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                )
+            ).alias("pos0", "contrib"),
+        )
+        .groupBy("doc_id", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.sum("contrib").alias("s"))
+    )
+    sig = (
+        bits.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.when(F.col("s") > 0, "1").otherwise("0").alias("b"))
+                        )
+                    ),
+                    lambda x: x["b"],
+                ),
+            ).alias("simhash")
+        )
+    )
+    return sig

@@ -1,0 +1,626 @@
+"""Core relational operator surface (SURVEY.md §2.2–§2.7).
+
+Every query here compiles to built-in DataFrame ops (Catalyst handles
+pushdown/pruning/join selection); each has a matching DuckDB oracle.
+
+Reproducibility note (applies to every aggregate below, both engines):
+per-row arithmetic stays in DOUBLE (IEEE ops are exact-rounded, so both
+engines produce bit-identical per-row values), but SUM/AVG go through
+``DECIMAL(38,6)`` and cast back to DOUBLE afterwards. Decimal addition
+is exact and associative, so the result does not depend on Spark's
+partial-aggregation order vs DuckDB's sequential order — the harness'
+value hash sees identical doubles.
+
+Reference parity citations are on each query (file:line into
+/root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_table
+
+DEC = "decimal(38,6)"
+
+
+def dsum(col: F.Column) -> F.Column:
+    """Order-independent sum of a double expression (see module note)."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def davg(col: F.Column) -> F.Column:
+    return (F.sum(col.cast(DEC)).cast("double") / F.count(F.lit(1))).cast("double")
+
+
+# SQL mirrors of dsum/davg (kept textually tiny so oracles stay readable)
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return f"CAST({sql_dsum(expr)} / COUNT(*) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# §2.4 folds / aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "fold", "flagship"),
+    doc="TPC-H Q1 shape: the applicative multi-fold (FoldA <*>) compiled to "
+    "one grouped agg pass. Reference: FoldA Applicative, "
+    "porcupine-core/src/Control/Arrow/FoldA.hs:118-130.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_multi_fold",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           {sql_dsum('c_acctbal')} AS total_acctbal,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM customer
+    """,
+    tags=("agg", "fold"),
+    doc="Radon-example applicative fold: Summary <$> L.length <*> (premap "
+    "state L.nub) <*> ... in ONE pass (examples/example-radon/"
+    "ExampleRadon.hs:71-79) -> single ungrouped agg with N expressions.",
+)
+def agg_multi_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+@query(
+    "grouped_fold_premap",
+    f"""
+    SELECT c_mktsegment,
+           {sql_dsum('CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END')} AS pos_bal,
+           COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_pos,
+           COUNT(*) AS n_all
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "fold"),
+    doc="premapMaybe/prefilterA before a fold (Repetition/Foldl.hs:136-145, "
+    "FoldA.hs:159-169): select/filter fused into the agg pass.",
+)
+def grouped_fold_premap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pos = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(F.lit(0.0))
+    return c.groupBy("c_mktsegment").agg(
+        dsum(pos).alias("pos_bal"),
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_pos"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / scalar transforms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.08
+      AND l_quantity < 25
+    """,
+    tags=("filter", "project"),
+    doc="arr f / filterTask: pure projection+predicate (PTask arr instance "
+    "PTask/Internal.hs:113-119; filterTask Repetition.hs:82-89). Pushdown: "
+    "all three predicates reach the parquet scan.",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins (full Spark join surface; reference's index-aligned loads)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_customer_orders",
+    f"""
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           COUNT(o.o_orderkey) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY n.n_name, c.c_mktsegment
+    """,
+    tags=("join", "agg"),
+    doc="Index-aligned load join (loadDataList pairing idx->record, "
+    "VirtualFileAccess.hs:103-111) generalized: fact-dim join with "
+    "broadcast nation (25 rows at any SF).",
+)
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    doc="TPC-H Q3 shape: 3-way join, grouped fold, deterministic top-10 "
+    "(revenue is exact decimal -> same ordering both engines; orderkey "
+    "tiebreak).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "agg"),
+    doc="TPC-H Q5 shape: 6-way join with broadcast dims (region/nation/"
+    "supplier) and the local-supplier equi-constraint.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == F.col("l_suppkey")) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+    tags=("join",),
+    doc="left_semi join (EXISTS). No reference analogue (no relational "
+    "joins, SURVEY §2.3); part of the full Spark join surface we ship.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "anti_join_idle_customers",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("join",),
+    doc="left_anti join (NOT EXISTS): customers with no urgent orders.",
+)
+def anti_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / set ops; §1.4 layered merge
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orderby_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+    tags=("sort",),
+    doc="Global sort + limit (TakeOrderedAndProject physical op: no full "
+    "sort materialized, per-partition top-k then merge).",
+)
+def orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(25)
+    )
+
+
+@query(
+    "set_ops",
+    """
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         big_spenders AS (
+           SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+         )
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM big_spenders)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM big_spenders)
+    """,
+    tags=("setop",),
+    doc="union / intersect / except builtins (reference has none on data, "
+    "SURVEY §2.6; its Semigroup merges are config-level).",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    spenders = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    inter = building.intersect(spenders).select(F.lit("intersect").alias("op"), "c_custkey")
+    exc = building.subtract(spenders).select(F.lit("except").alias("op"), "c_custkey")
+    return inter.unionByName(exc)
+
+
+@query(
+    "layered_merge_right_biased",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_name, c_acctbal, 0 AS layer FROM customer
+    ),
+    override AS (
+      SELECT c_custkey, upper(c_name) AS c_name, c_acctbal * 2 AS c_acctbal, 1 AS layer
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    merged AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY layer DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM override)
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM merged WHERE rn = 1
+    """,
+    tags=("layers", "setop", "window"),
+    doc="Layered read with right-biased merge (LayeredReadScheme, "
+    "VirtualFile.hs:75-81; merge loop PorcupineTree.hs:614-636): reads "
+    "merge keyed last-layer-wins -> unionByName + keep-last window dedup. "
+    "The 'override' layer is derived here; in the engine it is a second "
+    "physical location bound to the same virtual path.",
+)
+def layered_merge_right_biased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_name", "c_acctbal", F.lit(0).alias("layer"))
+    override = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("c_name"),
+            (F.col("c_acctbal") * 2).alias("c_acctbal"),
+            F.lit(1).alias("layer"),
+        )
+    )
+    w = W.partitionBy("c_custkey").orderBy(F.desc("layer"))
+    return (
+        base.unionByName(override)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_sliding_mean",
+    f"""
+    SELECT user_id, event_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+             AS sliding_mean
+    FROM events
+    """,
+    tags=("window",),
+    doc="The msliding-10 + avg hand-rolled window of example2 "
+    "(Example2.hs:40-55) as a proper frame: ROWS BETWEEN CURRENT AND 9 "
+    "FOLLOWING. decimal-sum/count instead of avg() so sliding-frame "
+    "accumulator optimizations can't perturb float bits.",
+)
+def window_sliding_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(0, 9)
+    mean = (F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count(F.lit(1)).over(w))
+    return ev.select("user_id", "event_id", "value", mean.alias("sliding_mean"))
+
+
+@query(
+    "window_rank_lag",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS price_rank,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+    doc="Ranking/analytic builtins exposed by the engine (SURVEY §2.5: "
+    "Spark builtins, nothing to port).",
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wp).alias("price_rank"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    doc="Top-K per group: window row_number <= K (the scale-safe pattern; "
+    "no per-group collect).",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / rollup / cube (free builtins the reference lacks, SURVEY §2.4 note)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+    doc="Pivot compiled to FILTERed aggregates (one pass, no extra "
+    "shuffle).",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum(F.col("l_quantity")))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@query(
+    "rollup_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+    doc="ROLLUP grouping sets (free builtin; reference has none, SURVEY "
+    "§2.4 note). GROUPING() flags disambiguate data-nulls from "
+    "subtotal-nulls.",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 repetition / index ranges
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "index_range_letter_counts",
+    """
+    WITH idx AS (
+      SELECT * FROM (SELECT UNNEST(GENERATE_SERIES(0, 10)) AS i)
+      UNION ALL
+      SELECT * FROM (SELECT UNNEST(GENERATE_SERIES(50, 60)) AS i)
+    ),
+    chars AS (
+      SELECT c.c_custkey, lower(substr(c.c_name, s.pos, 1)) AS letter
+      FROM customer c
+      JOIN idx ON c.c_custkey = idx.i,
+      LATERAL (SELECT UNNEST(GENERATE_SERIES(1, length(c.c_name))) AS pos) s
+    )
+    SELECT c_custkey, letter, COUNT(*) AS cnt
+    FROM chars
+    WHERE letter BETWEEN 'a' AND 'z'
+    GROUP BY c_custkey, letter
+    """,
+    tags=("repetition", "explode"),
+    doc="example1 end-to-end: IndexRange '[0..10,50..60]' (Repetition.hs:"
+    "114-181) -> index DataFrame joined against the keyed source "
+    "(loadDataList, VirtualFileAccess.hs:103-111), per-index letter-count "
+    "analysis (Example1.hs:37-40) with the HashMap result exploded to "
+    "rows. Index list is a broadcast join side.",
+)
+def index_range_letter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.repetition import parse_index_range, indices_dataframe
+
+    idxs = parse_index_range("[0..10,50..60]")
+    idx_df = indices_dataframe(spark, idxs).withColumnRenamed("idx", "i")
+    c = load_table(spark, sf_dir, "customer")
+    joined = c.join(F.broadcast(idx_df), c.c_custkey == F.col("i"))
+    chars = joined.select(
+        "c_custkey",
+        F.explode(F.split(F.lower("c_name"), "")).alias("letter"),
+    )
+    return (
+        chars.filter((F.col("letter") >= "a") & (F.col("letter") <= "z"))
+        .groupBy("c_custkey", "letter")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

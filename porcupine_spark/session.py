@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]``; the same configuration is what we
+would ship to a 1000-executor cluster — AQE on (runtime re-plan +
+skew-join splitting + partition coalescing), broadcast threshold set,
+Arrow enabled for the few Pandas-UDF operators, UTC session timezone so
+results compare bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # AQE: coalesce post-shuffle partitions, split skewed joins, convert
+    # sort-merge to broadcast at runtime when a side turns out small.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local[N] has no network shuffle; ~cores partitions avoids tiny-task
+    # overhead. On a real cluster this is sized to executors*cores*2-3
+    # and AQE coalesces down from there.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet timestamps in the test data are ns/ms; keep full fidelity.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # TIMESTAMP(NANOS) parquet columns (events.ts) read as long ns —
+    # tables.load_table converts to micros (lossless: data is us-aligned).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+def get_spark(app_name: str = "porcupine_spark", **overrides: str) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``SPARK_GRAFT_CPUS`` selects local parallelism (default ``*``).
+    Keyword overrides are applied last, so tests can pin any knob.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,68 @@
+"""Event-time windowed aggregation over a file-source stream.
+
+``stream_tumbling_agg`` drives a real Structured Streaming query
+(readStream → watermark → window → memory sink) to completion over the
+static events parquet — the same topology that, pointed at Kafka,
+handles the unbounded case: watermark bounds state, tumbling windows
+close and emit, partial aggregation happens map-side per microbatch.
+The oracle is the batch equivalence: window(ts, 1h).start ==
+date_trunc('hour', ts).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_events_stream
+
+
+@query(
+    "stream_tumbling_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+    doc="Tumbling 1h event-time windows + per-type counts/sums, executed "
+    "as an actual streaming query (file source, 10m watermark, complete "
+    "mode, memory sink, processAllAvailable). Batch oracle by the "
+    "window/date_trunc equivalence.",
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.table(name)
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )

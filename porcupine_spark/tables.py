@@ -1,0 +1,79 @@
+"""Test-table loaders for the driver's TPC-H-ish star schema.
+
+Tables (one parquet each under ``<sf_dir>/``): region nation customer
+supplier part orders lineitem events documents embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at ANY scale factor (they grow
+# sub-linearly or are bounded: 5 regions, 25 nations). customer/supplier
+# /part grow with SF — those are broadcast per-query only when the
+# filtered side is provably small, otherwise left to AQE.
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _convert_events(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    as long ns. Integer-divide to micros (lossless — the generator emits
+    us-aligned values) and rebuild the timestamp. Plain `/ 1000` in
+    double would lose precision above 2^53 ns."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = _convert_events(df)
+    return df
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream (raw schema, then the same ns->us
+    conversion as the batch loader). The file source requires a
+    *directory*; the test table is a single file, so expose it through
+    a symlink dir (no data copied, /root/testdata untouched)."""
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"porcupine_stream_{abs(hash(src)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    return _convert_events(stream)
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view (for the SQL API surface)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
