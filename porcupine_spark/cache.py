@@ -1,0 +1,110 @@
+"""Content-addressed result caching — the funflow layer re-imagined as
+a content-hash-keyed Parquet checkpoint store.
+
+Reference semantics (Data/Locations/VirtualFile.hs:270-274 —
+``usesCacherWithIdent``; PorcupineTree.hs:118-145 — the cache key
+includes the *resolved locations* serialized as JSON, so re-binding a
+dataset to a new path re-triggers the step; Caching.hs:44-48 —
+``Unhashed`` opts params out of the key; Caching.hs:97-98 +
+VirtualFileAccess.hs:309-313 — skip compute when the sink is unmapped).
+
+Store layout: ``<store>/<key>/data.parquet`` + ``meta.json``; the key
+is sha256 over (step ident, params JSON, sorted resolved input
+locations JSON). The store path may be any Hadoop-FS URI (``s3a://``
+≙ the reference's FunflowRemoteCache, FunflowRemoteCache.hs:27-59) —
+for local runs a plain directory. Parquet checkpoints survive across
+sessions, unlike ``df.persist()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Unhashed:
+    """Wrap a param to exclude it from the cache key (Caching.hs:44-48)."""
+
+    value: Any
+
+
+def _jsonable(x: Any) -> Any:
+    if isinstance(x, Unhashed):
+        return "<unhashed>"
+    if isinstance(x, dict):
+        return {k: _jsonable(v) for k, v in sorted(x.items())}
+    if isinstance(x, (list, tuple)):
+        return [_jsonable(v) for v in x]
+    if isinstance(x, (str, int, float, bool)) or x is None:
+        return x
+    return repr(x)
+
+
+def cache_key(ident: str, params: Any, input_locations: list[str]) -> str:
+    payload = json.dumps(
+        {
+            "ident": ident,
+            "params": _jsonable(params),
+            "locations": sorted(input_locations),
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:32]
+
+
+class CacheStore:
+    """Content-addressed Parquet checkpoint store."""
+
+    def __init__(self, spark: SparkSession, store_dir: str):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.hits = 0
+        self.misses = 0
+
+    def _paths(self, key: str) -> tuple[str, str]:
+        base = os.path.join(self.store_dir, key)
+        return os.path.join(base, "data.parquet"), os.path.join(base, "meta.json")
+
+    def has(self, key: str) -> bool:
+        _, meta = self._paths(key)
+        return os.path.exists(meta)
+
+    def get(self, key: str) -> DataFrame | None:
+        data, meta = self._paths(key)
+        if not os.path.exists(meta):
+            return None
+        self.hits += 1
+        return self.spark.read.parquet(data)
+
+    def put(self, key: str, df: DataFrame, info: dict | None = None) -> DataFrame:
+        data, meta = self._paths(key)
+        self.misses += 1
+        df.write.mode("overwrite").parquet(data)
+        os.makedirs(os.path.dirname(meta), exist_ok=True)
+        with open(meta, "w") as fh:
+            json.dump({"key": key, "written_at": time.time(), **(info or {})}, fh)
+        # read back: downstream plans hang off the checkpoint, not the
+        # (possibly expensive) upstream lineage
+        return self.spark.read.parquet(data)
+
+    def cached(
+        self,
+        ident: str,
+        params: Any,
+        input_locations: list[str],
+        compute,  # () -> DataFrame
+    ) -> DataFrame:
+        """toTaskAndWrite semantics (Caching.hs:52-122): hash -> reuse or
+        compute+checkpoint."""
+        key = cache_key(ident, params, input_locations)
+        hit = self.get(key)
+        if hit is not None:
+            return hit
+        return self.put(key, compute(), info={"ident": ident})

@@ -1,0 +1,315 @@
+"""Resource catalog — the reference's virtual resource tree.
+
+``Dataset`` ≙ ``VirtualFile`` (porcupine-core/src/Data/Locations/
+VirtualFile.hs:98-107): a *logical* named resource with a serial set,
+an optional schema, an optional embedded default (config-embedded
+data, PorcupineTree.hs:440-503), and read/write capability flags
+(``DataSource``/``DataSink`` = one-directional VirtualFiles,
+VirtualFile.hs:280-286).
+
+``Catalog`` ≙ the ``LocationTree`` (LocationTree.hs:74-84): virtual
+paths (``"inputs/users"``) to datasets. Binding a catalog against
+``LocationMappings`` (Mappings.hs:246-259 semantics) produces physical
+locations: unmapped nodes inherit the root + their virtual path
+(propagateMappings :182-224), mapped nodes take the bound location(s),
+multiple locations = LAYERS (read = right-biased merge, write = all,
+PorcupineTree.hs:602-636), ``None`` = explicitly unmapped (reads fall
+back to the embedded default; writes are skipped — dead-sink pruning,
+VirtualFileAccess.hs:309-313).
+
+Path templates may contain ``{variables}`` spliced at access time
+(Loc.hs:55-78,183-189) — repetition indices (SURVEY §2.7) ride these.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from porcupine_spark.serials import Serial, SerialSet, parquet_serial
+
+_VAR_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def splice_vars(template: str, variables: dict[str, Any]) -> str:
+    """spliceLocVariables (Loc.hs:183-189): fill ``{var}``; unfilled
+    variables are an error at access time (the reference leaves them
+    until fully resolved; access requires fully-spliced paths)."""
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name not in variables:
+            raise KeyError(
+                f"unbound path variable {name!r} in {template!r}; bound: {sorted(variables)}"
+            )
+        return str(variables[name])
+
+    return _VAR_RE.sub(sub, template)
+
+
+def template_vars(template: str) -> list[str]:
+    return _VAR_RE.findall(template)
+
+
+@dataclass(frozen=True)
+class Dataset:
+    """A logical dataset (VirtualFile analog)."""
+
+    name: str  # virtual path, e.g. "inputs/users"
+    serials: SerialSet = field(default_factory=lambda: SerialSet(parquet_serial()))
+    schema: Any = None  # pyspark StructType or DDL string, enforced on read
+    embedded_default: list | None = None  # rows for createDataFrame fallback
+    readable: bool = True
+    writable: bool = True
+    doc: str = ""
+
+    @staticmethod
+    def source(name: str, serials: SerialSet | None = None, **kw) -> "Dataset":
+        """DataSource = VirtualFile NoWrite b (VirtualFile.hs:280-286)."""
+        if serials is not None:
+            kw["serials"] = serials
+        return Dataset(name, writable=False, **kw)
+
+    @staticmethod
+    def sink(name: str, serials: SerialSet | None = None, **kw) -> "Dataset":
+        """DataSink a = VirtualFile a NoRead."""
+        if serials is not None:
+            kw["serials"] = serials
+        return Dataset(name, readable=False, **kw)
+
+    def with_default(self, rows: list) -> "Dataset":
+        return replace(self, embedded_default=rows)
+
+
+@dataclass(frozen=True)
+class Location:
+    """One physical layer: a path template + extension override."""
+
+    path: str
+    ext: str | None = None  # None => dataset's default serial
+
+    @staticmethod
+    def parse(spec: str) -> "Location":
+        base, dot, ext = spec.rpartition(".")
+        known = {"parquet", "json", "csv", "tsv", "txt", "bin", "yaml", "yml"}
+        if dot and ext in known:
+            return Location(spec, ext)
+        return Location(spec, None)
+
+
+class Catalog:
+    """Virtual tree of datasets + the binding machinery."""
+
+    def __init__(self, datasets: list[Dataset] | None = None):
+        self._ds: dict[str, Dataset] = {}
+        for d in datasets or []:
+            self.add(d)
+
+    def add(self, ds: Dataset) -> "Catalog":
+        if ds.name in self._ds:
+            # Semigroup VirtualFileNode (PorcupineTree.hs:188-192):
+            # same-path nodes merge their serial sets; conflicting
+            # schemas error (same-path different-type, :108-114).
+            existing = self._ds[ds.name]
+            if existing.schema is not None and ds.schema is not None and existing.schema != ds.schema:
+                raise ValueError(
+                    f"dataset {ds.name!r} declared twice with different schemas"
+                )
+            self._ds[ds.name] = replace(
+                existing,
+                serials=existing.serials | ds.serials,
+                schema=existing.schema or ds.schema,
+                readable=existing.readable or ds.readable,
+                writable=existing.writable or ds.writable,
+            )
+        else:
+            self._ds[ds.name] = ds
+        return self
+
+    def __or__(self, other: "Catalog") -> "Catalog":
+        merged = Catalog(list(self._ds.values()))
+        for d in other._ds.values():
+            merged.add(d)
+        return merged
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._ds
+
+    def __getitem__(self, name: str) -> Dataset:
+        return self._ds[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._ds)
+
+    def bind(
+        self,
+        root: str,
+        mappings: dict[str, str | list[str] | None] | None = None,
+        variables: dict[str, Any] | None = None,
+    ) -> "BoundCatalog":
+        """applyMappings (Mappings.hs:246-259): resolve every dataset to
+        physical layers. Unmapped => root/<virtual path>.<default ext>
+        (propagateMappings inheritance); a string or list => explicit
+        layer(s); None => explicitly unmapped (null in the reference's
+        YAML, PorcupineTree.hs:656-665)."""
+        mappings = mappings or {}
+        variables = variables or {}
+        bound: dict[str, list[Location] | None] = {}
+        unknown = set(mappings) - set(self._ds)
+        if unknown:
+            raise KeyError(
+                f"mappings for unknown datasets: {sorted(unknown)} "
+                f"(catalog has {self.names()})"
+            )
+        for name, ds in self._ds.items():
+            if name in mappings:
+                spec = mappings[name]
+                if spec is None:
+                    bound[name] = None
+                    continue
+                specs = spec if isinstance(spec, list) else [spec]
+                bound[name] = [Location.parse(s) for s in specs]
+            else:
+                default_ext = ds.serials.default_ext
+                bound[name] = [Location(os.path.join(root, f"{name}.{default_ext}"))]
+        return BoundCatalog(self, bound, variables)
+
+
+class BoundCatalog:
+    """PhysicalTree + DataAccessTree (PorcupineTree.hs:15-64): datasets
+    with resolved layers and read/write closures; validates
+    extension/serial compatibility ahead of any execution
+    (resolveDataAccess, PorcupineTree.hs:647-697)."""
+
+    def __init__(self, catalog: Catalog, bound: dict, variables: dict[str, Any]):
+        self.catalog = catalog
+        self._bound = bound
+        self.variables = dict(variables)
+        self._validate()
+
+    def _validate(self) -> None:
+        for name, locs in self._bound.items():
+            ds = self.catalog[name]
+            if locs is None:
+                if ds.readable and not ds.writable and ds.embedded_default is None:
+                    raise ValueError(
+                        f"readable dataset {name!r} mapped to null with no "
+                        "embedded default (reference error: PorcupineTree.hs:656-665)"
+                    )
+                continue
+            for loc in locs:
+                ds.serials.for_ext(loc.ext)  # raises if no serial for ext
+
+    def locations(self, name: str) -> list[Location] | None:
+        """getLocsMappedTo (VirtualFileAccess.hs:389-405)."""
+        return self._bound[name]
+
+    def is_mapped(self, name: str) -> bool:
+        return self._bound[name] is not None
+
+    def _splice(self, path: str, extra_vars: dict | None) -> str:
+        return splice_vars(path, {**self.variables, **(extra_vars or {})})
+
+    def read(
+        self, spark: SparkSession, name: str, variables: dict | None = None
+    ) -> DataFrame:
+        """loadData (VirtualFileAccess.hs:73-83): read all layers,
+        right-biased merge (§1.4). Single layer: plain read. Multiple:
+        unionByName with layer precedence — callers needing keyed
+        last-wins semantics use merge_layers_keyed below."""
+        ds = self.catalog[name]
+        if not ds.readable:
+            raise ValueError(f"{name!r} is a sink (NoRead)")
+        locs = self._bound[name]
+        if locs is None:
+            if ds.embedded_default is not None:
+                return spark.createDataFrame(ds.embedded_default, schema=ds.schema)
+            raise ValueError(f"{name!r} is unmapped and has no embedded default")
+        dfs = []
+        for loc in locs:
+            serial = ds.serials.for_ext(loc.ext)
+            path = self._splice(loc.path, variables)
+            dfs.append(serial.read(spark, path, ds.schema))
+        out = dfs[0]
+        for layer_df in dfs[1:]:
+            out = out.unionByName(layer_df, allowMissingColumns=True)
+        return out
+
+    def read_merged(
+        self,
+        spark: SparkSession,
+        name: str,
+        key: str,
+        variables: dict | None = None,
+    ) -> DataFrame:
+        """Layered read with right-biased KEYED merge (LayeredReadScheme
+        / PorcupineTree.hs:614-636): later layers override earlier ones
+        per key. Implemented as union + keep-last window."""
+        from pyspark.sql import Window as W
+
+        ds = self.catalog[name]
+        locs = self._bound[name] or []
+        dfs = []
+        base = 0
+        if ds.embedded_default is not None:
+            dfs.append(spark.createDataFrame(ds.embedded_default, schema=ds.schema))
+        for loc in locs:
+            serial = ds.serials.for_ext(loc.ext)
+            dfs.append(serial.read(spark, self._splice(loc.path, variables), ds.schema))
+        if not dfs:
+            raise ValueError(f"{name!r}: no layers and no default")
+        tagged = [
+            df.withColumn("__layer", F.lit(i)) for i, df in enumerate(dfs)
+        ]
+        unioned = tagged[0]
+        for t in tagged[1:]:
+            unioned = unioned.unionByName(t, allowMissingColumns=True)
+        w = W.partitionBy(key).orderBy(F.desc("__layer"))
+        return (
+            unioned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__layer")
+        )
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        variables: dict | None = None,
+    ) -> list[str]:
+        """writeData (VirtualFileAccess.hs:126-136): write to ALL layers
+        (PorcupineTree.hs:602-613); unmapped sink => no-op (dead-sink
+        pruning, VirtualFileAccess.hs:309-313). Returns written paths."""
+        ds = self.catalog[name]
+        if not ds.writable:
+            raise ValueError(f"{name!r} is a source (NoWrite)")
+        locs = self._bound[name]
+        if locs is None:
+            return []  # dead sink: skip (laziness does the rest)
+        written = []
+        for loc in locs:
+            serial = ds.serials.for_ext(loc.ext)
+            path = self._splice(loc.path, variables)
+            serial.write(df, path, mode=mode)
+            written.append(path)
+        return written
+
+    def show_tree(self) -> str:
+        """The `show-tree` CLI view (CLI.hs:393-427): virtual path,
+        capabilities, extensions, bound locations."""
+        lines = []
+        for name in self.catalog.names():
+            ds = self.catalog[name]
+            cap = ("r" if ds.readable else "-") + ("w" if ds.writable else "-")
+            locs = self._bound[name]
+            locstr = "null" if locs is None else ", ".join(
+                loc.path + (f" [.{loc.ext}]" if loc.ext else "") for loc in locs
+            )
+            extra = " +default" if ds.embedded_default is not None else ""
+            lines.append(f"{name} ({cap}) [{','.join(ds.serials.exts())}]{extra} -> {locstr}")
+        return "\n".join(lines)

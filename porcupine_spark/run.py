@@ -1,0 +1,147 @@
+"""Pipeline assembly and execution — ``runPipelineTask`` and the CLI.
+
+Lifecycle parity with the reference (SURVEY §3.1):
+1. task composition accumulates requirements statically (task.Task);
+2. ``run_pipeline`` validates that the catalog covers them;
+3. config (YAML file + CLI + ``-o`` overrides) binds virtual paths to
+   physical locations/layers/variables (catalog.Catalog.bind);
+4. binding validates serials/extensions ahead of execution;
+5. the task runs: DataFrame plans build lazily, writes execute.
+
+Subcommands (CLI.hs:393-439): ``run`` (default), ``show-tree``,
+``write-config-template``, ``save`` (persist CLI overrides back into
+the YAML, CLI.hs:215-235). ``--loc name=path`` (+ ``name+=path`` to
+append a layer), ``--var name=value``, ``-o dotted.path=value``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from porcupine_spark.cache import CacheStore
+from porcupine_spark.catalog import Catalog
+from porcupine_spark.config import (
+    OptionsRecord,
+    apply_dotted_overrides,
+    config_template,
+    dump_config,
+    load_config_file,
+    parse_config,
+)
+from porcupine_spark.task import RunCtx, Task
+
+
+def run_pipeline(
+    task: Task,
+    catalog: Catalog,
+    spark: SparkSession,
+    root: str = ".",
+    mappings: dict[str, Any] | None = None,
+    variables: dict[str, Any] | None = None,
+    input_: Any = None,
+    cache_dir: str | None = None,
+) -> Any:
+    """simpleRunPTask / runLocalPipelineTask (Run.hs:107-124): bind the
+    catalog under a root with optional explicit mappings, run."""
+    missing = {r for r in task.requirements if r not in catalog}
+    if missing:
+        raise KeyError(
+            f"task requires datasets not in catalog: {sorted(missing)} "
+            "(requirements are static — declared before execution, like the "
+            "reference's VirtualTree)"
+        )
+    bound = catalog.bind(root, mappings, variables)
+    cache = CacheStore(spark, cache_dir) if cache_dir else None
+    ctx = RunCtx(spark, bound, variables=dict(variables or {}), cache=cache)
+    return task.run(ctx, input_)
+
+
+def _parse_locs(loc_args: list[str]) -> dict[str, Any]:
+    """--loc vpath=loc / vpath+=loc (layer append; PorcupineTree.hs:390-404)."""
+    out: dict[str, Any] = {}
+    for spec in loc_args:
+        if "+=" in spec:
+            name, _, path = spec.partition("+=")
+            cur = out.get(name)
+            if cur is None:
+                out[name] = [path]
+            elif isinstance(cur, list):
+                cur.append(path)
+            else:
+                out[name] = [cur, path]
+        elif "=" in spec:
+            name, _, path = spec.partition("=")
+            out[name] = None if path in ("null", "none", "") else path
+        else:
+            raise ValueError(f"--loc {spec!r}: expected name=path or name+=path")
+    return out
+
+
+def make_cli(
+    task: Task,
+    catalog: Catalog,
+    records: list[OptionsRecord] | None = None,
+    prog: str = "porcupine-spark",
+):
+    """Build the argparse CLI for a pipeline (one flag per option field,
+    OptParse.hs:83-156) and return (parser, main)."""
+    records = records or []
+    parser = argparse.ArgumentParser(prog=prog)
+    parser.add_argument("command", nargs="?", default="run",
+                        choices=["run", "show-tree", "write-config-template", "save"])
+    parser.add_argument("--config", "-c", default=None, help="YAML/JSON config file")
+    parser.add_argument("--root", default=None, help="root dir for unmapped datasets")
+    parser.add_argument("--loc", "-l", action="append", default=[],
+                        help="bind vpath=loc (or vpath+=loc to add a layer)")
+    parser.add_argument("--var", action="append", default=[], help="set path variable name=value")
+    parser.add_argument("-o", "--override", action="append", default=[],
+                        help="dotted config override path.to.key=value")
+    for rec in records:
+        rec.add_cli_args(parser)
+
+    def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> Any:
+        ns = parser.parse_args(argv)
+        raw = load_config_file(ns.config) if ns.config else {}
+        raw = apply_dotted_overrides(raw, ns.override)
+        cli_vals = {k: v for k, v in vars(ns).items()
+                    if k not in {"command", "config", "root", "loc", "var", "override"}}
+        cfg = parse_config(raw, records, cli_vals)
+        if ns.root:
+            cfg.root = ns.root
+        cfg.locations.update(_parse_locs(ns.loc))
+        for v in ns.var:
+            name, _, val = v.partition("=")
+            cfg.variables[name] = val
+
+        if ns.command == "write-config-template":
+            sys.stdout.write(config_template(catalog.names(), records))
+            return None
+        if ns.command == "show-tree":
+            bound = catalog.bind(cfg.root, cfg.locations or None, cfg.variables)
+            sys.stdout.write(bound.show_tree() + "\n")
+            return None
+        if ns.command == "save":
+            merged = dict(raw)
+            merged["root"] = cfg.root
+            merged.setdefault("locations", {}).update(cfg.locations)
+            merged.setdefault("variables", {}).update(cfg.variables)
+            merged["options"] = cfg.options
+            target = ns.config or "porcupine-config.yaml"
+            with open(target, "w") as fh:
+                fh.write(dump_config(merged))
+            return None
+        # run
+        if spark is None:
+            from porcupine_spark.session import get_spark
+
+            spark = get_spark(prog)
+        return run_pipeline(
+            task, catalog, spark, root=cfg.root,
+            mappings=cfg.locations or None, variables=cfg.variables,
+        )
+
+    return parser, main

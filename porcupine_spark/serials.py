@@ -1,0 +1,161 @@
+"""Serialization layer — the reference's ``SerialsFor`` bundles
+(porcupine-core/src/Data/Locations/SerializationMethod.hs:606-650)
+re-expressed as a format registry driving ``spark.read`` / ``df.write``.
+
+A ``Serial`` maps a file extension to a Spark format + options and
+optional pre-write / post-read DataFrame transforms (the profunctor
+``dimap``/``lmap``/``rmap`` of the reference: SerializationMethod.hs:
+642-679 — a transform prepended to a writer / appended to a reader).
+``SerialSet`` is the semigroup of serials attached to one dataset
+(``<>`` merges, first-added is the default extension — mirroring
+``serialDefaultExt`` SerializationMethod.hs:609,653-654).
+
+Compression wrapping (``addZlibSerials`` SerializationMethod.hs:
+708-723) maps to Spark's per-format codec option.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+@dataclass(frozen=True)
+class Serial:
+    """One (extension -> spark format) binding.
+
+    Reference parity: JSONSerial/CSVSerial/PlainTextSerial/
+    ByteStringSerial (SerializationMethod.hs:273-574). ``options``
+    carry header/delimiter/compression (CSVSerial's fields, :445-453).
+    """
+
+    ext: str
+    format: str  # spark datasource name: parquet/json/csv/text/binaryFile
+    options: dict = field(default_factory=dict)
+    pre_write: Transform | None = None  # lmap: applied before writing
+    post_read: Transform | None = None  # rmap: applied after reading
+    writable: bool = True
+    readable: bool = True
+
+    def with_options(self, **opts) -> "Serial":
+        return replace(self, options={**self.options, **opts})
+
+    def lmap(self, f: Transform) -> "Serial":
+        """Prepend a pre-write transform (reference ``lmap``)."""
+        prev = self.pre_write
+        g = f if prev is None else (lambda df: prev(f(df)))
+        return replace(self, pre_write=g)
+
+    def rmap(self, f: Transform) -> "Serial":
+        """Append a post-read transform (reference ``rmap``)."""
+        prev = self.post_read
+        g = f if prev is None else (lambda df: f(prev(df)))
+        return replace(self, post_read=g)
+
+    def read(self, spark: SparkSession, path: str, schema=None) -> DataFrame:
+        if not self.readable:
+            raise ValueError(f"serial for .{self.ext} is write-only")
+        reader: DataFrameReader = spark.read.format(self.format)
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        df = reader.load(path)
+        return self.post_read(df) if self.post_read else df
+
+    def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        if not self.writable:
+            raise ValueError(f"serial for .{self.ext} is read-only")
+        if self.pre_write:
+            df = self.pre_write(df)
+        writer = df.write.format(self.format).mode(mode)
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
+        writer.save(path)
+
+
+# the built-in serial constructors (reference: SerializationMethod.hs)
+def parquet_serial(**opts) -> Serial:
+    return Serial("parquet", "parquet", opts)
+
+
+def json_serial(**opts) -> Serial:
+    return Serial("json", "json", opts)
+
+
+def csv_serial(header: bool = True, sep: str = ",", ext: str = "csv", **opts) -> Serial:
+    """CSVSerial: ext + header flag + delimiter (SerializationMethod.hs:445-453)."""
+    return Serial(ext, "csv", {"header": str(header).lower(), "sep": sep, **opts})
+
+
+def text_serial(ext: str = "txt", **opts) -> Serial:
+    return Serial(ext, "text", opts)
+
+
+def binary_serial(ext: str = "bin") -> Serial:
+    """ByteStringSerial (:516-538): read-only in Spark (binaryFile has no writer)."""
+    return Serial(ext, "binaryFile", {}, writable=False)
+
+
+def with_compression(serial: Serial, codec: str = "gzip") -> Serial:
+    """addZlibSerials analog (:708-723): same serial, compressed payload,
+    extension suffixed (<ext><codec-short>)."""
+    short = {"gzip": "gz", "snappy": "sz", "zstd": "zst"}.get(codec, codec)
+    return replace(
+        serial, ext=f"{serial.ext}{short}", options={**serial.options, "compression": codec}
+    )
+
+
+class SerialSet:
+    """Semigroup of serials for one dataset; first is the default ext."""
+
+    def __init__(self, *serials: Serial):
+        self._by_ext: dict[str, Serial] = {}
+        for s in serials:
+            self.add(s)
+
+    def add(self, serial: Serial) -> "SerialSet":
+        if serial.ext not in self._by_ext:
+            self._by_ext[serial.ext] = serial
+        else:  # right-biased per-ext override, like the reference's <>
+            self._by_ext[serial.ext] = serial
+        return self
+
+    def __or__(self, other: "SerialSet") -> "SerialSet":
+        merged = SerialSet()
+        for s in [*self._by_ext.values(), *other._by_ext.values()]:
+            merged.add(s)
+        return merged
+
+    @property
+    def default_ext(self) -> str:
+        return next(iter(self._by_ext))
+
+    def exts(self) -> list[str]:
+        return list(self._by_ext)
+
+    def for_ext(self, ext: str | None) -> Serial:
+        if ext is None:
+            ext = self.default_ext
+        if ext not in self._by_ext:
+            raise KeyError(
+                f"no (de)serializer for extension {ext!r}; have {self.exts()} "
+                "(reference behavior: resolveDataAccess fails ahead-of-time, "
+                "PorcupineTree.hs:667-694)"
+            )
+        return self._by_ext[ext]
+
+    def set_default(self, ext: str) -> "SerialSet":
+        """setDefaultSerial analog."""
+        if ext not in self._by_ext:
+            raise KeyError(ext)
+        reordered = SerialSet()
+        reordered.add(self._by_ext[ext])
+        for e, s in self._by_ext.items():
+            if e != ext:
+                reordered.add(s)
+        return reordered

@@ -1,0 +1,153 @@
+"""Catalog / serials / layered-merge semantics (SURVEY §1, §2.1).
+
+Mirrors the reference's test genres (test/Test/Porcupine/PTask.hs):
+identity properties, config/catalog resolution units, E2E fixtures.
+"""
+
+import os
+
+import pytest
+
+from porcupine_spark.catalog import Catalog, Dataset, Location, splice_vars, template_vars
+from porcupine_spark.serials import (
+    SerialSet,
+    csv_serial,
+    json_serial,
+    parquet_serial,
+    text_serial,
+    with_compression,
+)
+
+
+def test_splice_vars():
+    assert splice_vars("/data/User-{userId}.json", {"userId": 3}) == "/data/User-3.json"
+    assert template_vars("{a}/x/{b}.parquet") == ["a", "b"]
+    with pytest.raises(KeyError):
+        splice_vars("/p/{missing}.json", {})
+
+
+def test_location_parse_ext():
+    assert Location.parse("/x/y.csv").ext == "csv"
+    assert Location.parse("/x/y.parquet").ext == "parquet"
+    assert Location.parse("/x/dir").ext is None
+
+
+def test_serialset_default_and_merge():
+    s = SerialSet(parquet_serial(), json_serial())
+    assert s.default_ext == "parquet"
+    assert set(s.exts()) == {"parquet", "json"}
+    s2 = s.set_default("json")
+    assert s2.default_ext == "json"
+    merged = SerialSet(csv_serial()) | SerialSet(text_serial())
+    assert merged.exts() == ["csv", "txt"]
+    with pytest.raises(KeyError):
+        s.for_ext("csv")
+
+
+def test_compression_wrapping():
+    gz = with_compression(csv_serial(), "gzip")
+    assert gz.ext == "csvgz"
+    assert gz.options["compression"] == "gzip"
+
+
+def test_catalog_same_path_merge_and_conflict():
+    c = Catalog([Dataset("a", SerialSet(parquet_serial()))])
+    c.add(Dataset("a", SerialSet(json_serial())))
+    assert set(c["a"].serials.exts()) == {"parquet", "json"}
+    c2 = Catalog([Dataset("b", schema="x int")])
+    with pytest.raises(ValueError):
+        c2.add(Dataset("b", schema="x string"))
+
+
+def test_bind_defaults_and_unknown_mapping(tmp_path):
+    c = Catalog([Dataset("sub/users")])
+    bound = c.bind(str(tmp_path))
+    assert bound.locations("sub/users")[0].path == str(tmp_path / "sub/users.parquet")
+    with pytest.raises(KeyError):
+        c.bind(str(tmp_path), {"nope": "x.parquet"})
+
+
+def test_bind_null_requires_default():
+    src = Catalog([Dataset.source("cfg")])
+    with pytest.raises(ValueError):
+        src.bind(".", {"cfg": None})
+    ok = Catalog([Dataset.source("cfg", embedded_default=[(1, "a")], schema="id long, v string")])
+    ok.bind(".", {"cfg": None})  # no raise
+
+
+def test_bind_validates_extensions():
+    c = Catalog([Dataset("t")])  # parquet only
+    with pytest.raises(KeyError):
+        c.bind(".", {"t": "/x/t.csv"})
+
+
+def test_roundtrip_write_read(spark, tmp_path):
+    c = Catalog([Dataset("out", SerialSet(parquet_serial(), csv_serial()))])
+    bound = c.bind(str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    paths = bound.write(df, "out")
+    assert paths == [str(tmp_path / "out.parquet")]
+    back = bound.read(spark, "out")
+    assert sorted(r.id for r in back.collect()) == [1, 2]
+
+
+def test_write_all_layers_and_dead_sink(spark, tmp_path):
+    c = Catalog([Dataset("dup"), Dataset("dead")])
+    bound = c.bind(
+        str(tmp_path),
+        {
+            "dup": [str(tmp_path / "l1.parquet"), str(tmp_path / "l2.parquet")],
+            "dead": None,
+        },
+    )
+    df = spark.createDataFrame([(1,)], "id long")
+    assert len(bound.write(df, "dup")) == 2  # writes duplicate to every layer
+    assert bound.write(df, "dead") == []  # unmapped sink: skipped
+    assert os.path.exists(tmp_path / "l1.parquet")
+    assert os.path.exists(tmp_path / "l2.parquet")
+
+
+def test_layered_read_right_biased(spark, tmp_path):
+    """PorcupineTree.hs:614-636: later layers win per key; embedded
+    default is the base layer (:626)."""
+    base = spark.createDataFrame([(1, "base"), (2, "base")], "id long, v string")
+    over = spark.createDataFrame([(2, "override"), (3, "new")], "id long, v string")
+    base.write.parquet(str(tmp_path / "base.parquet"))
+    over.write.parquet(str(tmp_path / "over.parquet"))
+    c = Catalog([Dataset("layered", schema="id long, v string",
+                         embedded_default=[(0, "default")])])
+    bound = c.bind(
+        str(tmp_path),
+        {"layered": [str(tmp_path / "base.parquet"), str(tmp_path / "over.parquet")]},
+    )
+    merged = {r.id: r.v for r in bound.read_merged(spark, "layered", key="id").collect()}
+    assert merged == {0: "default", 1: "base", 2: "override", 3: "new"}
+
+
+def test_read_unmapped_falls_back_to_embedded(spark):
+    c = Catalog([Dataset("opts", schema="k string, v long", embedded_default=[("a", 1)])])
+    bound = c.bind(".", {"opts": None})
+    rows = bound.read(spark, "opts").collect()
+    assert rows[0].k == "a"
+
+
+def test_csv_serial_roundtrip_with_transforms(spark, tmp_path):
+    """dimap/lmap/rmap: pre-write + post-read transforms compose
+    (example0.1: one sink plain, one transformed)."""
+    from pyspark.sql import functions as F
+
+    ser = csv_serial(header=True).lmap(lambda df: df.withColumn("v", F.upper("v")))
+    c = Catalog([Dataset("t", SerialSet(ser))])
+    bound = c.bind(str(tmp_path), {"t": str(tmp_path / "t.csv")})
+    df = spark.createDataFrame([(1, "ab")], "id string, v string")
+    bound.write(df, "t")
+    back = bound.read(spark, "t").collect()
+    assert back[0].v == "AB"
+
+
+def test_show_tree(tmp_path):
+    c = Catalog([Dataset.source("in/a"), Dataset.sink("out/b")])
+    tree = c.bind(str(tmp_path), {"out/b": None}).show_tree()
+    assert "in/a (r-)" in tree
+    assert "out/b (-w)" in tree
+    assert "null" in tree

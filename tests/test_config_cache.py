@@ -1,0 +1,147 @@
+"""Config/CLI (SURVEY §2.8, §2.11) and content-addressed cache (§2.9)."""
+
+import json
+
+import pytest
+
+from porcupine_spark.cache import CacheStore, Unhashed, cache_key
+from porcupine_spark.catalog import Catalog, Dataset
+from porcupine_spark.config import (
+    OptionField,
+    OptionsRecord,
+    apply_dotted_overrides,
+    config_template,
+    parse_config,
+)
+from porcupine_spark.run import make_cli
+from porcupine_spark.task import arr
+
+
+REC = OptionsRecord(
+    "opts",
+    [
+        OptionField("replications", 10, "how many copies"),
+        OptionField("char", "a", "character to replicate"),
+        OptionField("verbose", False, "chatty?"),
+        OptionField("rate", 1.5, "a float"),
+    ],
+)
+
+
+def test_priority_cli_over_yaml_over_default():
+    """chooseHighestPriority (OptParse.hs:50-57)."""
+    resolved = REC.resolve({"replications": 20, "char": "b"}, {"char": "c"})
+    assert resolved["replications"] == 20  # yaml beats default
+    assert resolved["char"] == "c"  # cli beats yaml
+    assert resolved["verbose"] is False  # default
+    assert resolved["rate"] == 1.5
+
+
+def test_yaml_type_check():
+    """type-change warnings (ConfigurationReader.hs:120-150) -> error."""
+    with pytest.raises(TypeError):
+        REC.resolve({"replications": "lots"}, {})
+    assert REC.resolve({"rate": 2}, {})["rate"] == 2.0  # int->float ok
+
+
+def test_dotted_overrides():
+    cfg = {"options": {"opts": {"replications": 1}}}
+    out = apply_dotted_overrides(cfg, ["options.opts.replications=7", "variables.x=hi"])
+    assert out["options"]["opts"]["replications"] == 7
+    assert out["variables"]["x"] == "hi"
+    with pytest.raises(ValueError):
+        apply_dotted_overrides({}, ["no-equals-sign"])
+
+
+def test_parse_config_sections():
+    raw = {
+        "root": "/data",
+        "locations": {"in/a": "/x/a.parquet", "dead": None},
+        "variables": {"userId": 3},
+        "options": {"opts": {"char": "z"}},
+    }
+    cfg = parse_config(raw, [REC], {})
+    assert cfg.root == "/data"
+    assert cfg.locations["dead"] is None
+    assert cfg.options["opts"]["char"] == "z"
+    assert cfg.options["opts"]["replications"] == 10
+
+
+def test_config_template_contains_tree_and_defaults():
+    out = config_template(["in/a", "out/b"], [REC])
+    assert "in/a" in out and "out/b" in out
+    assert "replications" in out
+
+
+def test_cli_generation_and_show_tree(capsys, tmp_path):
+    cat = Catalog([Dataset("data/in")])
+    parser, main = make_cli(arr(lambda x: x), cat, [REC])
+    # flags derive from option fields (OptParse.hs:83-156)
+    helptext = parser.format_help()
+    assert "--replications" in helptext
+    assert "--no-verbose" in helptext
+    main(["show-tree", "--root", str(tmp_path), "--loc", "data/in=/p/x.parquet"])
+    out = capsys.readouterr().out
+    assert "data/in" in out and "/p/x.parquet" in out
+
+
+def test_cli_loc_layer_append():
+    from porcupine_spark.run import _parse_locs
+
+    locs = _parse_locs(["a=/p1.parquet", "a+=/p2.parquet", "b=null"])
+    assert locs["a"] == ["/p1.parquet", "/p2.parquet"]
+    assert locs["b"] is None
+
+
+def test_cli_save_roundtrip(tmp_path, capsys):
+    cat = Catalog([Dataset("d")])
+    cfgfile = tmp_path / "cfg.yaml"
+    cfgfile.write_text(json.dumps({"locations": {"d": "/old.parquet"}}))
+    _, main = make_cli(arr(lambda x: x), cat, [REC])
+    main(["save", "--config", str(cfgfile), "--loc", "d=/new.parquet", "--replications", "42"])
+    saved = cfgfile.read_text()
+    assert "/new.parquet" in saved
+    assert "42" in saved
+
+
+# ---- cache ----
+def test_cache_key_sensitivity():
+    k1 = cache_key("step", {"a": 1}, ["/p/x.parquet"])
+    assert k1 == cache_key("step", {"a": 1}, ["/p/x.parquet"])
+    assert k1 != cache_key("step", {"a": 2}, ["/p/x.parquet"])
+    # re-binding a location re-triggers (PorcupineTree.hs:118-129)
+    assert k1 != cache_key("step", {"a": 1}, ["/p/y.parquet"])
+    # order-insensitive locations
+    assert cache_key("s", {}, ["/b", "/a"]) == cache_key("s", {}, ["/a", "/b"])
+
+
+def test_unhashed_excluded_from_key():
+    k1 = cache_key("s", {"seed": 1, "label": Unhashed("x")}, [])
+    k2 = cache_key("s", {"seed": 1, "label": Unhashed("y")}, [])
+    assert k1 == k2
+
+
+def test_cache_store_hit_miss(spark, tmp_path):
+    store = CacheStore(spark, str(tmp_path / "store"))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.createDataFrame([(1, "a")], "id long, v string")
+
+    df1 = store.cached("step1", {"p": 1}, ["/in.parquet"], compute)
+    assert df1.count() == 1 and calls == [1]
+    df2 = store.cached("step1", {"p": 1}, ["/in.parquet"], compute)
+    assert df2.count() == 1 and calls == [1]  # hit: no recompute
+    store.cached("step1", {"p": 2}, ["/in.parquet"], compute)
+    assert calls == [1, 1]  # param change: recompute
+    assert store.hits == 1 and store.misses == 2
+
+
+def test_cache_survives_sessions(spark, tmp_path):
+    """Parquet checkpoints outlive the session (unlike df.persist)."""
+    store = CacheStore(spark, str(tmp_path / "store"))
+    store.cached("s", {}, [], lambda: spark.createDataFrame([(9,)], "x long"))
+    fresh = CacheStore(spark, str(tmp_path / "store"))
+    got = fresh.cached("s", {}, [], lambda: (_ for _ in ()).throw(AssertionError("recomputed")))
+    assert got.collect()[0].x == 9

@@ -1,0 +1,144 @@
+"""Operator-level unit tests (asof, sessionize, dedup, similarity,
+multimodal, http source). The full-query correctness gate is
+tools/verify_oracles.py; these cover operator edge cases the oracle
+corpus doesn't reach."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from porcupine_spark.operators.asof import asof_join
+from porcupine_spark.operators.dedup import shingle_table, word_shingles
+from porcupine_spark.operators.multimodal import decode_media_meta, fake_decode
+from porcupine_spark.operators.sessionize import sessionize
+from porcupine_spark.operators.similarity import dot_exact
+from porcupine_spark.functions import seq1
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:00:00")],
+        "user_id long, lts string",
+    ).select("user_id", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100, 1.0), (1, "2024-01-01 11:00:00", 101, 2.0)],
+        "user_id long, rts string, rid long, rv double",
+    ).select("user_id", F.col("rts").cast("timestamp").alias("rts"), "rid", "rv")
+    out = asof_join(left, right, on="user_id", left_ts="lts", right_ts="rts",
+                    right_order="rid", payload_cols=["rid", "rv"])
+    rows = {(r.user_id, str(r.lts)): r.rid for r in out.collect()}
+    assert rows[(1, "2024-01-01 10:00:00")] == 100  # only 09:00 precedes
+    assert rows[(1, "2024-01-01 12:00:00")] == 101  # 11:00 is latest
+    assert rows[(2, "2024-01-01 10:00:00")] is None  # no right rows for key
+
+
+def test_asof_join_tie_at_equal_ts(spark):
+    """'at or before' includes right rows at EXACTLY the left ts."""
+    ts = "2024-01-01 10:00:00"
+    left = spark.createDataFrame([(1, ts)], "user_id long, lts string").select(
+        "user_id", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, ts, 7, 0.0), (1, ts, 9, 0.0)], "user_id long, rts string, rid long, rv double"
+    ).select("user_id", F.col("rts").cast("timestamp").alias("rts"), "rid", "rv")
+    out = asof_join(left, right, "user_id", "lts", "rts", "rid", ["rid", "rv"]).collect()
+    assert out[0].rid == 9  # equal-ts ties -> largest right_order
+
+
+def test_sessionize_gap_boundary(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:30:00"),  # exactly gap: same session (> means new)
+        (1, "2024-01-01 11:00:01"),  # gap exceeded by 1s: new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    out = sessionize(df, "user_id", "ts", "event_id", gap_s=1800)
+    sids = [r.session_id for r in out.orderBy("ts").collect()]
+    assert sids == [1, 1, 2]
+
+
+def test_word_shingles_short_text(spark):
+    """Texts shorter than n produce NO shingles (the seq1 guard —
+    without it Spark's sequence(1,0) yields [1,0] descending)."""
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    out = df.select(F.size(word_shingles(F.col("text"), 3)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 2]
+
+
+def test_seq1_empty_for_nonpositive(spark):
+    df = spark.createDataFrame([(3,), (0,), (-2,)], "n int")
+    out = df.select(seq1(F.col("n")).alias("s")).collect()
+    assert [r.s for r in out] == [[1, 2, 3], [], []]
+
+
+def test_shingle_table_distinct_per_doc(spark):
+    df = spark.createDataFrame([(1, "x y z x y z x y z")], "doc_id long, text string")
+    sh = shingle_table(df).collect()
+    # 7 positional 3-grams but only 3 distinct ones
+    assert len(sh) == 3
+
+
+def test_dot_exact_matches_python(spark):
+    from decimal import Decimal
+
+    a, b = [0.1, 0.2, 0.3], [1.5, -2.5, 3.5]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(dot_exact(F.col("a"), F.col("b")).alias("d")).collect()[0].d
+    import numpy as np
+
+    af = np.array(a, dtype=np.float32).astype(float)
+    bf = np.array(b, dtype=np.float32).astype(float)
+    want = float(sum(Decimal(float(x * y)).quantize(Decimal("1e-12")) for x, y in zip(af, bf)))
+    assert got == pytest.approx(want, abs=2e-12)
+
+
+def test_fake_decode_deterministic_and_raises():
+    m = fake_decode(b"hello")
+    assert (m["n_bytes"], m["n_frames"]) == (5, 1)
+    assert m == fake_decode(b"hello")
+    with pytest.raises(ValueError):
+        fake_decode(b"")
+
+
+def test_decode_media_meta_batch_shape():
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [b"abc", b"defgh"]})
+    out = list(decode_media_meta(iter([pdf])))[0]
+    assert list(out.columns) == ["doc_id", "n_bytes", "width", "height", "n_frames", "format"]
+    assert out["n_bytes"].tolist() == [3, 5]
+
+
+def test_http_fetch_distributed_error_rows(spark):
+    """Per-URL failures become rows, not job failures."""
+    from porcupine_spark.sources.http import fetch_distributed
+
+    out = fetch_distributed(
+        spark, ["http://127.0.0.1:1/nope"], timeout_s=0.5, partitions=1
+    ).collect()
+    assert out[0].status == -1
+    assert "Error" in out[0].error or "error" in out[0].error.lower()
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """The streaming twin of sessionize: session_window grouping over
+    the events stream == batch gap-sessionization session count."""
+    from porcupine_spark.tables import load_events_stream, load_table
+
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("sess_t").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table("sess_t").count()
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        sessionize(ev, "user_id", "ts", "event_id", gap_s=1800)
+        .select("user_id", "session_id").distinct().count()
+    )
+    assert streamed == batch
