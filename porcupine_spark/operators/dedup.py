@@ -303,3 +303,88 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sig
+
+
+_SQL_SIMHASH_CTE = """
+    toks AS (
+      SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, p.pos,
+             SUM(CASE WHEN strpos('89abcdef', substr(md5(tok), p.pos, 1)) > 0
+                      THEN 1 ELSE -1 END) AS s
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, 16)) AS pos) p
+      GROUP BY doc_id, p.pos
+    ),
+    sigs AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "simhash_pairs",
+    f"""
+    WITH {_SQL_SIMHASH_CTE},
+    bands AS (
+      SELECT doc_id, b.band, substr(simhash, b.band * 4 + 1, 4) AS chunk, simhash
+      FROM sigs, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    ),
+    hams AS (
+      SELECT doc_a, doc_b,
+             (SELECT COUNT(*) FROM UNNEST(GENERATE_SERIES(1, 16)) t(i)
+              WHERE substr(sig_a, i, 1) <> substr(sig_b, i, 1)) AS hamming
+      FROM cand
+    )
+    SELECT doc_a, doc_b, hamming FROM hams WHERE hamming <= 3
+    """,
+    tags=("dedup", "simhash", "lsh"),
+    doc="SimHash near-dup pairs: 16-bit signatures banded into 4 chunks "
+    "(pigeonhole: hamming<=3 pairs MUST collide on >=1 chunk), "
+    "candidates from chunk-bucket self-join only, then exact hamming "
+    "verification. Same LSH shape as minhash but on the simhash bits.",
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", b * 4 + 1, 4) for b in range(4)])
+        ).alias("band", "chunk"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    # both signatures are exactly 16 chars; any trailing '' from
+    # split('') appears on both sides and compares equal (no effect)
+    ham = F.size(
+        F.filter(
+            F.zip_with(F.split("sig_a", ""), F.split("sig_b", ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(F.col("hamming") <= 3)

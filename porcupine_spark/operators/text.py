@@ -201,3 +201,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("fp_max"),
         F.countDistinct("h").alias("n_grams"),
     )
+
+
+@query(
+    "token_count_bpe",
+    r"""
+    SELECT doc_id,
+           len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+             AS n_tokens_ws,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens_re,
+           CAST(length(text) AS DOUBLE)
+             / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             AS chars_per_token
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+    doc="Token counting two ways: whitespace split vs a BPE-ish regex "
+    "(letter runs | digit runs | single punctuation) - the pre-"
+    "tokenizer shape GPT-style BPE vocabularies assume. chars/token is "
+    "the quick fertility proxy for token-budget estimation.",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(tokens(F.col("text")))
+    n_re = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        n_re.alias("n_tokens_re"),
+        (F.length("text").cast("double") / n_re).alias("chars_per_token"),
+    )

@@ -60,6 +60,6 @@ def load_all_plans() -> dict[str, QuerySpec]:
         text,
         multimodal,
     )
-    from porcupine_spark.streaming import windows  # noqa: F401
+    from porcupine_spark.streaming import stateful, windows  # noqa: F401
 
     return REGISTRY

@@ -624,3 +624,102 @@ def index_range_letter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "letter")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "cube_agg",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_st, GROUPING(o_orderpriority) AS g_pr,
+           COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+    doc="CUBE grouping sets (free builtin beyond the reference, SURVEY "
+    "§2.4 note): one pass expands to 4 grouping sets, partial aggs "
+    "map-side.",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_st"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@query(
+    "having_groups",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15 AND {sql_dsum('o_totalprice')} > 2000000
+    """,
+    tags=("agg", "having"),
+    doc="Grouped fold + post-aggregation predicate (HAVING == filter "
+    "after agg; Catalyst keeps it in the same stage).",
+)
+def having_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("spend"),
+        )
+        .filter((F.col("n_orders") >= 15) & (F.col("spend") > 2000000))
+    )
+
+
+@query(
+    "unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem WHERE l_orderkey < 100
+    ) UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice, l_discount))
+    """,
+    tags=("unpivot",),
+    doc="Unpivot/melt (stack): wide metric columns to (metric, value) "
+    "rows — row count x3, no shuffle.",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, "
+            "'l_discount', l_discount) AS (metric, value)"
+        ),
+    )
+
+
+@query(
+    "percentile_by_group",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+    doc="Exact percentiles per group (sort-based; both engines use "
+    "linear interpolation on the sorted values, so results are "
+    "bit-identical). The at-scale variant is approx_percentile "
+    "(t-digest sketch) - engine-specific, hence not oracled.",
+)
+def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )

@@ -66,3 +66,46 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+@query(
+    "stream_sliding_counts",
+    """
+    WITH expanded AS (
+      SELECT e.event_type, e.value,
+             time_bucket(INTERVAL '15 minutes', e.ts) - k.k * INTERVAL '15 minutes'
+               AS window_start
+      FROM events e, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n
+    FROM expanded
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+    doc="Sliding event-time windows (1h length, 15m slide) as a real "
+    "streaming query; every event lands in exactly 4 overlapping "
+    "windows. Oracle expands the membership explicitly (time_bucket - "
+    "k*slide).",
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        "n",
+    )

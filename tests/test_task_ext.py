@@ -1,0 +1,120 @@
+"""Per-index IO, partitioned writes, folder streams, tee, error ops
+(SURVEY §2.1/§2.2 extended family) + stateful streaming equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from porcupine_spark.catalog import Catalog, Dataset
+from porcupine_spark.run import run_pipeline
+from porcupine_spark.task import arr, load
+from porcupine_spark.task_ext import (
+    catch_and_log,
+    load_indexed,
+    load_partitioned,
+    read_folder,
+    tee,
+    try_load_indexed,
+    try_task,
+    write_partitioned,
+)
+
+
+@pytest.fixture()
+def user_files(spark, tmp_path):
+    """User-{i}.parquet occurrences (example1 fixture shape)."""
+    for i in range(3):
+        spark.createDataFrame([(i, f"user{i}", 20 + i)], "id long, name string, age int") \
+            .write.parquet(str(tmp_path / f"User-{i}.parquet"))
+    return tmp_path
+
+
+def test_load_indexed_recovers_index(spark, user_files):
+    cat = Catalog([Dataset.source("users")])
+    t = load_indexed("users", "userId", [0, 2])
+    df = run_pipeline(
+        t, cat, spark, root=str(user_files),
+        mappings={"users": str(user_files) + "/User-{userId}.parquet"},
+    )
+    rows = {(r.idx, r.name) for r in df.collect()}
+    assert rows == {(0, "user0"), (2, "user2")}
+
+
+def test_try_load_indexed_tolerates_missing(spark, user_files):
+    cat = Catalog([Dataset.source("users")])
+    t = try_load_indexed("users", "userId", [0, 7, 2])
+    df, errors = run_pipeline(
+        t, cat, spark, root=str(user_files),
+        mappings={"users": str(user_files) + "/User-{userId}.parquet"},
+    )
+    assert df.count() == 2
+    assert len(errors) == 1 and errors[0][0] == 7
+    assert "PATH_NOT_FOUND" in errors[0][1] or "Path does not exist" in errors[0][1]
+
+
+def test_write_partitioned_roundtrip(spark, tmp_path):
+    """writeDataStream: one dir per index, single job; read back pruned."""
+    cat = Catalog([Dataset("bykey")])
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+    )
+    run_pipeline(
+        write_partitioned("bykey", "k"), cat, spark, root=str(tmp_path), input_=df
+    )
+    assert (tmp_path / "bykey.parquet" / "k=1").exists()
+    assert (tmp_path / "bykey.parquet" / "k=2").exists()
+    back = run_pipeline(load_partitioned("bykey", "k", [1]), cat, spark, root=str(tmp_path))
+    assert sorted(r.v for r in back.collect()) == ["a", "b"]
+    # partition pruning visible in the plan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_read_folder_recursive_with_provenance(spark, tmp_path):
+    (tmp_path / "sub").mkdir()
+    spark.createDataFrame([(1,)], "x long").write.parquet(str(tmp_path / "sub/a.parquet"))
+    spark.createDataFrame([(2,)], "x long").write.parquet(str(tmp_path / "b.parquet"))
+    df = read_folder(spark, str(tmp_path))
+    rows = df.collect()
+    assert {r.x for r in rows} == {1, 2}
+    assert all(r.source_file.startswith("file:") for r in rows)
+
+
+def test_tee_two_sinks_one_transformed(spark, tmp_path):
+    """mapCopy: same frame to two sinks, second transformed."""
+    cat = Catalog([Dataset.source("in"), Dataset.sink("raw"), Dataset.sink("doubled")])
+    spark.createDataFrame([(1,), (2,)], "x long").write.parquet(str(tmp_path / "in.parquet"))
+    t = load("in") >> tee(
+        ("raw", None),
+        ("doubled", lambda df: df.withColumn("x", F.col("x") * 2)),
+    )
+    written = run_pipeline(
+        t, cat, spark, root=str(tmp_path), mappings={"in": str(tmp_path / "in.parquet")}
+    )
+    assert set(written) == {"raw", "doubled"}
+    raw = {r.x for r in spark.read.parquet(str(tmp_path / "raw.parquet")).collect()}
+    dbl = {r.x for r in spark.read.parquet(str(tmp_path / "doubled.parquet")).collect()}
+    assert raw == {1, 2} and dbl == {2, 4}
+
+
+def test_try_task_and_catch_and_log(spark, tmp_path):
+    boom = arr(lambda _: (_ for _ in ()).throw(RuntimeError("boom")))
+    tag, err = run_pipeline(try_task(boom), Catalog([]), spark, root=str(tmp_path))
+    assert tag == "err" and isinstance(err, RuntimeError)
+    ok = run_pipeline(catch_and_log(boom, default=42), Catalog([]), spark, root=str(tmp_path))
+    assert ok == 42
+    tag2, val = run_pipeline(try_task(arr(lambda x: x + 1)), Catalog([]), spark,
+                             root=str(tmp_path), input_=1)
+    assert (tag2, val) == ("ok", 2)
+
+
+def test_stateful_stream_matches_batch(spark, sf_dir):
+    """The stateful operator's final per-user counts == batch groupBy."""
+    from porcupine_spark.plans.registry import load_all_plans
+    from porcupine_spark.tables import load_table
+
+    specs = load_all_plans()
+    out = specs["stream_stateful_user_stats"].builder(spark, sf_dir)
+    got = {r.user_id: r.n_events for r in out.collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
