@@ -240,18 +240,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 32  # one bit per md5 hex digit
+SIMHASH_BAND_BITS = 8  # 4 bands; hamming<=3 pairs must share >=1 band
+
+
 @query(
     "simhash_signatures",
-    """
+    f"""
     WITH toks AS (
-      SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
-      FROM documents
+      SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS tok
+      FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents) d,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(t) - 2, 0))) AS i) s
     ),
     bits AS (
       SELECT doc_id, p.pos,
              SUM(CASE WHEN strpos('89abcdef', substr(md5(tok), p.pos, 1)) > 0
                       THEN 1 ELSE -1 END) AS s
-      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, 16)) AS pos) p
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, {SIMHASH_BITS})) AS pos) p
       GROUP BY doc_id, p.pos
     )
     SELECT doc_id,
@@ -259,62 +265,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bits GROUP BY doc_id
     """,
     tags=("dedup", "simhash"),
-    doc="SimHash (16-bit hex-digit-projection variant): token md5 hex "
-    "digit at position p contributes +1 if >=8 else -1; signature bit = "
-    "sign of the sum. Token multiplicity is the weight. One explode "
-    "(tokens x 16) + one agg.",
+    doc=f"SimHash ({SIMHASH_BITS}-bit hex-digit-projection variant): token "
+    "md5 hex digit at position p contributes +1 if >=8 else -1; "
+    "signature bit = sign of the sum. Token multiplicity is the weight. "
+    f"One explode (tokens x {SIMHASH_BITS}) + one agg.",
 )
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
-    bits = (
-        toks.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(16)),
-                    lambda p: F.when(
-                        F.substring(F.col("h"), 1, 16).substr(p, F.lit(1)).rlike("[89a-f]"),
-                        F.lit(1),
-                    ).otherwise(F.lit(-1)),
-                )
-            ).alias("pos0", "contrib"),
-        )
-        .groupBy("doc_id", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.sum("contrib").alias("s"))
+    words = F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " ")
+    grams = F.transform(
+        seq1(F.size(words) - 2), lambda i: F.concat_ws(" ", F.slice(words, i, 3))
     )
-    sig = (
-        bits.groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("pos"), F.when(F.col("s") > 0, "1").otherwise("0").alias("b"))
-                        )
-                    ),
-                    lambda x: x["b"],
-                ),
-            ).alias("simhash")
-        )
+    toks = docs.select("doc_id", F.explode(grams).alias("tok")).withColumn(
+        "h", F.md5(F.col("tok"))
+    )
+    # 32 bit-sums as 32 agg expressions over ONE pass (same trick as
+    # minhash): no 32x position explosion, map-side partials free
+    contrib = [
+        F.sum(
+            F.when(F.substring("h", p, 1).rlike("[89a-f]"), 1).otherwise(-1)
+        ).alias(f"s{p}")
+        for p in range(1, SIMHASH_BITS + 1)
+    ]
+    sums = toks.groupBy("doc_id").agg(*contrib)
+    sig = sums.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"s{p}") > 0, "1").otherwise("0")
+                for p in range(1, SIMHASH_BITS + 1)
+            ]
+        ).alias("simhash"),
     )
     return sig
 
 
-_SQL_SIMHASH_CTE = """
+_SQL_SIMHASH_CTE = f"""
     toks AS (
-      SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
-      FROM documents
+      SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS tok
+      FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+            FROM documents) d,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(t) - 2, 0))) AS i) s
     ),
     bits AS (
       SELECT doc_id, p.pos,
              SUM(CASE WHEN strpos('89abcdef', substr(md5(tok), p.pos, 1)) > 0
                       THEN 1 ELSE -1 END) AS s
-      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, 16)) AS pos) p
+      FROM toks, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, {SIMHASH_BITS})) AS pos) p
       GROUP BY doc_id, p.pos
     ),
     sigs AS (
@@ -330,7 +327,9 @@ _SQL_SIMHASH_CTE = """
     f"""
     WITH {_SQL_SIMHASH_CTE},
     bands AS (
-      SELECT doc_id, b.band, substr(simhash, b.band * 4 + 1, 4) AS chunk, simhash
+      SELECT doc_id, b.band,
+             substr(simhash, b.band * {SIMHASH_BAND_BITS} + 1, {SIMHASH_BAND_BITS}) AS chunk,
+             simhash
       FROM sigs, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
     ),
     cand AS (
@@ -341,25 +340,28 @@ _SQL_SIMHASH_CTE = """
     ),
     hams AS (
       SELECT doc_a, doc_b,
-             (SELECT COUNT(*) FROM UNNEST(GENERATE_SERIES(1, 16)) t(i)
+             (SELECT COUNT(*) FROM UNNEST(GENERATE_SERIES(1, {SIMHASH_BITS})) t(i)
               WHERE substr(sig_a, i, 1) <> substr(sig_b, i, 1)) AS hamming
       FROM cand
     )
     SELECT doc_a, doc_b, hamming FROM hams WHERE hamming <= 3
     """,
     tags=("dedup", "simhash", "lsh"),
-    doc="SimHash near-dup pairs: 16-bit signatures banded into 4 chunks "
-    "(pigeonhole: hamming<=3 pairs MUST collide on >=1 chunk), "
-    "candidates from chunk-bucket self-join only, then exact hamming "
-    "verification. Same LSH shape as minhash but on the simhash bits.",
+    doc=f"SimHash near-dup pairs: {SIMHASH_BITS}-bit signatures banded "
+    f"into 4 chunks of {SIMHASH_BAND_BITS} bits (pigeonhole: hamming<=3 "
+    "pairs MUST collide on >=1 chunk), candidates from chunk-bucket "
+    "self-join only, then exact hamming verification. Same LSH shape "
+    "as minhash but on the simhash bits; 2^8 bucket values per band "
+    "keep bucket sizes (and the candidate join) small.",
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(spark, sf_dir)
+    bb = SIMHASH_BAND_BITS
     bands = sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(*[F.substring("simhash", b * 4 + 1, 4) for b in range(4)])
+            F.array(*[F.substring("simhash", b * bb + 1, bb) for b in range(4)])
         ).alias("band", "chunk"),
     )
     a = bands.alias("a")
@@ -379,7 +381,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # both signatures are exactly 16 chars; any trailing '' from
+    # signatures are fixed-width bitstrings; any trailing '' from
     # split('') appears on both sides and compares equal (no effect)
     ham = F.size(
         F.filter(
