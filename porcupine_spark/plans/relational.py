@@ -723,3 +723,38 @@ def percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+
+
+@query(
+    "sql_api_q6",
+    """
+    SELECT
+      CAST(SUM(CAST((l_extendedprice * l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        AS potential_revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("sql", "agg", "flagship"),
+    doc="TPC-H Q6 shape issued through spark.sql on registered views — "
+    "the SQL-API twin of the DataFrame surface (Catalyst emits the same "
+    "plan either way; this query exists to exercise that path).",
+)
+def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q6")
+    return spark.sql(
+        """
+        SELECT
+          CAST(SUM(CAST((l_extendedprice * l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+            AS potential_revenue,
+          COUNT(*) AS n_lines
+        FROM lineitem_q6
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """
+    )

@@ -159,3 +159,9 @@ class SerialSet:
             if e != ext:
                 reordered.add(s)
         return reordered
+
+
+def orc_serial(**opts) -> Serial:
+    """ORC: the second columnar format (engine-level only — the DuckDB
+    oracle corpus cannot read ORC, so parity is covered by tests)."""
+    return Serial("orc", "orc", opts)

@@ -118,3 +118,86 @@ def test_stateful_stream_matches_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     want = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_salted_agg_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from porcupine_spark.functions.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)] + [("cold", 1.0)], "k string, v double"
+    )
+    plain = {
+        r.k: (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(38,6)")).cast("double").alias("s"))
+        .collect()
+    }
+    salted = {
+        r.k: (r.n, r.s)
+        for r in salted_agg(
+            df,
+            ["k"],
+            aggs=[
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("v").cast("decimal(38,6)")).alias("ps"),
+            ],
+            final_aggs=[
+                F.sum("pn").alias("n"),
+                F.sum("ps").cast("double").alias("s"),
+            ],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    from porcupine_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame([(1, i) for i in range(100)] + [(2, 0)], "k int, v int")
+    small = spark.createDataFrame([(1, "one"), (2, "two"), (3, "three")], "k int, name string")
+    plain = sorted((r.k, r.v, r.name) for r in big.join(small, "k").collect())
+    salted = sorted((r.k, r.v, r.name) for r in salted_join(big, small, "k").collect())
+    assert salted == plain
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables sort-merge-join with ZERO shuffle Exchange
+    (the 100 TB fact-fact join answer). Broadcast is disabled so the
+    planner can't sidestep the bucketing (at real scale neither side
+    broadcasts)."""
+    from porcupine_spark.bucketing import (
+        bucketed_join,
+        shuffle_exchanges_in_plan,
+        write_bucketed,
+    )
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    right = spark.range(0, 1000).withColumnRenamed("id", "k")
+    write_bucketed(left, "t_left", "k", 4, path=str(tmp_path / "t_left"))
+    write_bucketed(right, "t_right", "k", 4, path=str(tmp_path / "t_right"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_left", "t_right", "k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert shuffle_exchanges_in_plan(joined) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_left")
+        spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_orc_serial_roundtrip(spark, tmp_path):
+    from porcupine_spark.catalog import Catalog, Dataset
+    from porcupine_spark.serials import SerialSet, orc_serial
+
+    cat = Catalog([Dataset("t", SerialSet(orc_serial()))])
+    bound = cat.bind(str(tmp_path))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    paths = bound.write(df, "t")
+    assert paths[0].endswith("t.orc")
+    assert bound.read(spark, "t").collect()[0].v == "a"
