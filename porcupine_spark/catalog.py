@@ -150,22 +150,42 @@ class Catalog:
         root: str,
         mappings: dict[str, str | list[str] | None] | None = None,
         variables: dict[str, Any] | None = None,
+        data: dict[str, list] | None = None,
     ) -> "BoundCatalog":
         """applyMappings (Mappings.hs:246-259): resolve every dataset to
         physical layers. Unmapped => root/<virtual path>.<default ext>
         (propagateMappings inheritance); a string or list => explicit
         layer(s); None => explicitly unmapped (null in the reference's
-        YAML, PorcupineTree.hs:656-665)."""
-        mappings = mappings or {}
+        YAML, PorcupineTree.hs:656-665).
+
+        ``data`` is the config ``data:`` section
+        (replaceWithDataFromConfig, PorcupineTree.hs:440-503): literal
+        rows for a dataset, overriding its declared embedded default;
+        a dataset with config data needs no physical mapping."""
+        mappings = dict(mappings or {})
         variables = variables or {}
+        target: Catalog = self
+        if data:
+            unknown_data = set(data) - set(self._ds)
+            if unknown_data:
+                raise KeyError(f"config data for unknown datasets: {sorted(unknown_data)}")
+            # non-destructive: bind against a copy carrying the config rows
+            target = Catalog(
+                [
+                    replace(ds, embedded_default=data.get(name, ds.embedded_default))
+                    for name, ds in self._ds.items()
+                ]
+            )
+            for name in data:
+                mappings.setdefault(name, None)
         bound: dict[str, list[Location] | None] = {}
-        unknown = set(mappings) - set(self._ds)
+        unknown = set(mappings) - set(target._ds)
         if unknown:
             raise KeyError(
                 f"mappings for unknown datasets: {sorted(unknown)} "
-                f"(catalog has {self.names()})"
+                f"(catalog has {target.names()})"
             )
-        for name, ds in self._ds.items():
+        for name, ds in target._ds.items():
             if name in mappings:
                 spec = mappings[name]
                 if spec is None:
@@ -176,7 +196,7 @@ class Catalog:
             else:
                 default_ext = ds.serials.default_ext
                 bound[name] = [Location(os.path.join(root, f"{name}.{default_ext}"))]
-        return BoundCatalog(self, bound, variables)
+        return BoundCatalog(target, bound, variables)
 
 
 class BoundCatalog:
@@ -207,6 +227,23 @@ class BoundCatalog:
     def locations(self, name: str) -> list[Location] | None:
         """getLocsMappedTo (VirtualFileAccess.hs:389-405)."""
         return self._bound[name]
+
+    def reader(self, name: str, **kw):
+        """getDataReader (VirtualFileAccess.hs:186-212): reify the read
+        closure. Hashable on its bound locations for cache keys."""
+        def do_read(spark: SparkSession, variables: dict | None = None) -> DataFrame:
+            return self.read(spark, name, variables=variables, **kw)
+
+        do_read.locations = [loc.path for loc in (self._bound[name] or [])]
+        return do_read
+
+    def writer(self, name: str, **kw):
+        """getDataWriter: reify the write closure."""
+        def do_write(df: DataFrame, variables: dict | None = None) -> list[str]:
+            return self.write(df, name, variables=variables, **kw)
+
+        do_write.locations = [loc.path for loc in (self._bound[name] or [])]
+        return do_write
 
     def is_mapped(self, name: str) -> bool:
         return self._bound[name] is not None

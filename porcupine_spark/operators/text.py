@@ -231,3 +231,171 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_re.alias("n_tokens_re"),
         (F.length("text").cast("double") / n_re).alias("chars_per_token"),
     )
+
+
+@query(
+    "pii_scrub",
+    r"""
+    WITH scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(text, '[0-9]{2,}', '<NUM>', 'g'),
+                            'customer', '<ENTITY>', 'g') AS text_clean,
+             len(regexp_extract_all(text, '[0-9]{2,}')) AS n_num,
+             len(regexp_extract_all(text, 'customer')) AS n_entity
+      FROM documents
+    )
+    SELECT doc_id, md5(text_clean) AS clean_hash,
+           n_num + n_entity AS n_redactions,
+           length(text_clean) AS clean_len
+    FROM scrubbed
+    """,
+    tags=("text", "scrub"),
+    doc="PII/sensitive-span scrubbing: pattern classes replaced with "
+    "typed placeholders (<NUM>, <ENTITY>), redaction counts kept for "
+    "audit. Pure regexp_replace chains - one scan, no shuffle; the "
+    "scrubbed text is hashed for oracle comparison.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace("text", r"[0-9]{2,}", "<NUM>"), "customer", "<ENTITY>"
+    )
+    n_num = F.size(F.regexp_extract_all("text", F.lit(r"[0-9]{2,}"), 0))
+    n_entity = F.size(F.regexp_extract_all("text", F.lit("customer"), 0))
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_hash"),
+        (n_num + n_entity).alias("n_redactions"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+@query(
+    "repetition_ratio",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, UNNEST(toks) AS tok FROM t)
+      GROUP BY doc_id, tok
+    ),
+    per_doc AS (
+      SELECT doc_id, MAX(c) AS top_tok, SUM(c) AS n_toks FROM tok_counts GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT g) AS d3
+      FROM (
+        SELECT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+        FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(toks) - 2, 0))) AS i) s
+      ) GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.top_tok AS DOUBLE) / p.n_toks AS top_token_ratio,
+           1.0 - CAST(g.d3 AS DOUBLE) / g.n3 AS dup_3gram_ratio,
+           CASE WHEN CAST(p.top_tok AS DOUBLE) / p.n_toks > 0.2
+                  OR 1.0 - CAST(g.d3 AS DOUBLE) / g.n3 > 0.3
+                THEN 1 ELSE 0 END AS flagged
+    FROM per_doc p JOIN grams g ON g.doc_id = p.doc_id
+    """,
+    tags=("text", "quality"),
+    doc="Within-document repetition detection (Gopher-rule shape): "
+    "top-token frequency ratio + duplicate-3-gram ratio, with a "
+    "flag gate. Token counts and gram distinct-counts in two grouped "
+    "passes over the exploded views.",
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok_rows = docs.select("doc_id", F.explode(toks).alias("tok"))
+    per_doc = (
+        tok_rows.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"), F.sum("c").alias("n_toks"))
+    )
+    grams_arr = F.transform(
+        seq1(F.size(toks) - 2), lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
+    )
+    grams = docs.select("doc_id", F.explode(grams_arr).alias("g")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n3"), F.countDistinct("g").alias("d3")
+    )
+    top_ratio = F.col("top_tok").cast("double") / F.col("n_toks")
+    dup_ratio = F.lit(1.0) - F.col("d3").cast("double") / F.col("n3")
+    return (
+        per_doc.join(grams, "doc_id")
+        .select(
+            "doc_id",
+            top_ratio.alias("top_token_ratio"),
+            dup_ratio.alias("dup_3gram_ratio"),
+            F.when((top_ratio > 0.2) | (dup_ratio > 0.3), 1).otherwise(0).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 2)
+          < CASE WHEN lang = 'en' THEN '80' ELSE '33' END
+    """,
+    tags=("sampling",),
+    doc="Deterministic stratified sampling for domain mixing: keep rate "
+    "0.5 for 'en', 0.2 otherwise, decided by comparing a salted md5 "
+    "hex prefix against the per-stratum threshold ('80'/'33' hex = "
+    "128/255, 51/255). Hash-based => reproducible across engines, "
+    "cluster sizes and runs - the property random() sampling lacks.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 2)
+    thresh = F.when(F.col("lang") == "en", "80").otherwise("33")
+    return docs.filter(bucket < thresh).select("doc_id", "lang", "source")
+
+
+@query(
+    "contamination_check",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]) AS g
+      FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(toks) - 4, 0))) AS i) s
+    ),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < 10),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 10)
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared_5grams
+    FROM corpus c JOIN bench b ON b.g = c.g
+    GROUP BY c.doc_id, b.bench_id
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("text", "contamination"),
+    doc="Benchmark-contamination check: corpus documents sharing >=2 "
+    "distinct word-5-grams with any benchmark document (ids<10 stand "
+    "in for the eval set). Inverted-index join on the gram - the "
+    "benchmark side is tiny and broadcast, so the check costs one scan "
+    "of the corpus grams at any corpus size.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams_arr = F.transform(
+        seq1(F.size(toks) - 4), lambda i: F.concat_ws(" ", F.slice(toks, i, 5))
+    )
+    grams = docs.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
+    bench = grams.filter(F.col("doc_id") < 10).select(F.col("doc_id").alias("bench_id"), "g")
+    corpus = grams.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_5grams"))
+        .filter(F.col("n_shared_5grams") >= 2)
+    )

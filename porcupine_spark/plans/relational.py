@@ -758,3 +758,35 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH part_avg AS (
+      SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l.l_extendedprice')} AS total_price,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.4 * pa.avg_qty
+    """,
+    tags=("join", "agg", "subquery"),
+    doc="TPC-H Q17 shape: correlated avg-quantity subquery decorrelated "
+    "into a grouped pre-aggregate + equi-join (what Catalyst's "
+    "decorrelation produces; written explicitly so the shuffle story "
+    "is visible: two shuffles on l_partkey, AQE-coalesced).",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(davg(F.col("l_quantity")).alias("avg_qty"))
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

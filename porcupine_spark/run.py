@@ -44,6 +44,7 @@ def run_pipeline(
     variables: dict[str, Any] | None = None,
     input_: Any = None,
     cache_dir: str | None = None,
+    data: dict[str, list] | None = None,
 ) -> Any:
     """simpleRunPTask / runLocalPipelineTask (Run.hs:107-124): bind the
     catalog under a root with optional explicit mappings, run."""
@@ -54,7 +55,7 @@ def run_pipeline(
             "(requirements are static — declared before execution, like the "
             "reference's VirtualTree)"
         )
-    bound = catalog.bind(root, mappings, variables)
+    bound = catalog.bind(root, mappings, variables, data=data)
     cache = CacheStore(spark, cache_dir) if cache_dir else None
     ctx = RunCtx(spark, bound, variables=dict(variables or {}), cache=cache)
     return task.run(ctx, input_)
@@ -142,6 +143,7 @@ def make_cli(
         return run_pipeline(
             task, catalog, spark, root=cfg.root,
             mappings=cfg.locations or None, variables=cfg.variables,
+            data=cfg.data or None,
         )
 
     return parser, main

@@ -188,3 +188,30 @@ def write_eff(name: str, thunk_producer: Callable[[RunCtx], Any], mode: str = "o
 def void() -> Task:
     """voidTask = arr (const ()) (PTask.hs:59-60)."""
     return arr(lambda _: None, name="void")
+
+
+def cached(
+    task: "Task",
+    ident: str,
+    params=None,
+    name: str = "",
+) -> "Task":
+    """toTask' with cache Properties (PTask.hs:107-109; Caching.hs:52-122):
+    wrap a DataFrame-producing task so its result is checkpointed in
+    the content-addressed store. Key = (ident, params, resolved
+    locations of every dataset the task reads) — re-binding an input
+    re-triggers the step (PorcupineTree.hs:118-129). No-op (straight
+    compute) when the run has no cache configured."""
+
+    def runner(ctx: RunCtx, x):
+        if ctx.cache is None:
+            return task.run(ctx, x)
+        locs: list[str] = []
+        for ds_name in sorted(task.reads):
+            ds_locs = ctx.bound.locations(ds_name)
+            locs.extend(loc.path for loc in (ds_locs or []))
+        return ctx.cache.cached(
+            ident, params, locs, lambda: task.run(ctx, x)
+        )
+
+    return Task(runner, task.reads, task.writes, name=name or f"cached:{task.name}")

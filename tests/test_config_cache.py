@@ -145,3 +145,65 @@ def test_cache_survives_sessions(spark, tmp_path):
     fresh = CacheStore(spark, str(tmp_path / "store"))
     got = fresh.cached("s", {}, [], lambda: (_ for _ in ()).throw(AssertionError("recomputed")))
     assert got.collect()[0].x == 9
+
+
+def test_config_data_section_binds_literal_rows(spark, tmp_path):
+    """replaceWithDataFromConfig (PorcupineTree.hs:440-503): the YAML
+    data: section supplies rows; the dataset needs no physical file."""
+    from porcupine_spark.run import run_pipeline
+    from porcupine_spark.task import load
+
+    cat = Catalog([Dataset.source("params", schema="k string, v long")])
+    df = run_pipeline(
+        load("params"), cat, spark, root=str(tmp_path),
+        data={"params": [("alpha", 1), ("beta", 2)]},
+    )
+    assert {(r.k, r.v) for r in df.collect()} == {("alpha", 1), ("beta", 2)}
+    # non-destructive: the original catalog still has no embedded rows
+    assert cat["params"].embedded_default is None
+
+
+def test_reified_reader_writer(spark, tmp_path):
+    """getDataReader/getDataWriter (VirtualFileAccess.hs:186-212)."""
+    cat = Catalog([Dataset("t")])
+    bound = cat.bind(str(tmp_path))
+    w = bound.writer("t")
+    r = bound.reader("t")
+    assert w.locations == [str(tmp_path / "t.parquet")] == r.locations
+    w(spark.createDataFrame([(5,)], "x long"))
+    assert r(spark).collect()[0].x == 5
+
+
+def test_cached_task_uses_store_and_rebind_invalidates(spark, tmp_path):
+    """cached() task: hit on same binding, recompute on re-bound input
+    (the funflow re-binding semantics)."""
+    from porcupine_spark.run import run_pipeline
+    from porcupine_spark.task import arr, cached, load
+
+    calls = []
+
+    def transform(df):
+        calls.append(1)
+        return df
+
+    for i, sub in enumerate(["a", "b"]):
+        spark.createDataFrame([(i,)], "x long").write.mode("overwrite").parquet(
+            str(tmp_path / f"in_{sub}.parquet")
+        )
+    cat = Catalog([Dataset.source("in")])
+    t = cached(load("in") >> arr(transform), ident="step")
+    for _ in range(2):  # second run: cache hit, no recompute
+        out = run_pipeline(
+            t, cat, spark, root=str(tmp_path),
+            mappings={"in": str(tmp_path / "in_a.parquet")},
+            cache_dir=str(tmp_path / "store"),
+        )
+    assert calls == [1]
+    assert out.collect()[0].x == 0
+    out_b = run_pipeline(  # re-bound input => different key => recompute
+        t, cat, spark, root=str(tmp_path),
+        mappings={"in": str(tmp_path / "in_b.parquet")},
+        cache_dir=str(tmp_path / "store"),
+    )
+    assert calls == [1, 1]
+    assert out_b.collect()[0].x == 1
