@@ -38,12 +38,17 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
         if name in EXCLUDE:
             continue
         t0 = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        n = df.count()
+        try:
+            df = spec.builder(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
         rows[name] = n
 
@@ -53,19 +58,18 @@ def main() -> int:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "rows": rows,
-                "n_queries": len(timings),
-                "sf": sf_val,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     return 0
 
 

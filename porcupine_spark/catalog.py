@@ -23,8 +23,10 @@ Path templates may contain ``{variables}`` spliced at access time
 
 from __future__ import annotations
 
+import logging
 import os
 import re
+import time
 from dataclasses import dataclass, field, replace
 from typing import Any
 
@@ -34,6 +36,7 @@ from pyspark.sql import functions as F
 from porcupine_spark.serials import Serial, SerialSet, parquet_serial
 
 _VAR_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+_access_log = logging.getLogger("porcupine_spark.access")
 
 
 def splice_vars(template: str, variables: dict[str, Any]) -> str:
@@ -270,7 +273,12 @@ class BoundCatalog:
         for loc in locs:
             serial = ds.serials.for_ext(loc.ext)
             path = self._splice(loc.path, variables)
+            t0 = time.perf_counter()
             dfs.append(serial.read(spark, path, ds.schema))
+            # clockVFileAccesses (VirtualFile.hs:400-401): per-access timing.
+            # Read timing here covers plan+schema resolution; execution time
+            # shows up at action time in the Spark UI / task logs.
+            _access_log.info("Read '%s' in %.3fs", path, time.perf_counter() - t0)
         out = dfs[0]
         for layer_df in dfs[1:]:
             out = out.unionByName(layer_df, allowMissingColumns=True)
@@ -332,7 +340,9 @@ class BoundCatalog:
         for loc in locs:
             serial = ds.serials.for_ext(loc.ext)
             path = self._splice(loc.path, variables)
+            t0 = time.perf_counter()
             serial.write(df, path, mode=mode)
+            _access_log.info("Wrote '%s' in %.3fs", path, time.perf_counter() - t0)
             written.append(path)
         return written
 

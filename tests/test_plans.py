@@ -1,0 +1,60 @@
+"""Plan-shape regression guards: the properties SCALE.md claims,
+asserted against executed plans so perf regressions fail loudly."""
+
+import re
+
+import pytest
+
+from porcupine_spark.plans.registry import load_all_plans
+
+SPECS = load_all_plans()
+
+
+def plan_of(spark, sf_dir, name):
+    return SPECS[name].builder(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def shuffles(plan: str) -> int:
+    return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+
+
+def test_q1_single_shuffle_with_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert shuffles(plan) == 1  # partial agg map-side, one exchange
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the FileScan projects only referenced columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m is not None
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_project_zero_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project")
+    assert shuffles(plan) == 0
+
+
+@pytest.mark.parametrize("name", ["window_sliding_mean", "sessionize_events",
+                                  "asof_purchase_last_view", "topk_per_group"])
+def test_window_family_single_shuffle(spark, sf_dir, name):
+    """Windows/sessionize/as-of reuse ONE key-partitioned exchange."""
+    assert shuffles(plan_of(spark, sf_dir, name)) == 1
+
+
+def test_contamination_broadcasts_bench_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_orderby_limit_is_top_k_not_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orderby_limit")
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
