@@ -281,9 +281,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 32 bit-sums as 32 agg expressions over ONE pass (same trick as
     # minhash): no 32x position explosion, map-side partials free
+    # hex digit >= '8' lexically <=> high bit set (8,9,a-f) - a plain
+    # string compare, no per-char regex
     contrib = [
         F.sum(
-            F.when(F.substring("h", p, 1).rlike("[89a-f]"), 1).otherwise(-1)
+            F.when(F.substring("h", p, 1) >= "8", 1).otherwise(-1)
         ).alias(f"s{p}")
         for p in range(1, SIMHASH_BITS + 1)
     ]

@@ -790,3 +790,32 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "events_props_json",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sql_dsum("CAST(json_extract_string(props, '$.k') AS INT)")} AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "agg"),
+    doc="Semi-structured column parsing: the events.props JSON string "
+    "parsed in-flight (get_json_object / json_extract) and aggregated "
+    "per type. At scale, repeated extraction is better done once via "
+    "from_json to a struct column - shown here with the per-field "
+    "extractor since only one key is touched.",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

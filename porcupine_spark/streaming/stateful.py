@@ -80,8 +80,15 @@ def stateful_user_stats(spark: SparkSession, stream: DataFrame) -> DataFrame:
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F, Window as W
 
-    stream = load_events_stream(spark, sf_dir)
-    raw = stateful_user_stats(spark, stream)
+    # Stateful cost is dominated by per-partition state-store + Python
+    # worker setup; size the state partitioning to the key cardinality
+    # (150-1500 users here), not the session's shuffle width. A cloned
+    # session scopes the conf change to this query. On a real cluster
+    # this is executors-sized instead.
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = load_events_stream(ns, sf_dir)
+    raw = stateful_user_stats(ns, stream)
     # keep only each user's final emission (latest n_events wins) so the
     # result is batch-boundary-insensitive after all data is processed
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
