@@ -346,9 +346,10 @@ class BoundCatalog:
             written.append(path)
         return written
 
-    def show_tree(self) -> str:
+    def show_tree(self, types: bool = False) -> str:
         """The `show-tree` CLI view (CLI.hs:393-427): virtual path,
-        capabilities, extensions, bound locations."""
+        capabilities, extensions, bound locations; ``types`` adds the
+        declared schema (the reference's ``-t`` flag)."""
         lines = []
         for name in self.catalog.names():
             ds = self.catalog[name]
@@ -359,4 +360,6 @@ class BoundCatalog:
             )
             extra = " +default" if ds.embedded_default is not None else ""
             lines.append(f"{name} ({cap}) [{','.join(ds.serials.exts())}]{extra} -> {locstr}")
+            if types and ds.schema is not None:
+                lines.append(f"    :: {ds.schema}")
         return "\n".join(lines)

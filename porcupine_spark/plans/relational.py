@@ -819,3 +819,66 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "monthly_order_stats",
+    f"""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "date"),
+    doc="Calendar bucketing: date_trunc to month + grouped rollup — the "
+    "partition-column shape (at scale, orders would be written "
+    "partitionBy(month) and this query becomes partition-pruned).",
+)
+def monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "nation_segment_sets",
+    """
+    SELECT n.n_name AS nation,
+           array_to_string(list_sort(list_distinct(list(c.c_mktsegment))), ',')
+             AS segments,
+           COUNT(DISTINCT c.c_mktsegment) AS n_segments
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("agg", "collect"),
+    doc="collect_set fold (the reference's L.nub, ExampleRadon.hs:76-79) "
+    "per group; the set is emitted sorted+joined as a string so the "
+    "value hash is representation-independent.",
+)
+def nation_segment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )

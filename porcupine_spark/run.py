@@ -99,6 +99,8 @@ def make_cli(
     parser.add_argument("--loc", "-l", action="append", default=[],
                         help="bind vpath=loc (or vpath+=loc to add a layer)")
     parser.add_argument("--var", action="append", default=[], help="set path variable name=value")
+    parser.add_argument("--types", "-t", action="store_true",
+                        help="show-tree: include declared schemas")
     parser.add_argument("-o", "--override", action="append", default=[],
                         help="dotted config override path.to.key=value")
     for rec in records:
@@ -109,7 +111,7 @@ def make_cli(
         raw = load_config_file(ns.config) if ns.config else {}
         raw = apply_dotted_overrides(raw, ns.override)
         cli_vals = {k: v for k, v in vars(ns).items()
-                    if k not in {"command", "config", "root", "loc", "var", "override"}}
+                    if k not in {"command", "config", "root", "loc", "var", "override", "types"}}
         cfg = parse_config(raw, records, cli_vals)
         if ns.root:
             cfg.root = ns.root
@@ -122,8 +124,9 @@ def make_cli(
             sys.stdout.write(config_template(catalog.names(), records))
             return None
         if ns.command == "show-tree":
-            bound = catalog.bind(cfg.root, cfg.locations or None, cfg.variables)
-            sys.stdout.write(bound.show_tree() + "\n")
+            bound = catalog.bind(cfg.root, cfg.locations or None, cfg.variables,
+                                 data=cfg.data or None)
+            sys.stdout.write(bound.show_tree(types=ns.types) + "\n")
             return None
         if ns.command == "save":
             merged = dict(raw)

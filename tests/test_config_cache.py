@@ -207,3 +207,11 @@ def test_cached_task_uses_store_and_rebind_invalidates(spark, tmp_path):
     )
     assert calls == [1, 1]
     assert out_b.collect()[0].x == 1
+
+
+def test_show_tree_types_flag(capsys, tmp_path):
+    cat = Catalog([Dataset("d", schema="x int, y string")])
+    _, main = make_cli(arr(lambda x: x), cat, [])
+    main(["show-tree", "--root", str(tmp_path), "--types"])
+    out = capsys.readouterr().out
+    assert ":: x int, y string" in out
