@@ -1,0 +1,130 @@
+"""Connected components — cluster assignment over near-duplicate pairs.
+
+The canonical post-dedup step: near-dup PAIRS (from LSH/Jaccard) must
+become CLUSTERS (keep one doc per component). This is an iterative
+algorithm Spark has no builtin for (GraphFrames isn't on the
+classpath): implemented as minimum-label propagation — every node
+repeatedly adopts the smallest label among itself and its neighbors
+until a fixpoint. Convergence needs <= graph-diameter rounds; each
+round is one join + one aggregate, all JVM-side; the driver only
+checks the (scalar) changed-count per round. Near-dup graphs are
+shallow (diameter is small), so rounds stay in single digits at any
+corpus size; hot components behave like any skewed agg key (AQE/salt).
+
+Oracle: a DuckDB recursive CTE computing min reachable id per node —
+an independent formulation of the same fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from porcupine_spark.operators.dedup import SQL_SHINGLES
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_table
+
+MAX_ROUNDS = 50  # backstop far above any real near-dup graph diameter
+
+
+def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(src, dst) undirected edges -> (node, component) where component
+    is the minimum node id in the connected component."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = nodes.withColumn("component", F.col("node"))
+    for _ in range(MAX_ROUNDS):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nmin", F.col("component"))).alias(
+                    "new_component"
+                ),
+                "component",
+            )
+        )
+        # one scalar to the driver per round: the convergence check
+        changed = updated.filter(F.col("new_component") != F.col("component")).count()
+        labels = updated.select("node", F.col("new_component").alias("component"))
+        if changed == 0:
+            break
+        # checkpoint lineage so the plan doesn't grow exponentially
+        labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+@query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {SQL_SHINGLES},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    reach AS (
+      SELECT a AS node, a AS r FROM sym
+      UNION SELECT a, b FROM sym
+      UNION
+      SELECT reach.node, sym.b
+      FROM reach JOIN sym ON sym.a = reach.r
+    )
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    """,
+    tags=("dedup", "graph", "iterative"),
+    doc="Near-dup cluster assignment: word-3-gram Jaccard>=0.05 pairs "
+    "as edges, connected components via min-label propagation "
+    "(iterative joins, lineage-checkpointed, converges in <=diameter "
+    "rounds). Oracle = recursive-CTE transitive closure, an "
+    "independent fixpoint formulation.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from porcupine_spark.operators.dedup import shingle_table
+
+    sh = shingle_table(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    edges = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.05)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    return connected_components(edges).select("node", "component")

@@ -54,6 +54,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
     from porcupine_spark.plans import relational  # noqa: F401
     from porcupine_spark.operators import (  # noqa: F401
         asof,
+        components,
         dedup,
         sessionize,
         similarity,

@@ -882,3 +882,34 @@ def nation_segment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_mktsegment").alias("n_segments"),
         )
     )
+
+
+@query(
+    "ntile_quartiles",
+    f"""
+    WITH q AS (
+      SELECT c_custkey, c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer
+    )
+    SELECT quartile, COUNT(*) AS n,
+           MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi,
+           {sql_dsum('c_acctbal')} AS total
+    FROM q GROUP BY quartile
+    """,
+    tags=("window", "agg"),
+    doc="NTILE bucketing + per-bucket rollup (deterministic global "
+    "order via acctbal+custkey tiebreak). A global window without "
+    "PARTITION BY funnels through one task - fine for bucket "
+    "boundaries, replaced by approx quantile cuts at 100 TB.",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    q = c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    return q.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+        dsum(F.col("c_acctbal")).alias("total"),
+    )

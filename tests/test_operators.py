@@ -142,3 +142,31 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
         .select("user_id", "session_id").distinct().count()
     )
     assert streamed == batch
+
+
+def test_connected_components_chain_and_islands(spark):
+    from porcupine_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],  # chain + 2 islands (one with dup edge)
+        "src long, dst long",
+    )
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    """approx_count_distinct / percentile_approx: the at-scale sketch
+    variants stay within tolerance of exact (engine-only: sketches are
+    engine-specific, so no DuckDB oracle)."""
+    from porcupine_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.05
