@@ -57,25 +57,23 @@ class OptionsRecord:
 
     def add_cli_args(self, parser: argparse.ArgumentParser) -> None:
         """One flag per field (OptParse.hs:83-156); bools get
-        --flag/--no-flag pairs."""
+        --flag/--no-flag pairs. A field whose name collides with an
+        engine flag is disambiguated with an ``--opt-`` prefix (the
+        reference disambiguates colliding fields by path suffix,
+        OptParse.hs:83-105)."""
         for f in self.fields:
-            flag = f"--{f.name.replace('_', '-')}"
-            if f.type_ is bool:
-                parser.add_argument(
-                    flag,
-                    dest=f.name,
-                    action=argparse.BooleanOptionalAction,
-                    default=None,
-                    help=f"{f.doc} (default: {f.default})",
-                )
-            else:
-                parser.add_argument(
-                    flag,
-                    dest=f.name,
-                    type=_parse_scalar_factory(f.type_),
-                    default=None,
-                    help=f"{f.doc} (default: {f.default})",
-                )
+            for flag in (f"--{f.name.replace('_', '-')}", f"--opt-{f.name.replace('_', '-')}"):
+                kwargs: dict = {"dest": f.name, "default": None,
+                                "help": f"{f.doc} (default: {f.default})"}
+                if f.type_ is bool:
+                    kwargs["action"] = argparse.BooleanOptionalAction
+                else:
+                    kwargs["type"] = _parse_scalar_factory(f.type_)
+                try:
+                    parser.add_argument(flag, **kwargs)
+                    break
+                except argparse.ArgumentError:
+                    continue
 
     def resolve(self, yaml_values: dict[str, Any], cli_values: dict[str, Any]) -> dict[str, Any]:
         """chooseHighestPriority: CLI > YAML > default, per field."""

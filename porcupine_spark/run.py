@@ -101,6 +101,9 @@ def make_cli(
     parser.add_argument("--var", action="append", default=[], help="set path variable name=value")
     parser.add_argument("--types", "-t", action="store_true",
                         help="show-tree: include declared schemas")
+    parser.add_argument("--verbose", "-v", action="count", default=0,
+                        help="increase log verbosity (-v info, -vv debug)")
+    parser.add_argument("--quiet", "-q", action="store_true", help="warnings only")
     parser.add_argument("-o", "--override", action="append", default=[],
                         help="dotted config override path.to.key=value")
     for rec in records:
@@ -108,10 +111,17 @@ def make_cli(
 
     def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> Any:
         ns = parser.parse_args(argv)
+        import logging
+
+        level = logging.WARNING if ns.quiet else (
+            logging.DEBUG if ns.verbose >= 2 else logging.INFO if ns.verbose else logging.WARNING
+        )
+        logging.getLogger("porcupine_spark").setLevel(level)
         raw = load_config_file(ns.config) if ns.config else {}
         raw = apply_dotted_overrides(raw, ns.override)
         cli_vals = {k: v for k, v in vars(ns).items()
-                    if k not in {"command", "config", "root", "loc", "var", "override", "types"}}
+                    if k not in {"command", "config", "root", "loc", "var", "override",
+                                 "types", "verbose", "quiet"}}
         cfg = parse_config(raw, records, cli_vals)
         if ns.root:
             cfg.root = ns.root

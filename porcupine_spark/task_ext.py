@@ -190,3 +190,45 @@ def catch_and_log(task: Task, default: Any = None) -> Task:
             return default
 
     return Task(runner, task.reads, task.writes, name=f"catch:{task.name}")
+
+
+def partition_by_predicate(df: DataFrame, cond) -> tuple[DataFrame, DataFrame]:
+    """S.partition / S.partitionEithers (Streaming/TaskPipelineUtils.hs:
+    71-114): one frame split into (matching, non-matching). Both halves
+    share the parent plan; persist the parent first if both sides are
+    expensive to recompute."""
+    return df.filter(cond), df.filter(~cond)
+
+
+def with_context(task: Task, **context) -> Task:
+    """addStaticContextToTask (PTask.hs:155-170): attach structured
+    key=values to every log record emitted under this task."""
+    import logging
+
+    class _Ctx(logging.Filter):
+        def filter(self, record):
+            record.task_context = context
+            return True
+
+    def runner(ctx: RunCtx, x):
+        log = logging.getLogger("porcupine_spark")
+        f = _Ctx()
+        log.addFilter(f)
+        try:
+            return task.run(ctx, x)
+        finally:
+            log.removeFilter(f)
+
+    return Task(runner, task.reads, task.writes, name=task.name)
+
+
+def clocked(task: Task) -> Task:
+    """clockTask (PTask.hs:112-126): a -> (result, wall_seconds)."""
+    import time as _time
+
+    def runner(ctx: RunCtx, x):
+        t0 = _time.perf_counter()
+        out = task.run(ctx, x)
+        return out, _time.perf_counter() - t0
+
+    return Task(runner, task.reads, task.writes, name=f"clocked:{task.name}")

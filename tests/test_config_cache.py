@@ -79,7 +79,8 @@ def test_cli_generation_and_show_tree(capsys, tmp_path):
     # flags derive from option fields (OptParse.hs:83-156)
     helptext = parser.format_help()
     assert "--replications" in helptext
-    assert "--no-verbose" in helptext
+    # 'verbose' collides with the engine's -v flag and gets the --opt- prefix
+    assert "--no-opt-verbose" in helptext
     main(["show-tree", "--root", str(tmp_path), "--loc", "data/in=/p/x.parquet"])
     out = capsys.readouterr().out
     assert "data/in" in out and "/p/x.parquet" in out

@@ -201,3 +201,37 @@ def test_orc_serial_roundtrip(spark, tmp_path):
     paths = bound.write(df, "t")
     assert paths[0].endswith("t.orc")
     assert bound.read(spark, "t").collect()[0].v == "a"
+
+
+def test_partition_by_predicate(spark):
+    from porcupine_spark.task_ext import partition_by_predicate
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "x int")
+    hi, lo = partition_by_predicate(df, F.col("x") >= 5)
+    assert hi.count() == 5 and lo.count() == 5
+    assert {r.x for r in hi.collect()} == {5, 6, 7, 8, 9}
+
+
+def test_clocked_returns_duration(spark, tmp_path):
+    from porcupine_spark.task_ext import clocked
+
+    out, secs = run_pipeline(clocked(arr(lambda x: x * 2)), Catalog([]), spark,
+                             root=str(tmp_path), input_=21)
+    assert out == 42 and secs >= 0
+
+
+def test_with_context_attaches_log_fields(spark, tmp_path, caplog):
+    import logging
+
+    from porcupine_spark.task import io_task
+    from porcupine_spark.task_ext import with_context
+
+    def log_step(ctx, x):
+        logging.getLogger("porcupine_spark").warning("inside")
+        return x
+
+    with caplog.at_level(logging.WARNING, logger="porcupine_spark"):
+        run_pipeline(with_context(io_task(log_step), job="demo"), Catalog([]), spark,
+                     root=str(tmp_path))
+    recs = [r for r in caplog.records if r.message == "inside"]
+    assert recs and recs[0].task_context == {"job": "demo"}
