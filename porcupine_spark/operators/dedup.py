@@ -219,25 +219,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"]).groupBy("doc_a", "doc_b").agg(
-            F.count(F.lit(1)).alias("i")
-        )
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    # verification via per-doc shingle ARRAYS + array_intersect: two
+    # candidate-sized joins and a vectorized set intersection, instead
+    # of re-exploding the shingle table through a 3-way join
+    arrays = docs.select("doc_id", word_shingles(F.col("text")).alias("arr"))
+    aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
+    ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    paired = cand.join(aa, "doc_a").join(ab, "doc_b")
+    i = F.size(F.array_intersect("arr_a", "arr_b"))
     jac = F.coalesce(
-        F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), F.lit(0.0)
+        i.cast("double") / (F.size("arr_a") + F.size("arr_b") - i), F.lit(0.0)
     )
-    return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-    )
+    return paired.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 SIMHASH_BITS = 32  # one bit per md5 hex digit

@@ -86,20 +86,25 @@ def sql_dot(a: str, b: str) -> str:
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms computed ONCE per vector (not per pair) — same exact values
+    # as the oracle's per-pair formulation, a third of the decimal work
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(norm2_exact(F.col("embedding"))).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.sqrt(norm2_exact(F.col("embedding"))).alias("cn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot_exact(F.col("qe"), F.col("ce"))
-                / (F.sqrt(norm2_exact(F.col("qe"))) * F.sqrt(norm2_exact(F.col("ce"))))
-            ).alias("cosine"),
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -151,24 +156,32 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles on centroid id instead of broadcasting the corpus.",
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_e")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.sqrt(norm2_exact(F.col("embedding"))).alias("vn")
     )
-    sim_to_cent = (
-        dot_exact(F.col("embedding"), F.col("cent_e"))
-        / (F.sqrt(norm2_exact(F.col("embedding"))) * F.sqrt(norm2_exact(F.col("cent_e"))))
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cent_e"),
+        F.col("vn").alias("cent_n"),
+    )
+    sim_to_cent = dot_exact(F.col("embedding"), F.col("cent_e")) / (
+        F.col("vn") * F.col("cent_n")
     )
     wassign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     assign = (
         emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", sim_to_cent.alias("sim"))
+        .select("vec_id", "embedding", "vn", "cid", sim_to_cent.alias("sim"))
         .withColumn("arn", F.row_number().over(wassign))
     )
-    buckets = assign.filter(F.col("arn") == 1).select("vec_id", "embedding", "cid")
+    buckets = assign.filter(F.col("arn") == 1).select("vec_id", "embedding", "vn", "cid")
     probes = (
         assign.filter((F.col("arn") <= 2) & (F.col("vec_id") < 10))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "cid")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("vn").alias("qn"),
+            "cid",
+        )
     )
     scored = (
         probes.join(buckets, "cid")
@@ -176,10 +189,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                dot_exact(F.col("qe"), F.col("embedding"))
-                / (F.sqrt(norm2_exact(F.col("qe"))) * F.sqrt(norm2_exact(F.col("embedding"))))
-            ).alias("cosine"),
+            (dot_exact(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("vn"))).alias(
+                "cosine"
+            ),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
