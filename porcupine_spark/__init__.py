@@ -34,4 +34,39 @@ from porcupine_spark.session import get_spark, stop_spark
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "stop_spark", "__version__"]
+__all__ = [
+    "get_spark",
+    "stop_spark",
+    "Catalog",
+    "Dataset",
+    "Fold",
+    "Task",
+    "arr",
+    "load",
+    "write",
+    "run_pipeline",
+    "make_cli",
+    "__version__",
+]
+
+
+def __getattr__(name):
+    # lazy re-exports: importing porcupine_spark must not drag the whole
+    # engine (or a SparkSession) in for callers that want one piece
+    if name in ("Catalog", "Dataset"):
+        from porcupine_spark import catalog as _m
+
+        return getattr(_m, name)
+    if name == "Fold":
+        from porcupine_spark.folds import Fold
+
+        return Fold
+    if name in ("Task", "arr", "load", "write"):
+        from porcupine_spark import task as _m
+
+        return getattr(_m, name)
+    if name in ("run_pipeline", "make_cli"):
+        from porcupine_spark import run as _m
+
+        return getattr(_m, name)
+    raise AttributeError(name)
