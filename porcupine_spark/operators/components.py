@@ -30,15 +30,19 @@ MAX_ROUNDS = 50  # backstop far above any real near-dup graph diameter
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(src, dst) undirected edges -> (node, component) where component
     is the minimum node id in the connected component."""
+    # materialize the (possibly expensive) edge lineage ONCE — the loop
+    # below joins against sym every round and must not recompute it
+    edges = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
+        edges.select(F.col("s").alias("node"))
+        .unionByName(edges.select(F.col("d").alias("node")))
         .distinct()
     )
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(F.col("s").alias("a"), F.col("d").alias("b"))
+        .unionByName(edges.select(F.col("d").alias("a"), F.col("s").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.withColumn("component", F.col("node"))
     for _ in range(MAX_ROUNDS):
