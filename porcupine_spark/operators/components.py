@@ -52,6 +52,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
+        # NOTE: a pointer-jumping variant (follow component-of-component,
+        # O(log d) rounds) was measured SLOWER here — near-dup graphs
+        # have tiny diameters, so the extra join per round costs more
+        # than the rounds it saves. Revisit only for deep graphs.
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(

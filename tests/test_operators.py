@@ -170,3 +170,43 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     ).collect()[0]
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.05
+
+
+def test_http_source_end_to_end_with_local_server(spark):
+    """The full HTTP-source path against a real local server: parallel
+    fetch -> JSON decode -> DataFrame (the porcupine-http example-Poke
+    topology, minus the network)."""
+    import http.server
+    import json as _json
+    import threading
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            ident = int(self.path.rsplit("/", 1)[1])
+            body = _json.dumps({"id": ident, "name": f"poke{ident}", "power": ident * 10}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        from porcupine_spark.sources.http import fetch_distributed, json_bodies_to_df
+
+        urls = [f"http://127.0.0.1:{port}/api/{i}" for i in range(1, 9)]
+        fetched = fetch_distributed(spark, urls, timeout_s=5.0, partitions=2)
+        rows = json_bodies_to_df(
+            spark, fetched, schema="id long, name string, power long"
+        ).collect()
+        assert len(rows) == 8
+        assert {r.power for r in rows} == {i * 10 for i in range(1, 9)}
+        assert all(r.url.endswith(str(r.id)) for r in rows)
+    finally:
+        srv.shutdown()
