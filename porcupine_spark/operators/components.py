@@ -33,6 +33,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # materialize the (possibly expensive) edge lineage ONCE — the loop
     # below joins against sym every round and must not recompute it
     edges = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(eager=True)
+    # size the loop's partitioning to the GRAPH, not the session: the
+    # label frontier is usually orders of magnitude smaller than the
+    # corpus, and per-round fixed cost scales with partition count
+    n_edges = edges.count()
+    n_parts = max(2, min(32, n_edges // 50_000 + 2))
     nodes = (
         edges.select(F.col("s").alias("node"))
         .unionByName(edges.select(F.col("d").alias("node")))
@@ -42,9 +47,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         edges.select(F.col("s").alias("a"), F.col("d").alias("b"))
         .unionByName(edges.select(F.col("d").alias("a"), F.col("s").alias("b")))
         .distinct()
+        .repartition(n_parts, "b")
         .localCheckpoint(eager=True)
     )
-    labels = nodes.withColumn("component", F.col("node"))
+    labels = nodes.repartition(n_parts, "node").withColumn("component", F.col("node"))
     for _ in range(MAX_ROUNDS):
         # each node adopts min(own label, neighbors' labels)
         neighbor_min = (
