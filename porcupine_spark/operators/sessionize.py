@@ -71,3 +71,69 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    staged AS (
+      SELECT user_id,
+             CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS reached_view,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END
+               AS reached_click,
+             CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+                  THEN 1 ELSE 0 END AS reached_purchase
+      FROM firsts
+    )
+    SELECT CAST(SUM(reached_view) AS BIGINT) AS n_view,
+           CAST(SUM(reached_click) AS BIGINT) AS n_view_click,
+           CAST(SUM(reached_purchase) AS BIGINT) AS n_view_click_purchase,
+           COUNT(*) AS n_users
+    FROM staged
+    """,
+    tags=("funnel", "agg"),
+    doc="Ordered funnel (view -> click -> purchase): per-user first "
+    "event times per stage in ONE conditional-min pass, stage "
+    "predicates enforce strict ordering, then a global rollup. Two "
+    "aggregations, one shuffle on user_id - no self-joins, which is "
+    "what makes the funnel viable at event-log scale.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_view = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    reached_click = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+    ).otherwise(0)
+    reached_purchase = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    staged = firsts.select(
+        reached_view.alias("reached_view"),
+        reached_click.alias("reached_click"),
+        reached_purchase.alias("reached_purchase"),
+    )
+    return staged.agg(
+        F.sum("reached_view").alias("n_view"),
+        F.sum("reached_click").alias("n_view_click"),
+        F.sum("reached_purchase").alias("n_view_click_purchase"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
