@@ -44,11 +44,34 @@ def _convert_events(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _bound_testdata(sf_dir: str):
+    """The test tables as a bound engine catalog — every registered
+    query reads through the engine's resource layer (Dataset/serials/
+    binding validation), not raw spark.read. The events post-read
+    conversion rides the serial's rmap hook."""
+    from porcupine_spark.catalog import Catalog, Dataset
+    from porcupine_spark.serials import SerialSet, parquet_serial
+
+    if sf_dir in _BOUND_CACHE:
+        return _BOUND_CACHE[sf_dir]
+    datasets = []
+    for t in TABLES:
+        serial = parquet_serial()
+        if t == "events":
+            serial = serial.rmap(_convert_events)
+        datasets.append(Dataset.source(t, SerialSet(serial)))
+    bound = Catalog(datasets).bind(
+        sf_dir, {t: table_path(sf_dir, t) for t in TABLES}
+    )
+    _BOUND_CACHE[sf_dir] = bound
+    return bound
+
+
+_BOUND_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = _convert_events(df)
-    return df
+    return _bound_testdata(sf_dir).read(spark, name)
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
