@@ -60,6 +60,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         similarity,
         text,
         multimodal,
+        upsert,
     )
     from porcupine_spark.streaming import stateful, windows  # noqa: F401
 

@@ -210,3 +210,32 @@ def test_http_source_end_to_end_with_local_server(spark):
         assert all(r.url.endswith(str(r.id)) for r in rows)
     finally:
         srv.shutdown()
+
+
+def test_merge_upsert_and_scd2_units(spark):
+    from porcupine_spark.operators.upsert import merge_upsert, scd2_apply
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    updates = spark.createDataFrame([(2, "B2"), (3, "c")], "k long, v string")
+    out = {r.k: r.v for r in merge_upsert(base, updates, "k").collect()}
+    assert out == {1: "a", 2: "B2", 3: "c"}
+
+    open_end = "2200-01-01 00:00:00"
+    dim = spark.createDataFrame(
+        [(1, "x", "2020-01-01 00:00:00", open_end),
+         (1, "w", "2019-01-01 00:00:00", "2020-01-01 00:00:00"),  # history row
+         (2, "y", "2020-01-01 00:00:00", open_end)],
+        "k long, attr string, valid_from string, valid_to string",
+    ).select("k", "attr", F.col("valid_from").cast("timestamp").alias("valid_from"),
+             F.col("valid_to").cast("timestamp").alias("valid_to"))
+    changes = spark.createDataFrame(
+        [(1, "x2", "2021-06-01 00:00:00")], "k long, attr string, change_ts string"
+    ).select("k", "attr", F.col("change_ts").cast("timestamp").alias("change_ts"))
+    out2 = scd2_apply(dim, changes, "k", "change_ts")
+    rows = sorted((r.k, r.attr, str(r.valid_to)) for r in out2.collect())
+    assert rows == [
+        (1, "w", "2020-01-01 00:00:00"),          # history untouched
+        (1, "x", "2021-06-01 00:00:00"),          # closed at change ts
+        (1, "x2", "2200-01-01 00:00:00"),         # new open version
+        (2, "y", "2200-01-01 00:00:00"),          # untouched current
+    ]
