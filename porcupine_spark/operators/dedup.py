@@ -384,4 +384,6 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda d: d,
         )
     )
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).filter(F.col("hamming") <= 3)
+    return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )

@@ -85,9 +85,9 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_bytes",
-        F.col("width").cast("int").alias("width"),
+        F.col("width").cast("long").alias("width"),
         F.col("height").cast("int").alias("height"),
-        F.col("n_frames").cast("int").alias("n_frames"),
+        F.col("n_frames").cast("long").alias("n_frames"),
         "format",
     )
 

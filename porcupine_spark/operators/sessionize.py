@@ -51,8 +51,8 @@ def sessionize(df: DataFrame, key: str, ts: str, order_tiebreak: str, gap_s: int
     )
     SELECT user_id, session_id,
            COUNT(*) AS n_events,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
+           CAST(MIN(ts) AS TIMESTAMP_NS) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP_NS) AS session_end,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM sessions
     GROUP BY user_id, session_id

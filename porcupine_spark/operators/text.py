@@ -60,9 +60,9 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_raw = F.length("text")
     return docs.select(
         "doc_id",
-        len_raw.alias("len_raw"),
-        n_tokens.alias("n_tokens"),
-        n_distinct.alias("n_distinct"),
+        len_raw.cast("long").alias("len_raw"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
         (len_raw.cast("double") / n_tokens).alias("avg_token_span"),
         (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
         (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
@@ -227,8 +227,8 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_re = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
     return docs.select(
         "doc_id",
-        n_ws.alias("n_tokens_ws"),
-        n_re.alias("n_tokens_re"),
+        n_ws.cast("long").alias("n_tokens_ws"),
+        n_re.cast("long").alias("n_tokens_re"),
         (F.length("text").cast("double") / n_re).alias("chars_per_token"),
     )
 
@@ -265,8 +265,8 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(clean).alias("clean_hash"),
-        (n_num + n_entity).alias("n_redactions"),
-        F.length(clean).alias("clean_len"),
+        (n_num + n_entity).cast("long").alias("n_redactions"),
+        F.length(clean).cast("long").alias("clean_len"),
     )
 
 

@@ -128,9 +128,14 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              TIMESTAMP '2200-01-01 00:00:00' AS valid_to
       FROM changes
     )
-    SELECT * FROM untouched
-    UNION ALL SELECT * FROM closed
-    UNION ALL SELECT * FROM new_versions
+    SELECT c_custkey, c_mktsegment,
+           CAST(valid_from AS TIMESTAMP_NS) AS valid_from,
+           CAST(valid_to AS TIMESTAMP_NS) AS valid_to
+    FROM (
+      SELECT * FROM untouched
+      UNION ALL SELECT * FROM closed
+      UNION ALL SELECT * FROM new_versions
+    )
     """,
     tags=("merge", "scd2"),
     doc="SCD2 apply: changes (custkey%10=3 -> segment MOVED at a fixed "

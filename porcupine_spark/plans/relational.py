@@ -221,7 +221,7 @@ def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q3_shipping_priority",
     f"""
-    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+    SELECT o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP_NS) AS o_orderdate, o.o_orderpriority,
            {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -492,8 +492,8 @@ def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(wp).alias("price_rank"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wp).cast("long").alias("price_rank"),
         F.lag("o_orderkey").over(w).alias("prev_order"),
         F.lead("o_orderkey").over(w).alias("next_order"),
     )
@@ -570,8 +570,8 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("int").alias("g_rf"),
-        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("l_quantity")).alias("sum_qty"),
     )
@@ -643,8 +643,8 @@ def index_range_letter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.grouping("o_orderstatus").cast("int").alias("g_st"),
-        F.grouping("o_orderpriority").cast("int").alias("g_pr"),
+        F.grouping("o_orderstatus").cast("long").alias("g_st"),
+        F.grouping("o_orderpriority").cast("long").alias("g_pr"),
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("o_totalprice")).alias("total"),
     )
@@ -824,7 +824,7 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "monthly_order_stats",
     f"""
-    SELECT date_trunc('month', o_orderdate) AS month,
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NS) AS month,
            o_orderstatus,
            COUNT(*) AS n_orders,
            {sql_dsum('o_totalprice')} AS revenue
@@ -906,7 +906,7 @@ def nation_segment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     w = W.orderBy("c_acctbal", "c_custkey")
-    q = c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    q = c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("c_acctbal").alias("lo"),

@@ -23,8 +23,8 @@ from porcupine_spark.tables import load_events_stream
 @query(
     "stream_tumbling_agg",
     """
-    SELECT date_trunc('hour', ts) AS window_start,
-           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
+           CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP_NS) AS window_end,
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
@@ -77,8 +77,8 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start
       FROM events e, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS k) k
     )
-    SELECT window_start,
-           window_start + INTERVAL '1 hour' AS window_end,
+    SELECT CAST(window_start AS TIMESTAMP_NS) AS window_start,
+           CAST(window_start + INTERVAL '1 hour' AS TIMESTAMP_NS) AS window_end,
            event_type,
            COUNT(*) AS n
     FROM expanded

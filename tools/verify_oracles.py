@@ -99,6 +99,12 @@ def main() -> int:
             print(f"FAIL  {name:32s} oracle error: {e}")
             continue
         problems = []
+        if sorted(sdf.columns) == sorted(odf.columns):
+            # dtype drift is a warning (the driver may or may not hash types)
+            for c in sorted(sdf.columns):
+                st_, ot_ = str(sdf[c].dtype), str(odf[c].dtype)
+                if st_ != ot_:
+                    print(f"  dtype  {name}.{c}: spark={st_} oracle={ot_}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         elif len(sdf) != len(odf):
