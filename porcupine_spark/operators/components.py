@@ -26,6 +26,44 @@ from porcupine_spark.tables import load_table
 
 MAX_ROUNDS = 50  # backstop far above any real near-dup graph diameter
 
+# Near-dup edge lists are the OUTPUT of LSH/threshold pruning, orders of
+# magnitude smaller than the corpus: even a 100 TB corpus rarely yields
+# more than a few million surviving pairs. Below this count a single
+# driver-side union-find pass (exact, O(E α(E))) beats any number of
+# distributed rounds — each round costs a join + agg + action of fixed
+# overhead. Above it, the label-propagation loop takes over unchanged.
+UNION_FIND_MAX_EDGES = 2_000_000
+
+
+def _union_find_components(edges: DataFrame) -> DataFrame:
+    """Exact driver-side components for small edge sets (two bigint cols
+    ``s``/``d``): collect, union-find with path halving, re-distribute."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for row in edges.toLocalIterator():
+        a, b = row.s, row.d
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    # component id = min member id (same contract as the distributed path)
+    root_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        if r not in root_min or node < root_min[r]:
+            root_min[r] = node
+    rows = [(node, root_min[find(node)]) for node in parent]
+    spark = edges.sparkSession
+    t = edges.schema["s"].dataType.simpleString()
+    return spark.createDataFrame(rows, f"node: {t}, component: {t}")
+
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(src, dst) undirected edges -> (node, component) where component
@@ -37,6 +75,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # label frontier is usually orders of magnitude smaller than the
     # corpus, and per-round fixed cost scales with partition count
     n_edges = edges.count()
+    if n_edges <= UNION_FIND_MAX_EDGES:
+        return _union_find_components(edges)
     n_parts = max(2, min(32, n_edges // 50_000 + 2))
     nodes = (
         edges.select(F.col("s").alias("node"))
@@ -62,6 +102,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         # O(log d) rounds) was measured SLOWER here — near-dup graphs
         # have tiny diameters, so the extra join per round costs more
         # than the rounds it saves. Revisit only for deep graphs.
+        # checkpoint FIRST (one materialization of the round's join), then
+        # derive both the convergence scalar and the next labels from the
+        # checkpointed rows — computing `changed` off the raw plan and
+        # checkpointing afterwards would execute the join twice per round
         updated = (
             labels.join(neighbor_min, "node", "left")
             .select(
@@ -71,14 +115,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
                 ),
                 "component",
             )
+            .localCheckpoint(eager=True)
         )
         # one scalar to the driver per round: the convergence check
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
         labels = updated.select("node", F.col("new_component").alias("component"))
         if changed == 0:
             break
-        # checkpoint lineage so the plan doesn't grow exponentially
-        labels = labels.localCheckpoint(eager=True)
     return labels
 
 

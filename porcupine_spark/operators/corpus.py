@@ -1,0 +1,225 @@
+"""Corpus-level curation operators for training-data pipelines:
+TF-IDF term extraction, corpus vocabulary, temperature-weighted source
+mixing, fixed-size document chunking.
+
+All pure column expressions (JVM-side, codegen'd). Float discipline
+for cross-engine exactness: only IEEE exact-rounded ops appear after
+aggregation (div, mul, sqrt are correctly rounded by both engines;
+ln/pow are NOT and are avoided — the "linear idf" and "sqrt
+temperature" variants below exist precisely so every score is
+bit-identical to the DuckDB oracle).
+
+These extend the reference surface (YPares/porcupine has no text
+analytics; its closest op is the per-value `arr` lift,
+porcupine-core/src/System/TaskPipeline/PTask.hs:14-15) — they are the
+LLM-corpus operators this engine adds as first-class citizens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from porcupine_spark.operators.text import tokens
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_table
+
+_SQL_TOKS = (
+    "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM t, LATERAL (SELECT UNNEST(toks) AS tok) u
+      GROUP BY doc_id, tok
+    ),
+    doclen AS (SELECT doc_id, SUM(cnt) AS n_toks FROM tf GROUP BY doc_id),
+    df AS (SELECT tok, COUNT(*) AS n_docs_with FROM tf GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n_docs FROM t),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             (CAST(tf.cnt AS DOUBLE) / doclen.n_toks)
+               * (CAST(n.n_docs AS DOUBLE) / df.n_docs_with) AS tfidf
+      FROM tf
+      JOIN doclen USING (doc_id)
+      JOIN df USING (tok)
+      CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rank FROM (
+      SELECT doc_id, tok, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    tags=("text", "tfidf"),
+    doc="Top-3 characteristic terms per document by TF-IDF (linear-idf "
+    "variant N/df: division is IEEE exact-rounded on both engines, ln "
+    "is not — the variant choice buys bit-stable scores and therefore "
+    "identical ranks). Term counts shuffle once on (doc_id,tok); df is "
+    "a token-keyed agg joined back broadcast-style; ties broken "
+    "lexically so top-3 is deterministic.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # one shuffled tf table feeds three derivations — materialize once
+    tf = tf.localCheckpoint(eager=True)
+    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_toks"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    n_docs = docs.count()
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df_, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            (
+                (F.col("cnt").cast("double") / F.col("n_toks"))
+                * (F.lit(float(n_docs)) / F.col("n_docs_with"))
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "rank")
+    )
+
+
+@query(
+    "vocab_top_tokens",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    counts AS (
+      SELECT tok, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+      FROM t, LATERAL (SELECT UNNEST(toks) AS tok) u
+      GROUP BY tok
+    )
+    SELECT tok, n_occurrences, n_docs FROM counts
+    ORDER BY n_occurrences DESC, tok LIMIT 100
+    """,
+    tags=("text", "vocab"),
+    doc="Corpus vocabulary: top-100 tokens by occurrence count with "
+    "document frequency. The BPE-corpus-prep first pass: one explode + "
+    "one token-keyed agg (map-side partials absorb the Zipf head "
+    "before the shuffle), deterministic lexical tiebreak.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+MIX_K = 2.5  # keep-rate scale: p(source) = min(1, K / sqrt(n_source))
+
+
+@query(
+    "source_mixture_sample",
+    f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source,
+           LEAST(1.0, {MIX_K} / SQRT(CAST(c.n AS DOUBLE))) AS p_keep
+    FROM documents d JOIN counts c USING (source)
+    WHERE CAST(CAST(concat('0x', substr(md5(concat('mix:', CAST(d.doc_id AS VARCHAR))), 1, 8))
+                    AS BIGINT) AS DOUBLE) / 4294967296.0
+          < LEAST(1.0, {MIX_K} / SQRT(CAST(c.n AS DOUBLE)))
+    """,
+    tags=("sampling", "mixing"),
+    doc="Temperature-weighted source mixing (T=2: target mass per source "
+    "∝ sqrt(n), i.e. keep-rate K/sqrt(n)) — the standard pipeline "
+    "rebalancer that up-weights small sources. Keep decision = salted "
+    "md5 prefix as a uniform in [0,1) vs the per-source rate: "
+    "deterministic across engines, runs and cluster sizes. sqrt and "
+    "the /2^32 are IEEE exact-rounded, so both engines keep exactly "
+    "the same rows.",
+)
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    p_keep = F.least(F.lit(1.0), F.lit(MIX_K) / F.sqrt(F.col("n").cast("double")))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(counts), "source")
+        .filter(u < p_keep)
+        .select("doc_id", "source", p_keep.alias("p_keep"))
+    )
+
+
+CHUNK_TOKENS = 50
+
+
+@query(
+    "doc_chunking",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS BIGINT) AS chunk_id,
+           array_to_string(toks[(i-1)*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}], ' ') AS chunk_text,
+           CAST(LEAST({CHUNK_TOKENS}, len(toks) - (i-1)*{CHUNK_TOKENS}) AS BIGINT) AS n_tokens
+    FROM t, LATERAL (
+      SELECT UNNEST(GENERATE_SERIES(1,
+        CAST(CEIL(CAST(len(toks) AS DOUBLE) / {CHUNK_TOKENS}) AS BIGINT))) AS i
+    ) s
+    """,
+    tags=("text", "chunking"),
+    doc=f"Context-window chunking: each document split into consecutive "
+    f"{CHUNK_TOKENS}-token chunks (last chunk ragged) with stable chunk "
+    "ids — the tokenize-and-pack preprocessing shape. Pure array slice "
+    "+ explode; chunk count per row is data-derived, no driver loop.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import seq1
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(toks).cast("double") / CHUNK_TOKENS).cast("int")
+    chunks = F.transform(
+        seq1(n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * CHUNK_TOKENS + 1, CHUNK_TOKENS)),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("_nt"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk_text",
+        F.least(
+            F.lit(CHUNK_TOKENS), F.col("_nt") - F.col("chunk_id") * CHUNK_TOKENS
+        ).cast("long").alias("n_tokens"),
+    )

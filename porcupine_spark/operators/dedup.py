@@ -350,7 +350,11 @@ _SQL_SIMHASH_CTE = f"""
     "keep bucket sizes (and the candidate join) small.",
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = simhash_signatures(spark, sf_dir)
+    # materialize signatures ONCE before the self-join — both aliases
+    # below would otherwise recompute the full tokenize+32-sum agg
+    # (localCheckpoint, not .cache(): AQE plans through checkpointed
+    # data fine but regressed through InMemoryRelation here — measured)
+    sigs = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     bb = SIMHASH_BAND_BITS
     bands = sigs.select(
         "doc_id",

@@ -237,11 +237,17 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # widened scan only where the per-row numpy work runs (mapInPandas);
+    # the driver collect and the tiny re-score join sides use the raw
+    # scan — repartitioning those is pure overhead
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    emb_raw = load_table(spark, sf_dir, "embeddings", widen=False).select(
+        "vec_id", "embedding", "label"
+    )
 
     # Broadcast the normalized matrix (the "small side"; at real scale
     # this is one IVF bucket, not the corpus).
-    local = emb.select("vec_id", "embedding").toPandas()
+    local = emb_raw.select("vec_id", "embedding").toPandas()
     ids = local["vec_id"].to_numpy()
     mat = np.array(local["embedding"].tolist(), dtype=np.float64)
     mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -262,10 +268,10 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"id_a": a_ids[ai][keep], "id_b": b_ids[bi][keep]})
 
     cand = emb.mapInPandas(prefilter, schema="id_a long, id_b long")
-    ea = emb.select(
+    ea = emb_raw.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("label").alias("label_a")
     )
-    eb = emb.select(
+    eb = emb_raw.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("label").alias("label_b")
     )
     exact = (

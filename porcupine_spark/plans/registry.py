@@ -55,6 +55,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
     from porcupine_spark.operators import (  # noqa: F401
         asof,
         components,
+        corpus,
         dedup,
         sessionize,
         similarity,

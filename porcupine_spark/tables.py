@@ -99,9 +99,35 @@ def ensure_session_confs(spark: SparkSession) -> None:
     _CONFED_SESSIONS.add(sid)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Tables whose consumers do heavy per-row compute (shingling, hashing,
+# signature extraction, vector math). A small parquet file arrives as
+# ONE input split, which would serialize that compute on a single core;
+# widen to the session's parallelism. Guarded: at real scale the scan
+# already yields >= cores splits and no repartition happens.
+WIDEN_TABLES = ("documents", "embeddings")
+
+
+def _widen_for_compute(df: DataFrame) -> DataFrame:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool | None = None
+) -> DataFrame:
+    """``widen=None`` applies the per-table default; pass ``False`` for
+    uses that don't run per-row compute on the scan (driver collects,
+    small join sides) where the repartition would be pure overhead."""
     ensure_session_confs(spark)
-    return _bound_testdata(sf_dir).read(spark, name)
+    df = _bound_testdata(sf_dir).read(spark, name)
+    if widen is None:
+        widen = name in WIDEN_TABLES
+    if widen:
+        df = _widen_for_compute(df)
+    return df
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

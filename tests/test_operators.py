@@ -144,15 +144,22 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     assert streamed == batch
 
 
-def test_connected_components_chain_and_islands(spark):
+def test_connected_components_chain_and_islands(spark, monkeypatch):
+    from porcupine_spark.operators import components
     from porcupine_spark.operators.components import connected_components
 
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],  # chain + 2 islands (one with dup edge)
         "src long, dst long",
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # small-graph path: driver union-find
     out = {r.node: r.component for r in connected_components(edges).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    assert out == expected
+    # scale path: force the distributed label-propagation loop
+    monkeypatch.setattr(components, "UNION_FIND_MAX_EDGES", 0)
+    out = {r.node: r.component for r in connected_components(edges).collect()}
+    assert out == expected
 
 
 def test_approx_sketches_close_to_exact(spark, sf_dir):
