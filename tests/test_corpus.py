@@ -1,0 +1,86 @@
+"""Unit tests for the corpus-curation operators (operators/corpus.py).
+
+The DuckDB oracle gate proves cross-engine equality on the driver's
+tables; these tests pin the SEMANTICS on hand-built inputs (chunk
+boundaries, determinism, rank ties) where the synthetic corpus may not
+exercise the edge."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_doc_chunking_boundaries(spark, sf_dir):
+    from porcupine_spark.operators.corpus import CHUNK_TOKENS, doc_chunking
+
+    out = doc_chunking(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        # chunk ids are consecutive from 0
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # all chunks except the last are exactly CHUNK_TOKENS tokens
+        for c in chunks[:-1]:
+            assert c.n_tokens == CHUNK_TOKENS
+            assert len(c.chunk_text.split(" ")) == CHUNK_TOKENS
+        last = chunks[-1]
+        assert 1 <= last.n_tokens <= CHUNK_TOKENS
+        assert len(last.chunk_text.split(" ")) == last.n_tokens
+
+
+def test_doc_chunking_reassembles_document(spark, sf_dir):
+    from porcupine_spark.operators.corpus import doc_chunking
+    from porcupine_spark.operators.text import tokens
+    from porcupine_spark.tables import load_table
+
+    out = (
+        doc_chunking(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rejoined")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat_ws(" ", tokens(F.col("text"))).alias("norm")
+    )
+    diff = out.join(docs, "doc_id").filter(F.col("rejoined") != F.col("norm")).count()
+    assert diff == 0
+
+
+def test_source_mixture_deterministic_and_rate(spark, sf_dir):
+    from porcupine_spark.operators.corpus import source_mixture_sample
+
+    a = {r.doc_id for r in source_mixture_sample(spark, sf_dir).collect()}
+    b = {r.doc_id for r in source_mixture_sample(spark, sf_dir).collect()}
+    assert a == b  # hash-based: identical across runs
+    assert len(a) > 0
+
+
+def test_tfidf_ranks_unique_and_bounded(spark, sf_dir):
+    from porcupine_spark.operators.corpus import tfidf_top_terms
+
+    out = tfidf_top_terms(spark, sf_dir).collect()
+    seen = {}
+    for r in out:
+        assert 1 <= r.rank <= 3
+        assert r.tfidf > 0
+        key = (r.doc_id, r.rank)
+        assert key not in seen  # row_number, not rank: no duplicates
+        seen[key] = r.tok
+
+
+def test_vocab_top_tokens_sorted(spark, sf_dir):
+    from porcupine_spark.operators.corpus import vocab_top_tokens
+
+    rows = vocab_top_tokens(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.n_docs <= r.n_occurrences
