@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 
 from porcupine_spark.operators.dedup import SQL_SHINGLES
 from porcupine_spark.plans.registry import query
-from porcupine_spark.tables import load_table
 
 MAX_ROUNDS = 50  # backstop far above any real near-dup graph diameter
 
@@ -164,24 +163,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     "independent fixpoint formulation.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    from porcupine_spark.operators.dedup import shingle_table
+    # the edge list IS dedup_ngram_jaccard's output (already thresholded
+    # at 0.05) — one implementation of the inverted-index join to keep
+    # fast, not two
+    from porcupine_spark.operators.dedup import dedup_ngram_jaccard
 
-    sh = shingle_table(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    edges = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.05)
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components(edges).select("node", "component")

@@ -107,12 +107,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs).cache()
+    # self-join on xxhash64(shingle), not the shingle string: the
+    # shuffle key drops from ~25 bytes to 8 and the join compare is one
+    # long-equality. Counts are unchanged unless two distinct shingles
+    # of a compared doc pair collide in 64 bits (~N^2/2^65 ≈ 1e-9 for a
+    # million-shingle corpus — far below any operational noise floor).
+    sh = shingle_table(docs).select("doc_id", F.xxhash64("shingle").alias("h")).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -356,9 +361,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data fine but regressed through InMemoryRelation here — measured)
     sigs = simhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     bb = SIMHASH_BAND_BITS
+    # pack the 32-bit signature string into a LONG once per doc: hamming
+    # on a pair is then popcount(xor) — one ALU op, no per-pair arrays
     bands = sigs.select(
         "doc_id",
-        "simhash",
+        F.conv(F.col("simhash"), 2, 10).cast("long").alias("sig_long"),
         F.posexplode(
             F.array(*[F.substring("simhash", b * bb + 1, bb) for b in range(4)])
         ).alias("band", "chunk"),
@@ -375,19 +382,12 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.sig_long").alias("la"),
+            F.col("b.sig_long").alias("lb"),
         )
         .distinct()
     )
-    # signatures are fixed-width bitstrings; any trailing '' from
-    # split('') appears on both sides and compares equal (no effect)
-    ham = F.size(
-        F.filter(
-            F.zip_with(F.split("sig_a", ""), F.split("sig_b", ""), lambda x, y: x != y),
-            lambda d: d,
-        )
-    )
+    ham = F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
     return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).filter(
         F.col("hamming") <= 3
     )

@@ -20,6 +20,14 @@ from porcupine_spark.plans.registry import query
 from porcupine_spark.tables import load_events_stream
 
 
+def _state_sized_session(spark: SparkSession) -> SparkSession:
+    """Clone the session with a state-cardinality-sized shuffle width so
+    the conf change is scoped to the one streaming query."""
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    return ns
+
+
 @query(
     "stream_tumbling_agg",
     """
@@ -38,6 +46,12 @@ from porcupine_spark.tables import load_events_stream
     "window/date_trunc equivalence.",
 )
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # state keys = (window, event_type): a few thousand at most. Size the
+    # state-store partitioning to that, not the session's shuffle width —
+    # each state partition carries fixed provider/commit cost per
+    # microbatch (same trick as stream_stateful_user_stats; on a real
+    # cluster this is executors-sized instead).
+    spark = _state_sized_session(spark)
     stream = load_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -91,6 +105,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "k*slide).",
 )
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _state_sized_session(spark)  # see stream_tumbling_agg
     stream = load_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
