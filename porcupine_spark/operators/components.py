@@ -45,7 +45,9 @@ def _union_find_components(edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in edges.toLocalIterator():
+    # collect(), not toLocalIterator(): one round-trip instead of one
+    # per partition (this path is only taken when edges are small)
+    for row in edges.collect():
         a, b = row.s, row.d
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -58,10 +60,16 @@ def _union_find_components(edges: DataFrame) -> DataFrame:
         r = find(node)
         if r not in root_min or node < root_min[r]:
             root_min[r] = node
-    rows = [(node, root_min[find(node)]) for node in parent]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        ((node, root_min[find(node)]) for node in parent), columns=["node", "component"]
+    )
     spark = edges.sparkSession
     t = edges.schema["s"].dataType.simpleString()
-    return spark.createDataFrame(rows, f"node: {t}, component: {t}")
+    # Arrow path (pandas in, explicit schema) — the tuple-list path costs
+    # seconds in per-row pickling + 32-task parallelize for tiny data
+    return spark.createDataFrame(pdf, schema=f"node {t}, component {t}")
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -46,6 +46,35 @@ def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle"))
 
 
+def hashed_shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, h) with h = xxhash64 of the n-token shingle, hashed
+    directly from the token slice — the shingle string is never built
+    (no concat allocation), and everything downstream (distinct,
+    explode, shuffle, join) moves 8-byte longs instead of ~25-byte
+    strings. Counts match the string formulation unless two distinct
+    shingles of a compared doc pair collide in 64 bits (~1e-9 for a
+    million-shingle corpus).
+
+    Two-level hashing: each token is hashed ONCE, then gram hashes
+    combine n adjacent token-longs — measured ~2x faster than hashing a
+    per-gram array slice (no per-gram array allocation at all)."""
+    return hashed_shingle_arrays(docs, n).select(
+        "doc_id", F.explode(F.col("arr")).alias("h")
+    )
+
+
+def hashed_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, arr) with arr = distinct xxhash64'd n-gram shingles as a
+    long array (see hashed_shingle_table for the hashing scheme)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    with_th = docs.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
+    hashes = F.transform(
+        seq1(F.size(F.col("th")) - (n - 1)),
+        lambda i: F.xxhash64(*[F.element_at("th", i + j) for j in range(n)]),
+    )
+    return with_th.select("doc_id", F.array_distinct(hashes).alias("arr"))
+
+
 # SQL mirror: DuckDB shingle CTE (distinct word n-grams, n=3)
 SQL_SHINGLES = """
   shingles AS (
@@ -107,12 +136,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # self-join on xxhash64(shingle), not the shingle string: the
-    # shuffle key drops from ~25 bytes to 8 and the join compare is one
-    # long-equality. Counts are unchanged unless two distinct shingles
-    # of a compared doc pair collide in 64 bits (~N^2/2^65 ≈ 1e-9 for a
-    # million-shingle corpus — far below any operational noise floor).
-    sh = shingle_table(docs).select("doc_id", F.xxhash64("shingle").alias("h")).cache()
+    # self-join on hashed shingles (see hashed_shingle_table): 8-byte
+    # shuffle/join keys, and the shingle string is never even built
+    sh = hashed_shingle_table(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -196,8 +222,10 @@ def _sql_bands() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_table(docs).cache()
-    sigs = sh.groupBy("doc_id").agg(*minhash_signature_exprs())
+    sh = shingle_table(docs)
+    # 5000×8 strings — checkpoint so the band SELF-join (two refs) and
+    # the candidate join don't each recompute the whole shingle+md5 agg
+    sigs = sh.groupBy("doc_id").agg(*minhash_signature_exprs()).localCheckpoint(eager=True)
     band_rows = sigs.select(
         "doc_id",
         F.explode(
@@ -226,8 +254,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # verification via per-doc shingle ARRAYS + array_intersect: two
     # candidate-sized joins and a vectorized set intersection, instead
-    # of re-exploding the shingle table through a 3-way join
-    arrays = docs.select("doc_id", word_shingles(F.col("text")).alias("arr"))
+    # of re-exploding the shingle table through a 3-way join. Arrays
+    # hold hashed shingles (longs): |A∩B| and sizes match the string
+    # sets modulo 64-bit collisions, and the intersection compares
+    # longs, not strings. The md5 minhash SIGNATURES above stay
+    # string-based — the candidate set must match the oracle's md5s.
+    arrays = hashed_shingle_arrays(docs)
     aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
     paired = cand.join(aa, "doc_a").join(ab, "doc_b")

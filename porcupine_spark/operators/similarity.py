@@ -85,22 +85,62 @@ def sql_dot(a: str, b: str) -> str:
     "bit-stable across engines.",
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact top-k (same shape as embedding_neardup): a numpy
+    block-matrix prefilter keeps, per (Arrow batch, query), every
+    candidate within 2*epsilon of the batch's 5th-best approximate
+    cosine — a superset of the true top-5, since numpy's float64 dot is
+    within 1e-12 of the exact-decimal score. Only the survivors
+    (~5 * n_batches per query) get the exact-decimal re-score, whose
+    ranks are therefore identical to the full scan's."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms computed ONCE per vector (not per pair) — same exact values
-    # as the oracle's per-pair formulation, a third of the decimal work
-    q = emb.filter(F.col("vec_id") < 10).select(
+    emb_raw = load_table(spark, sf_dir, "embeddings", widen=False)
+
+    qloc = emb_raw.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
+    q_ids = qloc["vec_id"].to_numpy()
+    q_mat = np.array(qloc["embedding"].tolist(), dtype=np.float64)
+    q_mat_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat_n))
+    margin = 2 * NEARDUP_MARGIN
+
+    def prefilter(batches):
+        b_ids, b_mat_n = bc.value
+        k = 5
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat_n.T  # (batch, |Q|)
+            sims[a_ids[:, None] == b_ids[None, :]] = -np.inf  # self pairs
+            if sims.shape[0] > k:
+                kth = np.partition(sims, -k, axis=0)[-k]  # per-query 5th best
+            else:
+                kth = np.full(sims.shape[1], -np.inf)
+            ai, qi = np.where(sims >= kth[None, :] - margin)
+            yield pd.DataFrame({"query_id": b_ids[qi], "neighbor_id": a_ids[ai]})
+
+    cand = emb.mapInPandas(prefilter, schema="query_id long, neighbor_id long")
+    # exact re-score of the surviving pairs only; norms once per vector
+    q = emb_raw.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.sqrt(norm2_exact(F.col("embedding"))).alias("qn"),
     )
-    c = emb.select(
+    c = emb_raw.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.sqrt(norm2_exact(F.col("embedding"))).alias("cn"),
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # self-pairs can sneak past the prefilter in degenerate tiny
+        # batches (-inf >= -inf - margin); drop them here regardless
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -387,10 +387,18 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
+    # hash each 5-gram instead of building its string: tokens hashed
+    # once, gram hash = xxhash64 of 5 adjacent token-longs — the
+    # distinct/explode/broadcast-join all move 8-byte longs instead of
+    # ~30-byte strings, and no per-gram array or string is allocated.
+    # Shared-gram counts are unchanged unless two distinct grams of a
+    # (corpus doc, bench doc) pair collide in 64 bits.
+    with_th = docs.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
     grams_arr = F.transform(
-        seq1(F.size(toks) - 4), lambda i: F.concat_ws(" ", F.slice(toks, i, 5))
+        seq1(F.size(F.col("th")) - 4),
+        lambda i: F.xxhash64(*[F.element_at("th", i + j) for j in range(5)]),
     )
-    grams = docs.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
+    grams = with_th.select("doc_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
     bench = grams.filter(F.col("doc_id") < 10).select(F.col("doc_id").alias("bench_id"), "g")
     corpus = grams.filter(F.col("doc_id") >= 10)
     return (
