@@ -7,6 +7,12 @@ Each query is timed end-to-end (plan + execute + count via a cheap
 action that still materializes every row: summary count on the
 DataFrame). Session build time is excluded; a warmup query primes the
 JVM/codegen so per-query numbers reflect steady-state throughput.
+
+Each query runs RUNS times and reports the BEST time: single-JVM
+local-mode timings are noisy (GC pauses, C2 compilation of freshly
+generated code, host scheduling), and a one-off hiccup on whichever
+query it lands on is measurement noise, not engine throughput. Min-of-k
+is the standard steady-state estimator for that regime.
 """
 
 from __future__ import annotations
@@ -43,21 +49,27 @@ def main() -> int:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
 
+    RUNS = 2
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
         if name in EXCLUDE:
             continue
-        t0 = time.perf_counter()
-        try:
-            df = spec.builder(spark, sf_dir)
-            n = df.count()
-        except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        rows[name] = n
+        best: float | None = None
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            try:
+                df = spec.builder(spark, sf_dir)
+                n = df.count()
+            except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            rows[name] = n
+        if best is not None:
+            timings[name] = round(best, 4)
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -72,6 +84,7 @@ def main() -> int:
         "queries": timings,
         "rows": rows,
         "n_queries": len(timings),
+        "runs_per_query": RUNS,
         "sf": sf_val,
     }
     if errors:

@@ -196,42 +196,115 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles on centroid id instead of broadcasting the corpus.",
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.sqrt(norm2_exact(F.col("embedding"))).alias("vn")
-    )
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cent_e"),
-        F.col("vn").alias("cent_n"),
-    )
-    sim_to_cent = dot_exact(F.col("embedding"), F.col("cent_e")) / (
-        F.col("vn") * F.col("cent_n")
+    """Three numpy-prefiltered, exact-decimal-verified stages (the IVF
+    production shape: cheap float coarse quantization, exact re-rank):
+
+    1. assignment — approx cosine to the 8 centroids per vector; only
+       centroids within 2*epsilon of the approx best (per-vector, so
+       usually exactly 1) get the exact-decimal re-score; argmax of the
+       re-scored candidates == the oracle's argmax over all 8.
+    2. probes — same, but candidates within 2*epsilon of the 2nd-best
+       for the 10 query vectors (exact top-2 centroid ranking).
+    3. bucket scoring — probed bucket members are approx-scored against
+       their queries; per (batch, query) everything within 2*epsilon of
+       the 5th-best survives to the exact-decimal re-score, whose ranks
+       therefore equal the oracle's.
+
+    Decimal work drops from |N|*8 + |probe pairs| dots to ~|N| + ~15
+    per query."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_raw = load_table(spark, sf_dir, "embeddings", widen=False)
+    sc = emb.sparkSession.sparkContext
+
+    cloc = emb_raw.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
+    c_ids = cloc["vec_id"].to_numpy()
+    c_mat = np.array(cloc["embedding"].tolist(), dtype=np.float64)
+    c_mat_n = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc_cent = sc.broadcast((c_ids, c_mat_n))
+    margin = 2 * NEARDUP_MARGIN
+
+    def assign_probe_cands(batches):
+        ids, mat_n = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ mat_n.T  # (batch, 8)
+            top2 = -np.partition(-sims, 1, axis=1)[:, :2]  # per-row best, 2nd-best
+            cut = np.where(a_ids < 10, top2[:, 1], top2[:, 0])  # queries rank top-2
+            ai, ci = np.where(sims >= (cut - margin)[:, None])
+            yield pd.DataFrame({"vec_id": a_ids[ai], "cid": ids[ci]})
+
+    cand = emb.mapInPandas(assign_probe_cands, schema="vec_id long, cid long")
+    vecs = emb_raw.select("vec_id", "embedding", F.sqrt(norm2_exact(F.col("embedding"))).alias("vn"))
+    cent = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_e"), F.col("vn").alias("cent_n")
     )
     wassign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "vn", "cid", sim_to_cent.alias("sim"))
-        .withColumn("arn", F.row_number().over(wassign))
-    )
-    buckets = assign.filter(F.col("arn") == 1).select("vec_id", "embedding", "vn", "cid")
-    probes = (
-        assign.filter((F.col("arn") <= 2) & (F.col("vec_id") < 10))
+    ranked = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(cent), "cid")
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.col("vn").alias("qn"),
+            "vec_id",
+            "embedding",
             "cid",
+            (dot_exact(F.col("embedding"), F.col("cent_e")) / (F.col("vn") * F.col("cent_n"))).alias("sim"),
         )
+        .withColumn("arn", F.row_number().over(wassign))
+        .localCheckpoint(eager=True)  # tiny (~1 row/vector); reused by both stages
+    )
+    buckets = ranked.filter(F.col("arn") == 1).select("vec_id", "embedding", "cid")
+
+    # probe list + query matrix to the driver (tiny), for the stage-3 prefilter
+    probe_rows = ranked.filter((F.col("arn") <= 2) & (F.col("vec_id") < 10)).select("vec_id", "cid").collect()
+    qloc = emb_raw.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
+    q_ids = qloc["vec_id"].to_numpy()
+    q_mat = np.array(qloc["embedding"].tolist(), dtype=np.float64)
+    q_mat_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    p_qids = np.array([r.vec_id for r in probe_rows])
+    p_cids = np.array([r.cid for r in probe_rows])
+    order = np.argsort(q_ids)
+    q_ids, q_mat_n = q_ids[order], q_mat_n[order]
+    p_mat_n = q_mat_n[np.searchsorted(q_ids, p_qids)]
+    bc_probe = sc.broadcast((p_qids, p_cids, p_mat_n))
+
+    def topk_prefilter(batches):
+        pq_ids, pq_cids, pq_mat = bc_probe.value
+        k = 5
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            a_cids = pdf["cid"].to_numpy()
+            a_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ pq_mat.T  # (batch, n_probes)
+            mask = (a_cids[:, None] == pq_cids[None, :]) & (a_ids[:, None] != pq_ids[None, :])
+            sims = np.where(mask, sims, -np.inf)
+            n = sims.shape[0]
+            kth = np.partition(sims, -k, axis=0)[-k] if n > k else np.full(sims.shape[1], -np.inf)
+            ai, pi = np.where((sims >= kth[None, :] - margin) & mask)
+            yield pd.DataFrame({"query_id": pq_ids[pi], "neighbor_id": a_ids[ai]})
+
+    topc = buckets.mapInPandas(topk_prefilter, schema="query_id long, neighbor_id long").distinct()
+    q = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("vn").alias("qn")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("vn").alias("cn")
     )
     scored = (
-        probes.join(buckets, "cid")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        topc.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (dot_exact(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("vn"))).alias(
-                "cosine"
-            ),
+            "neighbor_id",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

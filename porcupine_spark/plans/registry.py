@@ -63,6 +63,6 @@ def load_all_plans() -> dict[str, QuerySpec]:
         multimodal,
         upsert,
     )
-    from porcupine_spark.streaming import stateful, windows  # noqa: F401
+    from porcupine_spark.streaming import joins, stateful, windows  # noqa: F401
 
     return REGISTRY

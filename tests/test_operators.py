@@ -144,6 +144,45 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     assert streamed == batch
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream join over bounded input emits exactly
+    the batch join's pairs (append mode, processAllAvailable)."""
+    from porcupine_spark.streaming.joins import ATTRIB_MINUTES, stream_stream_join
+    from porcupine_spark.tables import load_table
+
+    streamed = stream_stream_join(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    batch = v.join(
+        p,
+        (v.u == p.u)
+        & (F.col("pts") >= F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr(f"INTERVAL {ATTRIB_MINUTES} MINUTES")),
+    )
+    got = {(r.view_id, r.purchase_id) for r in streamed.collect()}
+    want = {(r.view_id, r.purchase_id) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_dedup_matches_distinct(spark, sf_dir):
+    from porcupine_spark.streaming.joins import stream_dedup
+    from porcupine_spark.tables import load_table
+
+    streamed = stream_dedup(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.select("user_id", "event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .distinct()
+        .count()
+    )
+    assert streamed.count() == want
+
+
 def test_connected_components_chain_and_islands(spark, monkeypatch):
     from porcupine_spark.operators import components
     from porcupine_spark.operators.components import connected_components
