@@ -51,7 +51,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
     """Import every plan module so its @query decorators run."""
     # Imports are effectful (registration); keep them in one place so the
     # driver entry file and the tests see an identical registry.
-    from porcupine_spark.plans import relational, tpch_extra  # noqa: F401
+    from porcupine_spark.plans import joins_extra, relational, tpch_extra  # noqa: F401
     from porcupine_spark.operators import (  # noqa: F401
         asof,
         components,
