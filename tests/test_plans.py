@@ -58,3 +58,27 @@ def test_contamination_broadcasts_bench_side(spark, sf_dir):
 def test_orderby_limit_is_top_k_not_global_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "orderby_limit")
     assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+
+
+def test_range_join_is_keyed_hash_join(spark, sf_dir):
+    """The time-range condition must ride an equi hash join on the user
+    key — never BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = plan_of(spark, sf_dir, "range_join_error_burst")
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_prefilters_in_python_then_verifies(spark, sf_dir):
+    """Two-phase ANN: exactly one Arrow-batched python stage (the numpy
+    prefilter); the exact-decimal re-score joins against the broadcast
+    query side."""
+    plan = plan_of(spark, sf_dir, "cosine_topk")
+    assert plan.count("MapInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_agg_two_exchanges(spark, sf_dir):
+    """Salted two-phase agg = exactly two hash exchanges: (keys+salt)
+    then keys. More means a lost partial; fewer means salting no-oped."""
+    assert shuffles(plan_of(spark, sf_dir, "salted_source_stats")) == 2
