@@ -8,7 +8,8 @@ codegen'd) functions — no Python in the hot path:
                   (candidate space = docs sharing >=1 shingle, the
                   standard inverted-index trick — never N^2);
 - MinHash+LSH:  per-doc signatures in ONE agg pass (k min-hashes as k
-                  agg expressions, no permutation explosion), banded
+                  agg expressions over ONE strong hash + k universal
+                  linear perms, no permutation explosion), banded
                   into buckets, candidates = bucket collisions only —
                   the 100 TB path;
 - SimHash:      hex-digit-projection signature (16x4-bit variant) per
@@ -158,24 +159,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Universal-hash permutation family: perm_p(s) = (A_p*h(s) + B_p) mod M
+# over ONE strong base hash h = first 15 md5 hex digits mod 2^30 — the
+# standard minhash construction (k cheap linear perms of one hash, not
+# k strong hashes). Bounds keep every intermediate < 2^61, so Spark and
+# DuckDB bigint arithmetic agree exactly (overflow never happens).
+MINHASH_A = [3, 5, 7, 11, 13, 19, 23, 31]
+MINHASH_B = [17, 29, 41, 53, 61, 71, 83, 97]
+MINHASH_MOD = (1 << 31) - 1
+
+
 def minhash_signature_exprs() -> list[Column]:
     """k min-hashes as k agg expressions over the exploded shingle table
-    (single pass; the standard trick to avoid a k-way row explosion)."""
+    (single pass; the standard trick to avoid a k-way row explosion).
+    One md5 per shingle (subexpression-eliminated across the k aggs);
+    the k permutations are linear transforms of it."""
+    h30 = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % F.lit(1 << 30)
     return [
-        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh{p}")
+        F.min((F.lit(MINHASH_A[p]) * h30 + F.lit(MINHASH_B[p])) % F.lit(MINHASH_MOD)).alias(
+            f"mh{p}"
+        )
         for p in range(N_PERMS)
     ]
 
 
+_SQL_H30 = "(CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824)"
+
+
 def _sql_minhash_exprs() -> str:
     return ",\n           ".join(
-        f"MIN(md5(concat('{p}:', shingle))) AS mh{p}" for p in range(N_PERMS)
+        f"MIN(({MINHASH_A[p]} * {_SQL_H30} + {MINHASH_B[p]}) % {MINHASH_MOD}) AS mh{p}"
+        for p in range(N_PERMS)
     )
 
 
 def _sql_bands() -> str:
     selects = [
-        f"SELECT doc_id, {b} AS band, md5(concat(mh{2*b}, mh{2*b+1})) AS sig FROM sigs"
+        f"SELECT doc_id, {b} AS band, concat(mh{2*b}, ':', mh{2*b+1}) AS sig FROM sigs"
         for b in range(N_BANDS)
     ]
     return "\n      UNION ALL\n      ".join(selects)
@@ -214,8 +234,9 @@ def _sql_bands() -> str:
     JOIN sizes zb ON zb.doc_id = c.doc_b
     """,
     tags=("dedup", "lsh"),
-    doc=f"MinHash+LSH near-dup: {N_PERMS} md5 min-hashes per doc in one agg "
-    f"pass, {N_BANDS} bands of 2 rows; candidate pairs = band-bucket "
+    doc=f"MinHash+LSH near-dup: {N_PERMS} min-hashes per doc in one agg "
+    "pass (one md5 per shingle + universal linear permutations), "
+    f"{N_BANDS} bands of 2 rows; candidate pairs = band-bucket "
     "collisions (the only pairs ever materialized — at 100 TB the "
     "bucket join replaces the N^2 comparison), then exact Jaccard "
     "verification on candidates.",
@@ -233,7 +254,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias("sig"),
+                        F.concat_ws(":", F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("sig"),
                     )
                     for b in range(N_BANDS)
                 ]
