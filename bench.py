@@ -70,6 +70,12 @@ def main() -> int:
             rows[name] = n
         if best is not None:
             timings[name] = round(best, 4)
+        # each builder call creates FRESH cached/checkpointed data;
+        # across 76 queries x RUNS the leftovers pile up in storage
+        # memory and evict/GC-thrash later queries (measured: ~9.5s
+        # readings on queries that run at ~1-2s in a clean session).
+        # Timings must be independent, so drop them between queries.
+        spark.catalog.clearCache()
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
