@@ -1,9 +1,9 @@
-"""Extended TPC-H-shaped join/agg corpus (Q7,Q8,Q9,Q10,Q13,Q15,Q18,Q19,Q22).
+"""Extended TPC-H-shaped join/agg corpus (Q7,Q8,Q9,Q10,Q13,Q15,Q18,Q19,Q21,Q22).
 
 The reference has no relational joins (SURVEY.md §2.3 — closest are the
 Arrow pair combinators, porcupine-core/src/System/TaskPipeline/PTask/
 Internal.hs:113-119), but the full Spark join surface is part of this
-engine's contract. These nine queries are the classic TPC-H shapes
+engine's contract. These ten queries are the classic TPC-H shapes
 adapted to the driver's slimmed schema (no partsupp, no l_commitdate /
 l_receiptdate / c_phone — predicates substituted with columns that
 exist; query STRUCTURE preserved: join graphs, correlated subqueries,
@@ -432,4 +432,72 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lo l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l1.late
+      AND n.n_name = 'NATION_2'
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    tags=("join", "agg", "exists", "tpch"),
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting; lateness "
+    "adapted to l_shipdate > o_orderdate + 60 days — no l_receiptdate/"
+    "l_commitdate in the slim schema). The oracle keeps Q21's literal "
+    "EXISTS / NOT EXISTS double self-join; the Spark plan uses the "
+    "standard agg rewrite — ONE per-order pass computing (distinct "
+    "suppliers, distinct LATE suppliers), then a line qualifies iff "
+    "late AND n_supp >= 2 AND n_late_supp = 1. Two shuffles on "
+    "l_orderkey (co-partitioned, AQE-coalesced) instead of three "
+    "lineitem scans + two self-joins; supplier and nation broadcast. "
+    "Deterministic top-10: numwait DESC, s_name tiebreak (names "
+    "unique).",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
     )
