@@ -17,6 +17,7 @@ is the standard steady-state estimator for that regime.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -75,7 +76,18 @@ def main() -> int:
         # memory and evict/GC-thrash later queries (measured: ~9.5s
         # readings on queries that run at ~1-2s in a clean session).
         # Timings must be independent, so drop them between queries.
+        # clearCache alone is not enough: localCheckpoint RDD blocks and
+        # broadcasts only free after the Python refs die AND the JVM
+        # ContextCleaner runs — force both, outside the timed window
+        # (measured: late-alphabet queries read 5-10x their clean-session
+        # cost without this, e.g. simhash_signatures 4s -> 21s).
         spark.catalog.clearCache()
+        df = None  # noqa: F841 — drop the last plan's refs before gc
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — GC nudge is best-effort
+            pass
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

@@ -501,3 +501,208 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH eligible AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             l.l_extendedprice / l.l_quantity AS unit_cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    min_cost AS (
+      SELECT l_partkey, MIN(unit_cost) AS mc FROM eligible GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_type, e.unit_cost
+    FROM part p
+    JOIN eligible e ON e.l_partkey = p.p_partkey
+    JOIN min_cost m ON m.l_partkey = p.p_partkey AND e.unit_cost = m.mc
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 15 AND p.p_type = 'SMALL'
+    """,
+    tags=("join", "subquery", "tpch"),
+    doc="TPC-H Q2 shape (no partsupp in the slim schema: lineitem is the "
+    "part-supplier relationship, unit_cost = extendedprice/quantity): "
+    "correlated MIN-cost subquery decorrelated into a grouped pre-min + "
+    "equi-join on partkey; region restriction applied INSIDE the "
+    "subquery as in the original. MIN of doubles is order-independent, "
+    "so no decimal discipline is needed (unlike sums). Supplier/nation/"
+    "region dims broadcast; the only shuffle is the per-part min.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "SMALL")
+    )
+    eur_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    eligible = li.join(
+        F.broadcast(eur_supp), li.l_suppkey == F.col("s_suppkey")
+    ).select(
+        "l_partkey",
+        "s_name",
+        "s_acctbal",
+        "nation",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    min_cost = eligible.groupBy("l_partkey").agg(F.min("unit_cost").alias("mc"))
+    return (
+        eligible.join(min_cost, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("mc"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_type", "unit_cost")
+        .distinct()
+    )
+
+
+@query(
+    "q11_important_parts",
+    f"""
+    WITH filtered AS (
+      SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS v
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+    )
+    SELECT l_partkey, {sql_dsum('v')} AS value
+    FROM filtered GROUP BY l_partkey
+    HAVING {sql_dsum('v')} > (SELECT {sql_dsum('v')} FROM filtered) * 0.001
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+    doc="TPC-H Q11 shape (value = extendedprice*quantity in place of "
+    "partsupp supplycost*availqty): per-part value sums for a nation "
+    "group, HAVING against a global-total scalar subquery. The scalar "
+    "computes ONCE and broadcasts into the filter; both sums are "
+    "decimal-exact so the threshold boundary cannot flip cross-engine.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi").select(
+        "s_suppkey"
+    )
+    v = F.col("l_extendedprice") * F.col("l_quantity")
+    filtered = li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey")).select(
+        "l_partkey", v.alias("v")
+    )
+    per_part = filtered.groupBy("l_partkey").agg(dsum(F.col("v")).alias("value"))
+    total = filtered.agg(dsum(F.col("v")).alias("t"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("t") * 0.001)
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    tags=("join", "agg", "tpch"),
+    doc="TPC-H Q16 shape (lineitem as the part-supplier relationship; "
+    "negative-balance suppliers stand in for the complaints NOT IN): "
+    "NOT IN over non-nullable keys compiles to a broadcast anti-join, "
+    "then count-distinct suppliers per (brand,type,size). The distinct "
+    "agg is partial-aggregated map-side before the group shuffle.",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_promo_part_suppliers",
+    f"""
+    WITH promo AS (
+      SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity')} AS sq
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, {sql_dsum('l_quantity')} AS tq
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey
+    )
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+        SELECT p.l_suppkey FROM promo p
+        JOIN tot t ON t.l_partkey = p.l_partkey
+        WHERE p.sq > 0.5 * t.tq)
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%')
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+    doc="TPC-H Q20 shape (shipped quantity stands in for partsupp "
+    "availqty): suppliers who shipped >50% of a small-part's 1997 "
+    "volume, restricted to a nation group. The correlated half-of-total "
+    "threshold decorrelates into a per-part total pre-aggregate joined "
+    "to the per-(part,supplier) sums; both IN-subqueries become "
+    "semi-joins. Quantity sums decimal-exact for the 0.5*t boundary.",
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    year = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(year)
+    small = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    promo = (
+        li.join(F.broadcast(small), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("sq"))
+    )
+    tot = li.groupBy("l_partkey").agg(dsum(F.col("l_quantity")).alias("tq"))
+    qualified = (
+        promo.join(tot, "l_partkey")
+        .filter(F.col("sq") > 0.5 * F.col("tq"))
+        .select("l_suppkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name").like("NATION_1%"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(qualified), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )

@@ -30,6 +30,16 @@ _DEFAULTS = {
     # TIMESTAMP(NANOS) parquet columns (events.ts) read as long ns —
     # tables.load_table converts to micros (lossless: data is us-aligned).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # InferFiltersFromGenerate + predicate pushdown substitutes the
+    # generator's WHOLE child expression into the inferred size()>0
+    # filter, with every intermediate alias inlined. For explode over a
+    # computed array (shingles: transform-of-transform with element_at)
+    # that re-evaluates the token-hash array per element_at — O(n^2) per
+    # row, measured 13x on the shingle explode. explode already skips
+    # empty arrays; the rule buys nothing here.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }

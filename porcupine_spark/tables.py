@@ -91,6 +91,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # see session.py: inferred size()>0 filters under Generate inline the
+    # whole shingle expression into the pushed-down predicate (O(n^2))
+    rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    try:
+        existing = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+        if not existing:
+            spark.conf.set("spark.sql.optimizer.excludedRules", rule)
+        elif rule not in existing:
+            spark.conf.set("spark.sql.optimizer.excludedRules", existing + "," + rule)
+    except Exception:  # noqa: BLE001 — conf introspection must never break a read
+        pass
     try:
         if spark.conf.get("spark.sql.shuffle.partitions") == "200":
             spark.conf.set("spark.sql.shuffle.partitions", "32")
