@@ -42,6 +42,12 @@ _DEFAULTS = {
     ),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # Whole-stage codegen emits a fresh class per query stage; across a
+    # large query corpus the JVM's default 240MB code cache fills, C2
+    # stalls/flushes, and later queries randomly run interpreted
+    # (measured: 5-20x slowdowns on whichever queries run late in a
+    # long session). Size the code cache to the corpus.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
 }
 
 
