@@ -223,3 +223,46 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CHUNK_TOKENS), F.col("_nt") - F.col("chunk_id") * CHUNK_TOKENS
         ).cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "dataset_split_assign",
+    """
+    WITH assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, n_chars,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 100 AS h
+        FROM documents)
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM assigned GROUP BY split
+    """,
+    tags=("corpus", "sampling"),
+    doc="Deterministic train/val/test assignment: split = md5(doc_id) "
+    "mod 100 bucketed 90/5/5. Hash-based assignment is reproducible "
+    "across runs/engines and requires NO coordination at 100 TB (no "
+    "global sort or sequence — each row decides its split locally; the "
+    "only shuffle is the 3-group summary). avg = exact int sum / count, "
+    "one IEEE division.",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )

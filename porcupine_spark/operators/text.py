@@ -407,3 +407,76 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared_5grams"))
         .filter(F.col("n_shared_5grams") >= 2)
     )
+
+
+@query(
+    "token_diversity",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {{toks}} AS toks FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM t, LATERAL (SELECT UNNEST(toks) AS tok) u
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                 / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+             AS simpson_diversity
+    FROM tf GROUP BY doc_id
+    """.replace(
+        "{toks}", "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    ),
+    tags=("text", "quality"),
+    doc="Token diversity (Simpson index 1 - sum(cnt^2)/n^2): a "
+    "log-free concentration metric for repetition filtering (entropy "
+    "needs ln, which is not correctly-rounded cross-engine; Simpson is "
+    "exact: integer sums + one IEEE division). Computed PER ROW with "
+    "aggregate() over the sorted token array - token counts come from "
+    "run lengths of the sorted array, so there is no explode and NO "
+    "SHUFFLE at any corpus size.",
+)
+def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # run-length pass over the SORTED token array: one aggregate() with
+    # (sum_sq, run_len, prev, n_distinct) accumulator — cnt^2 terms are
+    # exact 64-bit ints, so the single final division is bit-identical
+    # to the oracle's grouped-count formulation.
+    srt = F.array_sort(tokens(F.col("text")))
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("ss"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("nd"),
+    )
+    step = lambda a, x: F.struct(  # noqa: E731
+        F.when(a["prev"].isNull() | (x == a["prev"]), a["ss"]).otherwise(
+            a["ss"] + a["run"] * a["run"]
+        ).alias("ss"),
+        F.when(a["prev"].isNull() | (x != a["prev"]), F.lit(1).cast("long"))
+        .otherwise(a["run"] + 1)
+        .alias("run"),
+        x.alias("prev"),
+        F.when(a["prev"].isNull() | (x != a["prev"]), a["nd"] + 1)
+        .otherwise(a["nd"])
+        .alias("nd"),
+    )
+    fin = lambda a: F.struct(  # noqa: E731
+        (a["ss"] + a["run"] * a["run"]).alias("ss"), a["nd"].alias("nd")
+    )
+    agg = F.aggregate(srt, acc0, step, fin)
+    n = F.size(srt).cast("long")
+    base = docs.select("doc_id", n.alias("n_tokens"), agg.alias("r"))
+    nt = F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.col("r")["nd"].alias("n_distinct"),
+        (
+            F.lit(1.0)
+            - F.col("r")["ss"].cast("double") / (nt.cast("double") * nt.cast("double"))
+        ).alias("simpson_diversity"),
+    )
