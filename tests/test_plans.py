@@ -82,3 +82,37 @@ def test_salted_agg_two_exchanges(spark, sf_dir):
     """Salted two-phase agg = exactly two hash exchanges: (keys+salt)
     then keys. More means a lost partial; fewer means salting no-oped."""
     assert shuffles(plan_of(spark, sf_dir, "salted_source_stats")) == 2
+
+
+def test_q16_anti_join_broadcast(spark, sf_dir):
+    """NOT IN over non-null keys must compile to a broadcast anti-join,
+    never a cartesian/null-aware fallback."""
+    plan = plan_of(spark, sf_dir, "q16_supplier_part_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_single_fact_shuffle(spark, sf_dir):
+    """Q2's dims broadcast; only the per-part min + the min-cost join
+    partition the fact side (plus the final distinct)."""
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 2  # eur_supp + part dims
+    # fact side: per-part min agg + min-cost join + final distinct —
+    # bounded shuffle count, all on l_partkey (AQE may still convert
+    # the min-cost join to broadcast at runtime)
+    assert shuffles(plan) <= 4
+
+
+def test_q20_semi_joins_broadcast(spark, sf_dir):
+    """Both IN-subqueries become broadcast semi-joins against supplier."""
+    plan = plan_of(spark, sf_dir, "q20_promo_part_suppliers")
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_token_diversity_zero_shuffle(spark, sf_dir):
+    """The per-row run-length formulation must not explode or shuffle
+    (the widen repartition of the scan is the only exchange allowed)."""
+    plan = plan_of(spark, sf_dir, "token_diversity")
+    assert "Generate" not in plan  # no explode
+    assert shuffles(plan) == 0
