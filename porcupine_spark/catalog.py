@@ -346,20 +346,51 @@ class BoundCatalog:
             written.append(path)
         return written
 
-    def show_tree(self, types: bool = False) -> str:
-        """The `show-tree` CLI view (CLI.hs:393-427): virtual path,
-        capabilities, extensions, bound locations; ``types`` adds the
-        declared schema (the reference's ``-t`` flag)."""
+    def show_tree(
+        self,
+        types: bool = False,
+        accesses: tuple[frozenset, frozenset] | None = None,
+        mappings: bool = True,
+        serials: bool = True,
+        extensions: bool = True,
+        num_chars: int = 60,
+    ) -> str:
+        """The `show-tree` CLI view (CLI.hs:393-427; display options =
+        PhysicalFileNodeShowOpts, PorcupineTree.hs:205-241): one line
+        per virtual path.  ``mappings`` appends the bound locations
+        (``-m``); ``serials`` shows source/sink capability (hidden by
+        ``-S/--no-serials``); ``extensions`` the possible file
+        extensions (hidden by ``-E/--no-extensions``); ``types`` adds
+        the declared schema truncated to ``num_chars`` chars
+        (``-t``/``--num-chars``); ``accesses`` = (reads, writes) of the
+        pipeline adds planned-access markers (``-a/--accesses``)."""
         lines = []
         for name in self.catalog.names():
             ds = self.catalog[name]
-            cap = ("r" if ds.readable else "-") + ("w" if ds.writable else "-")
-            locs = self._bound[name]
-            locstr = "null" if locs is None else ", ".join(
-                loc.path + (f" [.{loc.ext}]" if loc.ext else "") for loc in locs
-            )
-            extra = " +default" if ds.embedded_default is not None else ""
-            lines.append(f"{name} ({cap}) [{','.join(ds.serials.exts())}]{extra} -> {locstr}")
+            line = name
+            if serials:
+                cap = ("r" if ds.readable else "-") + ("w" if ds.writable else "-")
+                line += f" ({cap})"
+            if extensions:
+                line += f" [{','.join(ds.serials.exts())}]"
+            if ds.embedded_default is not None:
+                line += " +default"
+            if accesses is not None:
+                reads, writes = accesses
+                marks = ("<read>" if name in reads else "") + (
+                    "<write>" if name in writes else ""
+                )
+                line += f" {marks}" if marks else " <unused>"
+            if mappings:
+                locs = self._bound[name]
+                locstr = "null" if locs is None else ", ".join(
+                    loc.path + (f" [.{loc.ext}]" if loc.ext else "") for loc in locs
+                )
+                line += f" -> {locstr}"
+            lines.append(line)
             if types and ds.schema is not None:
-                lines.append(f"    :: {ds.schema}")
+                shown = str(ds.schema)
+                if len(shown) > num_chars:
+                    shown = shown[:num_chars] + "…"
+                lines.append(f"    :: {shown}")
         return "\n".join(lines)

@@ -99,8 +99,23 @@ def make_cli(
     parser.add_argument("--loc", "-l", action="append", default=[],
                         help="bind vpath=loc (or vpath+=loc to add a layer)")
     parser.add_argument("--var", action="append", default=[], help="set path variable name=value")
+    # show-tree display flags mirror the reference's (CLI.hs:393-427):
+    # -m/-t/-a opt IN, -S/-F/-E opt OUT, -c is taken by --config so the
+    # type-truncation knob is long-form --num-chars.
+    parser.add_argument("--mappings", "-m", action="store_true",
+                        help="show-tree: show bound locations of virtual files")
     parser.add_argument("--types", "-t", action="store_true",
-                        help="show-tree: include declared schemas")
+                        help="show-tree: show types written to virtual files")
+    parser.add_argument("--accesses", "-a", action="store_true",
+                        help="show-tree: show how virtual files will be accessed")
+    parser.add_argument("--no-serials", "-S", dest="serials", action="store_false",
+                        help="show-tree: don't show source/sink capability")
+    parser.add_argument("--no-fields", "-F", dest="fields", action="store_false",
+                        help="show-tree: don't show option fields and docstrings")
+    parser.add_argument("--no-extensions", "-E", dest="extensions", action="store_false",
+                        help="show-tree: don't show possible physical-file extensions")
+    parser.add_argument("--num-chars", type=int, default=60, metavar="N",
+                        help="show-tree: characters of the type to show (default 60)")
     parser.add_argument("--verbose", "-v", action="count", default=0,
                         help="increase log verbosity (-v info, -vv debug)")
     parser.add_argument("--quiet", "-q", action="store_true", help="warnings only")
@@ -121,7 +136,8 @@ def make_cli(
         raw = apply_dotted_overrides(raw, ns.override)
         cli_vals = {k: v for k, v in vars(ns).items()
                     if k not in {"command", "config", "root", "loc", "var", "override",
-                                 "types", "verbose", "quiet"}}
+                                 "mappings", "types", "accesses", "serials", "fields",
+                                 "extensions", "num_chars", "verbose", "quiet"}}
         cfg = parse_config(raw, records, cli_vals)
         if ns.root:
             cfg.root = ns.root
@@ -136,7 +152,21 @@ def make_cli(
         if ns.command == "show-tree":
             bound = catalog.bind(cfg.root, cfg.locations or None, cfg.variables,
                                  data=cfg.data or None)
-            sys.stdout.write(bound.show_tree(types=ns.types) + "\n")
+            acc = (task.reads, task.writes) if ns.accesses else None
+            sys.stdout.write(
+                bound.show_tree(
+                    types=ns.types, accesses=acc, mappings=ns.mappings,
+                    serials=ns.serials, extensions=ns.extensions,
+                    num_chars=ns.num_chars,
+                ) + "\n"
+            )
+            if ns.fields:  # option fields shown by default (-F hides)
+                for rec in records:
+                    for fld in rec.fields:
+                        sys.stdout.write(
+                            f"  {rec.path}.{fld.name} :: {fld.type_.__name__}"
+                            f" = {fld.default!r}  {fld.doc}\n"
+                        )
             return None
         if ns.command == "save":
             merged = dict(raw)

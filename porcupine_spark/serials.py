@@ -165,3 +165,30 @@ def orc_serial(**opts) -> Serial:
     """ORC: the second columnar format (engine-level only — the DuckDB
     oracle corpus cannot read ORC, so parity is covered by tests)."""
     return Serial("orc", "orc", opts)
+
+
+_warn_log = __import__("logging").getLogger("porcupine_spark.serials")
+
+
+def add_deserial_warnings(target, warn: Callable[[DataFrame], list[str]]):
+    """addDeserialWarnings (SerializationMethod.hs:726-733): attach a
+    post-read validation hook to every reader; each string the hook
+    returns is logged at WARNING and the data passes through unchanged.
+
+    At scale the hook should compute its warnings with ONE small
+    aggregate over the DataFrame (e.g. ``df.filter(bad).count()``),
+    not per-row driver work — it runs once per read, as a separate
+    validation job.
+    """
+
+    def hook(df: DataFrame) -> DataFrame:
+        for w in warn(df):
+            _warn_log.warning(w)
+        return df
+
+    if isinstance(target, SerialSet):
+        out = SerialSet()
+        for s in target._by_ext.values():
+            out.add(s.rmap(hook) if s.readable else s)
+        return out
+    return target.rmap(hook)

@@ -145,6 +145,28 @@ def test_csv_serial_roundtrip_with_transforms(spark, tmp_path):
     assert back[0].v == "AB"
 
 
+def test_add_deserial_warnings(spark, tmp_path, caplog):
+    """addDeserialWarnings (SerializationMethod.hs:726-733): post-read
+    validation hook logs warnings, data passes through unchanged."""
+    import logging
+
+    from porcupine_spark.serials import add_deserial_warnings, parquet_serial
+
+    def warn(df):
+        n = df.filter("x < 0").count()
+        return [f"{n} negative x values"] if n else []
+
+    ser = add_deserial_warnings(SerialSet(parquet_serial()), warn)
+    c = Catalog([Dataset("t", ser)])
+    bound = c.bind(str(tmp_path), {"t": str(tmp_path / "t.parquet")})
+    df = spark.createDataFrame([(1,), (-2,), (-3,)], "x long")
+    bound.write(df, "t")
+    with caplog.at_level(logging.WARNING, logger="porcupine_spark.serials"):
+        back = bound.read(spark, "t")
+        assert back.count() == 3  # data unchanged
+    assert any("2 negative x values" in r.message for r in caplog.records)
+
+
 def test_show_tree(tmp_path):
     c = Catalog([Dataset.source("in/a"), Dataset.sink("out/b")])
     tree = c.bind(str(tmp_path), {"out/b": None}).show_tree()

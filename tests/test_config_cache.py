@@ -81,7 +81,11 @@ def test_cli_generation_and_show_tree(capsys, tmp_path):
     assert "--replications" in helptext
     # 'verbose' collides with the engine's -v flag and gets the --opt- prefix
     assert "--no-opt-verbose" in helptext
+    # mappings are opt-in, like the reference's -m (CLI.hs:398-402)
     main(["show-tree", "--root", str(tmp_path), "--loc", "data/in=/p/x.parquet"])
+    out = capsys.readouterr().out
+    assert "data/in" in out and "/p/x.parquet" not in out
+    main(["show-tree", "-m", "--root", str(tmp_path), "--loc", "data/in=/p/x.parquet"])
     out = capsys.readouterr().out
     assert "data/in" in out and "/p/x.parquet" in out
 
@@ -216,3 +220,32 @@ def test_show_tree_types_flag(capsys, tmp_path):
     main(["show-tree", "--root", str(tmp_path), "--types"])
     out = capsys.readouterr().out
     assert ":: x int, y string" in out
+
+
+def test_show_tree_accesses_and_fields(capsys, tmp_path):
+    """-a marks planned reads/writes from the task's static
+    requirements; option fields show by default (CLI.hs:393-427)."""
+    from porcupine_spark.task import load, write
+
+    cat = Catalog([Dataset("in/a"), Dataset("out/b"), Dataset("unused")])
+    t = load("in/a") >> write("out/b")
+    _, main = make_cli(t, cat, [REC])
+    main(["show-tree", "--root", str(tmp_path), "--accesses"])
+    out = capsys.readouterr().out
+    assert "in/a (rw)" in out and "<read>" in out
+    assert "<write>" in out
+    assert "unused" in out and "<unused>" in out
+    assert "replications" in out  # option fields listed by default
+
+
+def test_show_tree_negative_flags_and_num_chars(capsys, tmp_path):
+    """-S/-F/-E hide serials/fields/extensions; --num-chars truncates
+    the type display (PorcupineTree.hs:205-241)."""
+    cat = Catalog([Dataset("d", schema="x int, y string, z double, w date")])
+    _, main = make_cli(arr(lambda x: x), cat, [REC])
+    main(["show-tree", "--root", str(tmp_path), "-S", "-F", "-E",
+          "-t", "--num-chars", "10"])
+    out = capsys.readouterr().out
+    assert "(rw)" not in out and "[parquet" not in out
+    assert "replications" not in out
+    assert ":: x int, y s…" in out  # 10 chars + ellipsis
