@@ -1,5 +1,5 @@
 """Scalar/array function library (JVM-side column expressions only)."""
 
-from porcupine_spark.functions.arrays import seq1
+from porcupine_spark.functions.arrays import seq1, word_ngrams
 
-__all__ = ["seq1"]
+__all__ = ["seq1", "word_ngrams"]

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from porcupine_spark.functions import seq1
+from porcupine_spark.functions import seq1, word_ngrams
 from porcupine_spark.plans.registry import query
 from porcupine_spark.tables import load_table
 
@@ -191,10 +191,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    grams = F.transform(
-        seq1(F.size(toks) - 4),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, 5))),
-    )
+    grams = F.transform(word_ngrams(toks, 5), lambda g: F.md5(g))
     g = docs.select("doc_id", F.explode(grams).alias("h"))
     return g.groupBy("doc_id").agg(
         F.min("h").alias("fp_min"),
@@ -304,35 +301,45 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality"),
     doc="Within-document repetition detection (Gopher-rule shape): "
     "top-token frequency ratio + duplicate-3-gram ratio, with a "
-    "flag gate. Token counts and gram distinct-counts in two grouped "
-    "passes over the exploded views.",
+    "flag gate. Both ratios are PER-ROW array computations (max run "
+    "length over the sorted token array; distinct-count over the gram "
+    "array) — zero shuffles, where the exploded two-groupBy+join "
+    "formulation shuffles the whole token corpus twice.",
 )
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    tok_rows = docs.select("doc_id", F.explode(toks).alias("tok"))
-    per_doc = (
-        tok_rows.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_tok"), F.sum("c").alias("n_toks"))
+    grams = word_ngrams(toks, 3)
+    # top token count per row = longest run in the sorted array: one
+    # aggregate() pass with a (prev, run, best) accumulator
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
-    grams_arr = F.transform(
-        seq1(F.size(toks) - 2), lambda i: F.concat_ws(" ", F.slice(toks, i, 3))
-    )
-    grams = docs.select("doc_id", F.explode(grams_arr).alias("g")).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n3"), F.countDistinct("g").alias("d3")
-    )
+
+    def step(acc, t):
+        new_run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            t.alias("prev"), new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_tok = F.aggregate(F.array_sort(toks), zero, step, lambda acc: acc["best"])
+    per_row = docs.select(
+        "doc_id",
+        top_tok.alias("top_tok"),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(grams).cast("long").alias("n3"),
+        F.size(F.array_distinct(grams)).cast("long").alias("d3"),
+    ).filter(F.col("n3") > 0)  # docs under 3 tokens: oracle's inner join drops them
     top_ratio = F.col("top_tok").cast("double") / F.col("n_toks")
     dup_ratio = F.lit(1.0) - F.col("d3").cast("double") / F.col("n3")
-    return (
-        per_doc.join(grams, "doc_id")
-        .select(
-            "doc_id",
-            top_ratio.alias("top_token_ratio"),
-            dup_ratio.alias("dup_3gram_ratio"),
-            F.when((top_ratio > 0.2) | (dup_ratio > 0.3), 1).otherwise(0).alias("flagged"),
-        )
+    return per_row.select(
+        "doc_id",
+        top_ratio.alias("top_token_ratio"),
+        dup_ratio.alias("dup_3gram_ratio"),
+        F.when((top_ratio > 0.2) | (dup_ratio > 0.3), 1).otherwise(0).alias("flagged"),
     )
 
 
