@@ -315,6 +315,180 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_PLANES = 32  # hyperplane count = signature bits
+LSH_BAND_BITS = 8  # 4 bands of 8 bits
+LSH_DIM = 64  # embedding dimensionality (fixed in the corpus)
+# deterministic integer hyperplane components, identical formula on
+# both engines: comp(p,d) = ((p*1315423911 + d*2654435761) % 2001) - 1000
+_LSH_A, _LSH_B, _LSH_M = 1315423911, 2654435761, 2001
+
+
+def _lsh_plane(p: int) -> list[int]:
+    return [((p * _LSH_A + d * _LSH_B) % _LSH_M) - (_LSH_M // 2) for d in range(LSH_DIM)]
+
+
+_SQL_LSH_SIGS = f"""
+    planes AS (
+      SELECT p, list_transform(generate_series(0, {LSH_DIM - 1}),
+                               d -> ((p * {_LSH_A} + d * {_LSH_B}) % {_LSH_M}) - {_LSH_M // 2}) AS comp
+      FROM (SELECT unnest(generate_series(0, {LSH_PLANES - 1})) AS p)
+    ),
+    sigs AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN {{dot}} >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
+      FROM embeddings, planes GROUP BY vec_id
+    )
+""".format(dot=sql_dot("embedding", "comp"))
+
+
+@query(
+    "lsh_topk",
+    f"""
+    WITH {_SQL_LSH_SIGS},
+    bands AS (
+      SELECT vec_id, b.band, substr(sig, b.band * {LSH_BAND_BITS} + 1, {LSH_BAND_BITS}) AS chunk
+      FROM sigs, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {LSH_PLANES // LSH_BAND_BITS - 1})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c
+        ON c.band = q.band AND c.chunk = q.chunk AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {sql_dot('a.embedding', 'b.embedding')}
+               / (SQRT({sql_dot('a.embedding', 'a.embedding')})
+                  * SQRT({sql_dot('b.embedding', 'b.embedding')})) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.query_id
+      JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "lsh"),
+    doc=f"Random-hyperplane LSH top-5: {LSH_PLANES}-bit sign signatures "
+    f"against deterministic integer hyperplanes, banded "
+    f"{LSH_PLANES // LSH_BAND_BITS}x{LSH_BAND_BITS} bits; candidates "
+    "only from band-bucket collisions with the query set (vec_id<10), "
+    "exact-decimal cosine re-rank. The signature pass is per-row and "
+    "shuffle-free; the bucket join replaces the brute-force cross "
+    "product — the second ANN scale path next to ivf_topk (bits vs "
+    "centroids: no training/assignment stage, recall tunable by "
+    "band width).",
+)
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.tables import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings", widen=False)
+    # ONE aggregate pass computes all 32 exact-decimal dots at once: the
+    # plane matrix is transposed to a literal array-of-arrays M with
+    # M[d] = the 32 plane components for dimension d; zipping the
+    # embedding with M yields per-dimension 32-product rows that fold
+    # into a 32-decimal accumulator. (32 separate dot_exact aggregate
+    # expressions measured ~10s/call from expression-tree bloat alone;
+    # this is the same single-pass shape as the simhash counts.)
+    # Decimal addition is exact, so per-dimension fold order matches the
+    # oracle's list_sum regardless of order; sign bits therefore agree
+    # even for near-zero dots.
+    m_rows = [
+        [((p * _LSH_A + d * _LSH_B) % _LSH_M) - (_LSH_M // 2) for p in range(LSH_PLANES)]
+        for d in range(LSH_DIM)
+    ]
+    # ONE ArrayType literal node — F.array(*[F.array(*...)]) would build
+    # 2048 nested Literal/CreateArray nodes, and with the matrix used by
+    # both passes the analyzer+codegen walk ~4k nodes per run (measured
+    # ~2s of flat per-call overhead at any data size)
+    m_lit = F.lit(m_rows)
+    # two-phase sign computation (the repo's standard float discipline):
+    # an all-double single pass scores every row; only rows with some
+    # |dot| < eps (where a double sign could disagree with the oracle's
+    # decimal sign — error bound ~3e-9 for 64 products, eps=1e-6) are
+    # re-scored with the exact-decimal pass. Decimal work drops from
+    # every row to ~none while bits stay bit-identical to the oracle.
+    dots_dbl = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), m_lit,
+            lambda x, row: F.transform(row, lambda c: x.cast("double") * c.cast("double")),
+        ),
+        F.array_repeat(F.lit(0.0), LSH_PLANES),
+        lambda acc, pr: F.zip_with(acc, pr, lambda a, b: a + b),
+    )
+    dots_dec = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), m_lit,
+            lambda x, row: F.transform(
+                row, lambda c: (x.cast("double") * c.cast("double")).cast(DECV)
+            ),
+        ),
+        F.array_repeat(F.lit(0).cast(DECV), LSH_PLANES),
+        lambda acc, pr: F.zip_with(acc, pr, lambda a, b: (a + b).cast(DECV)),
+    )
+
+    def to_sig(dots):
+        return F.concat_ws("", F.transform(dots, lambda a: F.when(a >= 0, "1").otherwise("0")))
+
+    # one projection, one checkpoint: double signs normally, the
+    # exact-decimal dots only for rows where some |dot| < eps — CASE
+    # branches evaluate lazily, so the decimal pass executes on ~zero
+    # rows (the double pass runs twice per row, condition + value;
+    # still cheaper than a second checkpoint round — measured).
+    # Checkpointing the tiny sig table matters twice over: the band
+    # self-join references it from both sides, and any downstream stage
+    # that embeds the decimal lambda pays its compilation even when it
+    # never runs a row (measured ~17s when it leaked into 3 stages).
+    near_zero = F.exists(dots_dbl, lambda a: F.abs(a) < 1e-6)
+    dots_use = F.when(near_zero, dots_dec.cast("array<double>")).otherwise(dots_dbl)
+    sigs = emb.select("vec_id", to_sig(dots_use).alias("sig")).localCheckpoint(eager=True)
+    n_bands = LSH_PLANES // LSH_BAND_BITS
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.substring("sig", b * LSH_BAND_BITS + 1, LSH_BAND_BITS)
+                for b in range(n_bands)
+            ])
+        ).alias("band", "chunk"),
+    )
+    q_bands = bands.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "band", "chunk"
+    )
+    cand = (
+        bands.join(F.broadcast(q_bands), ["band", "chunk"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    vecs = emb.select("vec_id", "embedding", F.sqrt(norm2_exact(F.col("embedding"))).alias("vn"))
+    q = vecs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("vn").alias("qn")
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("vn").alias("cn")
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 NEARDUP_T = 0.4
 # prefilter margin: numpy float64 dot differs from the exact decimal
 # cosine by <1e-12; 1e-6 is overkill-safe, so the prefilter can never

@@ -116,3 +116,23 @@ def test_token_diversity_zero_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "token_diversity")
     assert "Generate" not in plan  # no explode
     assert shuffles(plan) == 0
+
+
+def test_repetition_ratio_zero_shuffle(spark, sf_dir):
+    """Per-row ratios (sorted-array max run + gram distinct count):
+    no explode of the token corpus, no grouping exchange."""
+    plan = plan_of(spark, sf_dir, "repetition_ratio")
+    assert "Generate" not in plan
+    assert shuffles(plan) == 0
+
+
+def test_lsh_topk_bucket_join_no_cartesian(spark, sf_dir):
+    """LSH ANN: candidates come from a broadcast band-bucket join —
+    never a cross product — and the signature pass is materialized
+    once (RDD scan leaf), so the 32-dot pass is not re-planned per
+    join side."""
+    plan = plan_of(spark, sf_dir, "lsh_topk")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed signatures
