@@ -68,28 +68,58 @@ _SQL_TOKS = (
     "lexically so top-3 is deterministic.",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import seq1
+
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # per-row term frequencies from run lengths of the SORTED token
+    # array (the token_diversity trick, kept as (tok, cnt) pairs):
+    # starts = positions where a new run begins; cnt = gap to the next
+    # start. The exploded rows arrive PRE-AGGREGATED — (doc_id, tok)
+    # never shuffles, doclen is just size(toks), and the old
+    # explode->groupBy->checkpoint round disappears. Only df (a
+    # token-keyed count) and the per-doc top-3 window shuffle at all,
+    # and both move one row per DISTINCT doc-token, not per token.
+    # IMPORTANT: srt and starts must be bound as real columns before a
+    # lambda uses them — a HOF lambda body re-evaluates any COMPUTED
+    # outer expression per element (only lambda vars and attributes are
+    # bound once), so inlining array_sort into the filter/transform
+    # below is O(n^2 log n) per row (measured 400s for this query at
+    # sf0.01). As attributes they are O(1) lookups; CollapseProject
+    # keeps the staging projections because each alias is non-cheap
+    # and referenced more than once.
+    s1 = docs.select("doc_id", F.array_sort(tokens(F.col("text"))).alias("srt"))
+    srt = F.col("srt")
+    starts_expr = F.filter(
+        seq1(F.size(srt)),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(srt, i) != F.element_at(srt, i - 1)
+        ),
     )
-    # one shuffled tf table feeds three derivations — materialize once
-    tf = tf.localCheckpoint(eager=True)
-    doclen = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_toks"))
-    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    s2 = s1.select("doc_id", "srt", F.size(srt).alias("n"), starts_expr.alias("starts"))
+    # F.get is 0-based, null past the end: get(starts, j) is the NEXT
+    # run's 1-based start (or null for the last run -> n+1)
+    n, starts = F.col("n"), F.col("starts")
+    pairs = F.transform(
+        seq1(F.size(starts)),
+        lambda j: F.struct(
+            F.element_at(srt, F.element_at(starts, j)).alias("tok"),
+            (F.coalesce(F.get(starts, j), n + 1) - F.element_at(starts, j))
+            .cast("long")
+            .alias("cnt"),
+        ),
+    )
+    rows = s2.select(
+        "doc_id", n.cast("long").alias("n_toks"), F.explode(pairs).alias("p")
+    ).select("doc_id", "n_toks", F.col("p.tok").alias("tok"), F.col("p.cnt").alias("cnt"))
+    df_ = rows.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs_with"))
     n_docs = docs.count()
-    scored = (
-        tf.join(doclen, "doc_id")
-        .join(df_, "tok")
-        .select(
-            "doc_id",
-            "tok",
-            (
-                (F.col("cnt").cast("double") / F.col("n_toks"))
-                * (F.lit(float(n_docs)) / F.col("n_docs_with"))
-            ).alias("tfidf"),
-        )
+    scored = rows.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        (
+            (F.col("cnt").cast("double") / F.col("n_toks"))
+            * (F.lit(float(n_docs)) / F.col("n_docs_with"))
+        ).alias("tfidf"),
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (

@@ -126,6 +126,15 @@ def test_repetition_ratio_zero_shuffle(spark, sf_dir):
     assert shuffles(plan) == 0
 
 
+def test_tfidf_no_token_corpus_shuffle(spark, sf_dir):
+    """tf comes from per-row run lengths (pre-aggregated explode), so
+    only the df agg and the per-doc window exchange — the raw token
+    corpus never shuffles and nothing needs a checkpoint barrier."""
+    plan = plan_of(spark, sf_dir, "tfidf_top_terms")
+    assert shuffles(plan) <= 3
+    assert "Scan ExistingRDD" not in plan
+
+
 def test_lsh_topk_bucket_join_no_cartesian(spark, sf_dir):
     """LSH ANN: candidates come from a broadcast band-bucket join —
     never a cross product — and the signature pass is materialized
