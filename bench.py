@@ -95,19 +95,51 @@ def main() -> int:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 4)
-    out = {
+
+    # Full detail (per-query rows, full error strings) goes to a sidecar
+    # file; the stdout JSON line must stay SMALL — the harness that
+    # records it keeps only a bounded tail of output, and a multi-KB
+    # line gets truncated into unparseable junk (round 1: "parsed":
+    # null). Budget the line to ~1.5 KB: always emit the scalar summary;
+    # include the per-query map only if it fits, else just the slowest
+    # queries plus a pointer to the sidecar.
+    detail = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "rows": rows,
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "runs_per_query": RUNS,
         "sf": sf_val,
+        "errors": errors,
     }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf_val,
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1500:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        )
+        out["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        out["queries_truncated"] = len(timings) - len(slowest)
+        out["detail_file"] = "BENCH_DETAIL.json"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     return 0
 
 

@@ -107,35 +107,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_ngram_jaccard",
-    f"""
-    WITH {SQL_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM shingles a JOIN shingles b
-        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
-    """,
-    tags=("dedup", "join"),
-    doc="Near-dup by word-3-gram Jaccard. Candidates come from an "
-    "inverted shingle index self-join (only docs sharing a shingle are "
-    "compared), then |A∩B|/|A∪B| from group counts. jaccard is one IEEE "
-    "division of exact ints -> bit-identical to the oracle.",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+# Hot-shingle document-frequency cutoff: a shingle present in more than
+# max(HOT_DF_FLOOR, HOT_DF_FRAC * n_docs) documents contributes ~zero
+# Jaccard information but |df|^2 candidate pairs to the inverted-index
+# self-join — one stop-phrase shingle ("of the and") in 1% of a 100 TB
+# corpus would alone generate 10^16 pairs. Dropping hot shingles bounds
+# the per-key join fan-out; sizes are computed on the SAME filtered
+# shingle set so the measure stays a true Jaccard over the informative
+# shingle space (mirrored exactly in the oracle).
+HOT_DF_FRAC = 0.1
+HOT_DF_FLOOR = 25
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, min_jaccard: float = 0.05, df_cutoff: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for doc pairs sharing >=1 informative
+    shingle. ``df_cutoff`` defaults to max(HOT_DF_FLOOR, HOT_DF_FRAC *
+    count(docs)); pass an explicit value to skip the count() action."""
+    if df_cutoff is None:
+        df_cutoff = max(HOT_DF_FLOOR, int(HOT_DF_FRAC * docs.count()))
     # self-join on hashed shingles (see hashed_shingle_table): 8-byte
     # shuffle/join keys, and the shingle string is never even built
-    sh = hashed_shingle_table(docs).cache()
+    sh_all = hashed_shingle_table(docs)
+    # hot set is tiny by definition (few keys exceed the cutoff):
+    # broadcast anti-join, no extra shuffle of the shingle table
+    hot = (
+        sh_all.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("h")
+    )
+    sh = sh_all.join(F.broadcast(hot), "h", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -151,8 +154,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.05)
+        .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {SQL_SHINGLES},
+    df AS (SELECT shingle, COUNT(*) AS c FROM shingles GROUP BY shingle),
+    keep AS (
+      SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
+      WHERE c <= GREATEST({HOT_DF_FLOOR},
+                          CAST({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents) AS BIGINT))
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM keep a JOIN keep b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.05
+    """,
+    tags=("dedup", "join"),
+    doc="Near-dup by word-3-gram Jaccard over informative shingles. "
+    "Candidates come from an inverted shingle index self-join (only "
+    "docs sharing a shingle are compared) with a document-frequency "
+    "cutoff dropping hot shingles (bounds the per-key fan-out that "
+    "would otherwise go quadratic on stop-phrases at scale), then "
+    "|A∩B|/|A∪B| from group counts. jaccard is one IEEE division of "
+    "exact ints -> bit-identical to the oracle.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs)
 
 
 # Universal-hash permutation family: perm_p(s) = (A_p*h(s) + B_p) mod M

@@ -341,62 +341,19 @@ _SQL_LSH_SIGS = f"""
 """.format(dot=sql_dot("embedding", "comp"))
 
 
-@query(
-    "lsh_topk",
-    f"""
-    WITH {_SQL_LSH_SIGS},
-    bands AS (
-      SELECT vec_id, b.band, substr(sig, b.band * {LSH_BAND_BITS} + 1, {LSH_BAND_BITS}) AS chunk
-      FROM sigs, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {LSH_PLANES // LSH_BAND_BITS - 1})) AS band) b
-    ),
-    cand AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      FROM bands q JOIN bands c
-        ON c.band = q.band AND c.chunk = q.chunk AND c.vec_id <> q.vec_id
-      WHERE q.vec_id < 10
-    ),
-    scored AS (
-      SELECT query_id, neighbor_id,
-             {sql_dot('a.embedding', 'b.embedding')}
-               / (SQRT({sql_dot('a.embedding', 'a.embedding')})
-                  * SQRT({sql_dot('b.embedding', 'b.embedding')})) AS cosine
-      FROM cand
-      JOIN embeddings a ON a.vec_id = cand.query_id
-      JOIN embeddings b ON b.vec_id = cand.neighbor_id
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id, cosine,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY cosine DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
-    """,
-    tags=("similarity", "ann", "lsh"),
-    doc=f"Random-hyperplane LSH top-5: {LSH_PLANES}-bit sign signatures "
-    f"against deterministic integer hyperplanes, banded "
-    f"{LSH_PLANES // LSH_BAND_BITS}x{LSH_BAND_BITS} bits; candidates "
-    "only from band-bucket collisions with the query set (vec_id<10), "
-    "exact-decimal cosine re-rank. The signature pass is per-row and "
-    "shuffle-free; the bucket join replaces the brute-force cross "
-    "product — the second ANN scale path next to ivf_topk (bits vs "
-    "centroids: no training/assignment stage, recall tunable by "
-    "band width).",
-)
-def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from porcupine_spark.tables import load_table as _lt
+def _lsh_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, sig) — the 32-bit sign signature per vector, checkpointed.
 
-    emb = _lt(spark, sf_dir, "embeddings", widen=False)
-    # ONE aggregate pass computes all 32 exact-decimal dots at once: the
-    # plane matrix is transposed to a literal array-of-arrays M with
-    # M[d] = the 32 plane components for dimension d; zipping the
-    # embedding with M yields per-dimension 32-product rows that fold
-    # into a 32-decimal accumulator. (32 separate dot_exact aggregate
-    # expressions measured ~10s/call from expression-tree bloat alone;
-    # this is the same single-pass shape as the simhash counts.)
-    # Decimal addition is exact, so per-dimension fold order matches the
-    # oracle's list_sum regardless of order; sign bits therefore agree
-    # even for near-zero dots.
+    ONE aggregate pass computes all 32 exact-decimal dots at once: the
+    plane matrix is transposed to a literal array-of-arrays M with
+    M[d] = the 32 plane components for dimension d; zipping the
+    embedding with M yields per-dimension 32-product rows that fold
+    into a 32-decimal accumulator. (32 separate dot_exact aggregate
+    expressions measured ~10s/call from expression-tree bloat alone;
+    this is the same single-pass shape as the simhash counts.)
+    Decimal addition is exact, so per-dimension fold order matches the
+    oracle's list_sum regardless of order; sign bits therefore agree
+    even for near-zero dots."""
     m_rows = [
         [((p * _LSH_A + d * _LSH_B) % _LSH_M) - (_LSH_M // 2) for p in range(LSH_PLANES)]
         for d in range(LSH_DIM)
@@ -445,9 +402,13 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never runs a row (measured ~17s when it leaked into 3 stages).
     near_zero = F.exists(dots_dbl, lambda a: F.abs(a) < 1e-6)
     dots_use = F.when(near_zero, dots_dec.cast("array<double>")).otherwise(dots_dbl)
-    sigs = emb.select("vec_id", to_sig(dots_use).alias("sig")).localCheckpoint(eager=True)
+    return emb.select("vec_id", to_sig(dots_use).alias("sig")).localCheckpoint(eager=True)
+
+
+def _lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(vec_id, band, chunk) — signature split into band substrings."""
     n_bands = LSH_PLANES // LSH_BAND_BITS
-    bands = sigs.select(
+    return sigs.select(
         "vec_id",
         F.posexplode(
             F.array(*[
@@ -456,6 +417,55 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("band", "chunk"),
     )
+
+
+@query(
+    "lsh_topk",
+    f"""
+    WITH {_SQL_LSH_SIGS},
+    bands AS (
+      SELECT vec_id, b.band, substr(sig, b.band * {LSH_BAND_BITS} + 1, {LSH_BAND_BITS}) AS chunk
+      FROM sigs, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {LSH_PLANES // LSH_BAND_BITS - 1})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bands q JOIN bands c
+        ON c.band = q.band AND c.chunk = q.chunk AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {sql_dot('a.embedding', 'b.embedding')}
+               / (SQRT({sql_dot('a.embedding', 'a.embedding')})
+                  * SQRT({sql_dot('b.embedding', 'b.embedding')})) AS cosine
+      FROM cand
+      JOIN embeddings a ON a.vec_id = cand.query_id
+      JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "ann", "lsh"),
+    doc=f"Random-hyperplane LSH top-5: {LSH_PLANES}-bit sign signatures "
+    f"against deterministic integer hyperplanes, banded "
+    f"{LSH_PLANES // LSH_BAND_BITS}x{LSH_BAND_BITS} bits; candidates "
+    "only from band-bucket collisions with the query set (vec_id<10), "
+    "exact-decimal cosine re-rank. The signature pass is per-row and "
+    "shuffle-free; the bucket join replaces the brute-force cross "
+    "product — the second ANN scale path next to ivf_topk (bits vs "
+    "centroids: no training/assignment stage, recall tunable by "
+    "band width).",
+)
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.tables import load_table as _lt
+
+    emb = _lt(spark, sf_dir, "embeddings", widen=False)
+    bands = _lsh_bands(_lsh_signatures(emb))
     q_bands = bands.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "band", "chunk"
     )
@@ -511,50 +521,80 @@ NEARDUP_MARGIN = 1e-6
     FROM pairs WHERE cosine >= {NEARDUP_T}
     """,
     tags=("similarity", "dedup", "pandas_udf"),
-    doc=f"Embedding-cosine near-duplicate pairs (threshold {NEARDUP_T}). "
-    "Two-phase exact: a vectorized numpy block-matrix prefilter "
-    "(mapInPandas against a broadcast normalized matrix, margin "
-    "epsilon so it can never drop a true pair), then the exact-decimal "
-    "cosine re-scores only the surviving pairs — result identical to "
-    "the all-pairs oracle at a tiny fraction of the work. At 100 TB the "
-    "broadcast side becomes IVF/LSH buckets (see ivf_topk); the "
-    "two-phase filter-then-verify shape is unchanged.",
+    doc=f"Embedding-cosine near-duplicate pairs (threshold {NEARDUP_T}), "
+    "EXACT, fully distributed: block-pair decomposition. Vectors hash "
+    "into B blocks; each of the B*(B+1)/2 unordered block pairs is one "
+    "applyInPandas group whose numpy prefilter scores only its two "
+    "blocks (bounded memory: 2N/B rows per task, nothing ever "
+    "materializes on the driver), then the exact-decimal cosine "
+    "re-scores the surviving pairs — identical to the all-pairs "
+    "oracle. Exact all-pairs is inherently quadratic in compute; the "
+    "block shape makes the memory bounded and the quadratic part "
+    "embarrassingly parallel. For sub-quadratic at 100 TB use "
+    "embedding_neardup_lsh (same verify stage, banded-LSH candidates).",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     import numpy as np
     import pandas as pd
 
-    # widened scan only where the per-row numpy work runs (mapInPandas);
-    # the driver collect and the tiny re-score join sides use the raw
-    # scan — repartitioning those is pure overhead
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     emb_raw = load_table(spark, sf_dir, "embeddings", widen=False).select(
         "vec_id", "embedding", "label"
     )
 
-    # Broadcast the normalized matrix (the "small side"; at real scale
-    # this is one IVF bucket, not the corpus).
-    local = emb_raw.select("vec_id", "embedding").toPandas()
-    ids = local["vec_id"].to_numpy()
-    mat = np.array(local["embedding"].tolist(), dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = emb.sparkSession.sparkContext.broadcast((ids, mat_n))
+    # Block count: >=8 keeps 36+ groups of parallelism even on tiny
+    # inputs; ceil(N/4096) bounds per-task memory to ~2*4096 vectors at
+    # any corpus size. N is one count() scalar — the only driver-side
+    # value this operator ever materializes.
+    n = emb_raw.count()
+    n_blocks = max(8, math.ceil(n / 4096))
     thresh = NEARDUP_T - NEARDUP_MARGIN
 
-    def prefilter(batches):
-        b_ids, b_mat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            a_ids = pdf["vec_id"].to_numpy()
-            a_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            sims = a_mat @ b_mat.T
-            ai, bi = np.where(sims >= thresh)
-            keep = a_ids[ai] < b_ids[bi]
-            yield pd.DataFrame({"id_a": a_ids[ai][keep], "id_b": b_ids[bi][keep]})
+    # Each vector lands in block hash(vec_id)%B and is shipped to every
+    # block pair (min(b,j), max(b,j)) for j in 0..B-1 — exactly B groups
+    # per vector, so every unordered vector pair meets in exactly one
+    # group. Shuffle volume is N*B rows (the O(N^2/blocksize) cost an
+    # exact all-pairs fundamentally requires, made explicit).
+    blk = F.pmod(F.hash("vec_id"), F.lit(n_blocks))
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+        lambda j: F.struct(
+            F.least(blk, j).alias("lo"), F.greatest(blk, j).alias("hi")
+        ),
+    )
+    rep = (
+        emb_raw.select("vec_id", "embedding", blk.alias("blk"), F.explode(pairs).alias("pr"))
+        .select("vec_id", "embedding", "blk", F.col("pr.lo").alias("lo"), F.col("pr.hi").alias("hi"))
+    )
 
-    cand = emb.mapInPandas(prefilter, schema="id_a long, id_b long")
+    def pair_cands(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = int(pdf["lo"].iat[0]), int(pdf["hi"].iat[0])
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if lo == hi:
+            sims = mat @ mat.T
+            ai, bi = np.where(sims >= thresh)
+            keep = ids[ai] < ids[bi]
+            return pd.DataFrame({"id_a": ids[ai][keep], "id_b": ids[bi][keep]})
+        a_side = pdf["blk"].to_numpy() == lo
+        a_ids, b_ids = ids[a_side], ids[~a_side]
+        sims = mat[a_side] @ mat[~a_side].T
+        ai, bi = np.where(sims >= thresh)
+        ia, ib = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
+        )
+
+    cand = rep.groupBy("lo", "hi").applyInPandas(pair_cands, schema="id_a long, id_b long")
+    return _neardup_verify(cand, emb_raw)
+
+
+def _neardup_verify(cand: DataFrame, emb_raw: DataFrame) -> DataFrame:
+    """Exact-decimal cosine re-score of candidate (id_a, id_b) pairs,
+    thresholded at NEARDUP_T — the shared verify stage of both the
+    exact and the LSH near-dup paths."""
     ea = emb_raw.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("label").alias("label_a")
     )
@@ -576,3 +616,55 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact.filter(F.col("cosine") >= NEARDUP_T)
+
+
+@query(
+    "embedding_neardup_lsh",
+    f"""
+    WITH {_SQL_LSH_SIGS},
+    bands AS (
+      SELECT vec_id, b.band, substr(sig, b.band * {LSH_BAND_BITS} + 1, {LSH_BAND_BITS}) AS chunk
+      FROM sigs, LATERAL (SELECT UNNEST(GENERATE_SERIES(0, {LSH_PLANES // LSH_BAND_BITS - 1})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM bands a JOIN bands c
+        ON c.band = a.band AND c.chunk = a.chunk AND a.vec_id < c.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b, ea.label AS label_a, eb.label AS label_b,
+             {sql_dot('ea.embedding', 'eb.embedding')}
+               / (SQRT({sql_dot('ea.embedding', 'ea.embedding')})
+                  * SQRT({sql_dot('eb.embedding', 'eb.embedding')})) AS cosine
+      FROM cand
+      JOIN embeddings ea ON ea.vec_id = cand.id_a
+      JOIN embeddings eb ON eb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, label_a, label_b, cosine
+    FROM scored WHERE cosine >= {NEARDUP_T}
+    """,
+    tags=("similarity", "dedup", "lsh"),
+    doc=f"Near-duplicate pairs via banded-LSH candidates (threshold "
+    f"{NEARDUP_T}): candidates are only vector pairs colliding in at "
+    f"least one of the {LSH_PLANES // LSH_BAND_BITS} signature bands — "
+    "sub-quadratic (bucket equi-join instead of all-pairs), the 100 TB "
+    "path. Recall is tunable by band width; the deterministic "
+    "hyperplanes make the candidate set — and therefore the result — "
+    "bit-identical to the oracle, which mirrors the same LSH plan.",
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_raw = load_table(spark, sf_dir, "embeddings", widen=False).select(
+        "vec_id", "embedding", "label"
+    )
+    bands = _lsh_bands(_lsh_signatures(emb_raw))
+    other = bands.select(
+        F.col("vec_id").alias("id_b"), "band", "chunk"
+    )
+    cand = (
+        bands.select(F.col("vec_id").alias("id_a"), "band", "chunk")
+        .join(other, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _neardup_verify(cand, emb_raw)

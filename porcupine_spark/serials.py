@@ -83,8 +83,10 @@ def parquet_serial(**opts) -> Serial:
     return Serial("parquet", "parquet", opts)
 
 
-def json_serial(**opts) -> Serial:
-    return Serial("json", "json", opts)
+def json_serial(ext: str = "json", **opts) -> Serial:
+    """JSONSerial / JSONSerialWithExt (SerializationMethod.hs:283-296):
+    same codec bound to a custom extension when ``ext`` is given."""
+    return Serial(ext, "json", opts)
 
 
 def csv_serial(header: bool = True, sep: str = ",", ext: str = "csv", **opts) -> Serial:
@@ -159,6 +161,80 @@ class SerialSet:
             if e != ext:
                 reordered.add(s)
         return reordered
+
+
+@dataclass(frozen=True)
+class YamlSerial(Serial):
+    """YAMLSerial (SerializationMethod.hs:309-383): YAML as a DATA
+    serial, not just config. Spark has no YAML datasource, so this
+    rides the text source both ways, staying distributed:
+
+    - write: each row becomes one ``---``-prefixed YAML document
+      (Arrow-batched mapInPandas, pyyaml on the executors); partition
+      files concatenate into a standard multi-document YAML stream;
+    - read: ``wholetext`` per-file scan, executors parse the stream
+      with ``safe_load_all`` and re-emit records as JSON strings; with
+      an explicit schema the result is a single pass of ``from_json``
+      (the 100 TB path); without one, Spark's distributed JSON schema
+      inference runs (one extra pass — fine for the small interchange
+      files YAML is for).
+    """
+
+    def read(self, spark: SparkSession, path: str, schema=None) -> DataFrame:
+        import json as _json
+
+        import pandas as pd
+        import yaml
+
+        # NB: the option must ride the text() kwarg — DataFrameReader
+        # .option("wholeText")...text() drops it in pyspark classic
+        raw = spark.read.text(path, wholetext=True)
+
+        def to_json_lines(batches):
+            for pdf in batches:
+                out = []
+                for doc in pdf["value"]:
+                    for rec in yaml.safe_load_all(doc):
+                        if rec is None:
+                            continue
+                        if isinstance(rec, list):  # one doc holding a list of records
+                            out.extend(_json.dumps(r) for r in rec)
+                        else:
+                            out.append(_json.dumps(rec))
+                yield pd.DataFrame({"value": out})
+
+        jlines = raw.mapInPandas(to_json_lines, schema="value string")
+        if schema is not None:
+            from pyspark.sql import functions as F
+
+            df = jlines.select(F.from_json("value", schema).alias("r")).select("r.*")
+        else:
+            df = spark.read.json(jlines.rdd.map(lambda r: r.value))
+        return self.post_read(df) if self.post_read else df
+
+    def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
+        import pandas as pd
+        import yaml
+
+        if self.pre_write:
+            df = self.pre_write(df)
+
+        def to_yaml_docs(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "value": [
+                            "---\n" + yaml.safe_dump(rec, sort_keys=False).rstrip("\n")
+                            for rec in pdf.to_dict("records")
+                        ]
+                    }
+                )
+
+        df.mapInPandas(to_yaml_docs, schema="value string").write.mode(mode).text(path)
+
+
+def yaml_serial(ext: str = "yaml") -> Serial:
+    return YamlSerial(ext, "text", {})
 
 
 def orc_serial(**opts) -> Serial:

@@ -37,11 +37,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _convert_events(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
-    as long ns. Integer-divide to micros (lossless — the generator emits
-    us-aligned values) and rebuild the timestamp. Plain `/ 1000` in
-    double would lose precision above 2^53 ns."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize events.ts to TimestampType regardless of the parquet
+    physical encoding, which differs across generators:
+
+    - TIMESTAMP(NANOS): with nanosAsLong it arrives as long ns —
+      integer-divide to micros (lossless; the generator emits us-aligned
+      values; `/ 1000` in double would lose precision above 2^53 ns);
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      TIMESTAMP_NTZ — reinterpret as session-tz (UTC) timestamp, which
+      is bit-identical to the UTC-naive DuckDB oracle's view;
+    - already TimestampType: pass through.
+    """
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _bound_testdata(sf_dir: str):

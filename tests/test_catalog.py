@@ -173,3 +173,41 @@ def test_show_tree(tmp_path):
     assert "in/a (r-)" in tree
     assert "out/b (-w)" in tree
     assert "null" in tree
+
+
+def test_yaml_serial_roundtrip(spark, tmp_path):
+    """YAMLSerial (SerializationMethod.hs:309-383): a .yaml-bound
+    dataset round-trips — rows out as a multi-document YAML stream,
+    back in via distributed parse (+ single-pass from_json when the
+    dataset declares a schema)."""
+    from porcupine_spark.serials import yaml_serial
+
+    c = Catalog([Dataset("y", SerialSet(yaml_serial()))])
+    bound = c.bind(str(tmp_path), {"y": str(tmp_path / "y.yaml")})
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b: tricky", -1.0)], "id long, v string, x double"
+    )
+    bound.write(df, "y")
+    back = bound.read(spark, "y")
+    got = sorted((r.id, r.v, r.x) for r in back.collect())
+    assert got == [(1, "a", 2.5), (2, "b: tricky", -1.0)]
+
+    # explicit schema: parse is one from_json pass, no inference job
+    from porcupine_spark.serials import YamlSerial
+
+    ser = yaml_serial()
+    assert isinstance(ser, YamlSerial)
+    back2 = ser.read(spark, str(tmp_path / "y.yaml"), schema="id long, v string, x double")
+    assert back2.count() == 2
+
+
+def test_json_serial_custom_ext(spark, tmp_path):
+    """JSONSerialWithExt (SerializationMethod.hs:283-296)."""
+    from porcupine_spark.serials import json_serial
+
+    ser = json_serial(ext="jsonl")
+    c = Catalog([Dataset("j", SerialSet(ser))])
+    bound = c.bind(str(tmp_path), {"j": str(tmp_path / "j.jsonl")})
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    bound.write(df, "j")
+    assert bound.read(spark, "j").collect()[0].v == "a"

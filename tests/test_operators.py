@@ -285,3 +285,29 @@ def test_merge_upsert_and_scd2_units(spark):
         (1, "x2", "2200-01-01 00:00:00"),         # new open version
         (2, "y", "2200-01-01 00:00:00"),          # untouched current
     ]
+
+
+def test_ngram_jaccard_hot_shingle_cutoff(spark):
+    """A stop-shingle shared by every doc must not generate candidate
+    pairs: with the DF cutoff the planted hot shingle is dropped (docs
+    share nothing else -> zero pairs), while a genuine near-dup pair
+    with unique shared content survives. Without the cutoff the same
+    corpus explodes into C(60,2) pairs."""
+    from porcupine_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 60
+    docs = [(i, f"common stop phrase u{i}a u{i}b u{i}c u{i}d") for i in range(n)]
+    # one genuine near-dup pair: long shared unique run
+    docs += [
+        (1000, "zeta eta theta iota kappa lambda mu nu xi"),
+        (1001, "zeta eta theta iota kappa lambda mu nu omicron"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    with_cut = ngram_jaccard_pairs(df, df_cutoff=10)
+    pairs = {(r.doc_a, r.doc_b) for r in with_cut.collect()}
+    assert (1000, 1001) in pairs  # real near-dup survives
+    assert len(pairs) == 1  # hot shingle produced ZERO candidates
+
+    no_cut = ngram_jaccard_pairs(df, df_cutoff=10**9)
+    assert no_cut.count() == n * (n - 1) // 2 + 1  # quadratic blowup without it

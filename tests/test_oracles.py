@@ -1,0 +1,88 @@
+"""In-repo correctness gate (mirrors the driver's): a representative
+query from every operator family runs on Spark AND its DuckDB oracle
+over the same parquet; row counts, schemas, and values must match
+exactly. Catches data-contract drift (e.g. an events.ts physical-type
+change) loudly in pytest instead of at round grading.
+
+The FULL 85-query sweep is tools/verify_oracles.py — run it before
+claiming a new operator done. This subset keeps the default pytest
+suite fast while still crossing every loader + operator family.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from verify_oracles import canon  # noqa: E402
+
+from porcupine_spark.tables import TABLES, load_table, table_path  # noqa: E402
+
+# one per operator family, events-heavy on purpose (the round-1 killer
+# was an events physical-schema assumption)
+REPRESENTATIVE = [
+    "q1_pricing_summary",  # multi-fold aggregation
+    "q5_region_revenue",  # broadcast join chain
+    "window_rank_lag",  # window functions
+    "range_join_error_burst",  # events loader + range join
+    "events_props_json",  # events JSON props
+    "asof_purchase_last_view",  # as-of join
+    "sessionize_events",  # sessionization
+    "dedup_exact",  # exact dedup
+    "dedup_ngram_jaccard",  # inverted-index jaccard + DF cutoff
+    "dedup_minhash_lsh",  # minhash banding
+    "cosine_topk",  # brute-force ANN baseline
+    "embedding_neardup_lsh",  # LSH near-dup (scale path)
+    "tfidf_top_terms",  # corpus stats
+    "text_stats",  # per-row text metrics
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    yield con
+    con.close()
+
+
+def test_events_ts_contract(spark):
+    """events.ts must arrive as TimestampType regardless of the parquet
+    physical encoding (NANOS-as-long, MICROS-as-NTZ, or plain)."""
+    from pyspark.sql.types import TimestampType
+
+    for sf in ("sf0.001", "sf0.01"):
+        d = f"/root/testdata/{sf}"
+        if not os.path.isdir(d):
+            continue
+        df = load_table(spark, d, "events")
+        assert isinstance(df.schema["ts"].dataType, TimestampType), (
+            sf,
+            df.schema["ts"].dataType,
+        )
+
+
+def test_all_tables_load(spark, sf_dir):
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        assert len(df.schema.fields) > 0, t
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_oracle_parity(spark, sf_dir, oracle_con, name):
+    from porcupine_spark.plans.registry import load_all_plans
+
+    spec = load_all_plans()[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    sdf = spec.builder(spark, sf_dir).toPandas()
+    odf = oracle_con.sql(spec.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"rows: spark={len(sdf)} oracle={len(odf)}"
+    a, b = canon(sdf, 0.0), canon(odf, 0.0)
+    assert a == b, f"values differ; first diff: {next((x, y) for x, y in zip(a, b) if x != y)}"
