@@ -182,23 +182,74 @@ class Catalog:
             for name in data:
                 mappings.setdefault(name, None)
         bound: dict[str, list[Location] | None] = {}
-        unknown = set(mappings) - set(target._ds)
+        unknown = {
+            k
+            for k in mappings
+            if k not in target._ds
+            and not any(n.startswith(k.rstrip("/") + "/") for n in target._ds)
+        }
         if unknown:
             raise KeyError(
-                f"mappings for unknown datasets: {sorted(unknown)} "
+                f"mappings for unknown datasets/folders: {sorted(unknown)} "
                 f"(catalog has {target.names()})"
             )
+
+        def apply_shortcuts(specs: list[str], inherited: list[str]) -> list[str]:
+            """Location shortcuts (Mappings.hs:142-160): '_' derives the
+            whole location from the tree (keep inherited), '_.ext'
+            overrides only the extension, '_rel/path' appends to the
+            inherited prefix; anything else is a fully-specified
+            location replacing the inherited layers."""
+            out: list[str] = []
+            for s in specs:
+                if s == "_":
+                    out.extend(inherited)
+                elif s.startswith("_"):
+                    rel = s[1:]
+                    if rel.startswith("."):
+                        out.extend(p + rel for p in inherited)
+                    else:
+                        out.extend(os.path.join(p, rel.lstrip("/")) for p in inherited)
+                else:
+                    out.append(s)
+            return out
+
         for name, ds in target._ds.items():
-            if name in mappings:
-                spec = mappings[name]
-                if spec is None:
-                    bound[name] = None
-                    continue
-                specs = spec if isinstance(spec, list) else [spec]
-                bound[name] = [Location.parse(s) for s in specs]
-            else:
+            # propagateMappings (Mappings.hs:182-224): walk the virtual
+            # path root-to-leaf carrying inherited physical layers; a
+            # folder mapping rebinds the layers for its whole subtree
+            # (appending each subsequent path segment), a null folder
+            # recursively unmaps everything beneath it, and an exact
+            # leaf mapping wins last.
+            segs = name.split("/")
+            layers = [root]
+            explicit_leaf = False
+            nulled = False
+            path_so_far = ""
+            for i, seg in enumerate(segs):
+                path_so_far = seg if i == 0 else f"{path_so_far}/{seg}"
+                layers = [os.path.join(p, seg) for p in layers]
+                if path_so_far in mappings:
+                    spec = mappings[path_so_far]
+                    if spec is None:
+                        nulled = True
+                        break
+                    specs = spec if isinstance(spec, list) else [spec]
+                    layers = apply_shortcuts(specs, layers)
+                    explicit_leaf = i == len(segs) - 1
+            if nulled:
+                bound[name] = None
+                continue
+            locs = [Location.parse(p) for p in layers]
+            if not explicit_leaf:
+                # derived leaves take the dataset's default extension
+                # (the reference derives name+ext from the tree)
                 default_ext = ds.serials.default_ext
-                bound[name] = [Location(os.path.join(root, f"{name}.{default_ext}"))]
+                locs = [
+                    loc if loc.ext is not None else Location(f"{loc.path}.{default_ext}")
+                    for loc in locs
+                ]
+            bound[name] = locs
         return BoundCatalog(target, bound, variables)
 
 

@@ -114,9 +114,45 @@ class PipelineConfig:
     options: dict[str, Any] = field(default_factory=dict)  # per options-record path
 
 
-def load_config_file(path: str) -> dict[str, Any]:
-    with open(path) as fh:
-        text = fh.read()
+def load_config_file(path: str, spark=None) -> dict[str, Any]:
+    """Load a YAML/JSON config from a local path OR a remote URI —
+    the reference reads remote config files through the location
+    accessors (Run.hs:232-245: a remote URL resolves via the accessor
+    record and is decoded as a YAML stream). Scheme routing:
+
+    - ``http(s)://`` — driver-side fetch (configs are small);
+    - any other ``scheme://`` — the Hadoop FileSystem for that scheme
+      (s3a://, hdfs://, file://...; honors :func:`porcupine_spark.
+      sources.s3.configure_s3a`), needs a live ``spark`` session;
+    - no scheme — plain local file.
+    """
+    if path.startswith(("http://", "https://")):
+        from porcupine_spark.sources.http import fetch_one
+
+        status, body = fetch_one(path)
+        if status != 200:
+            raise IOError(f"config fetch {path} -> HTTP {status}")
+        text = body.decode("utf-8")
+    elif "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"remote config {path!r} needs a SparkSession for scheme resolution"
+            )
+        from porcupine_spark.sources.s3 import _fs_for
+
+        fs, p = _fs_for(spark, path)
+        stream = fs.open(p)
+        try:
+            # IOUtils drains the Hadoop input stream fully driver-side
+            jvm = spark.sparkContext._jvm
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+    else:
+        with open(path) as fh:
+            text = fh.read()
     if _HAVE_YAML:
         return yaml.safe_load(text) or {}
     return json.loads(text or "{}")

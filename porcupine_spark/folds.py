@@ -31,16 +31,48 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Fold:
-    """One or more aggregate expressions evaluated in a single pass."""
+    """One or more aggregate expressions evaluated in a single pass.
+
+    ``make_exprs``/``init_map`` carry the reference's parameterized
+    accumulator initialization (FoldA's ``i`` parameter + premapInitA,
+    FoldA.hs:140-144): a fold may build its aggregate expressions from
+    an init value supplied at run time; ``premap_init`` pre-composes a
+    transform of that value. Plain folds (init-independent) keep
+    ``exprs`` static and ignore init entirely.
+    """
 
     exprs: tuple[Column, ...]
     names: tuple[str, ...]
     pre: Callable[[DataFrame], DataFrame] | None = None
     post: Callable[[DataFrame], DataFrame] | None = None
+    make_exprs: Callable[..., tuple[Column, ...]] | None = None
+    init_map: Callable[..., object] | None = None
 
     @staticmethod
     def of(expr: Column, name: str) -> "Fold":
         return Fold((expr.alias(name),), (name,))
+
+    @staticmethod
+    def with_init(make_exprs: Callable[..., tuple[Column, ...]], names: tuple[str, ...]) -> "Fold":
+        """FoldA with a parameterized accumulator init: ``make_exprs(
+        init)`` builds the aggregate expressions when the init value is
+        known (run_fold's ``init=``)."""
+        return Fold((), tuple(names), make_exprs=make_exprs)
+
+    def premap_init(self, f: Callable[..., object]) -> "Fold":
+        """premapInitA (FoldA.hs:140-144): map the init value before it
+        reaches the accumulator initializer."""
+        prev = self.init_map
+        g = f if prev is None else (lambda i: prev(f(i)))
+        return replace(self, init_map=g)
+
+    def resolve_exprs(self, init=None) -> tuple[Column, ...]:
+        if self.make_exprs is None:
+            return self.exprs
+        if self.init_map is not None:
+            init = self.init_map(init)
+        exprs = tuple(self.make_exprs(init))
+        return tuple(e.alias(n) for e, n in zip(exprs, self.names))
 
     # ---- the foldl-library vocabulary (Porcupine/Foldl.hs re-exports) ----
     @staticmethod
@@ -95,6 +127,18 @@ class Fold:
         if self.post or other.post:
             p1, p2 = self.post, other.post
             post = (lambda df: (p2 or (lambda d: d))((p1 or (lambda d: d))(df)))
+        if self.make_exprs or other.make_exprs:
+            # FoldA <*> shares the init across both sides (start =
+            # startL &&&& startR, FoldA.hs:122-130); each side applies
+            # its own init_map inside resolve_exprs
+            a, b = self, other
+
+            def mk(init):
+                return a.resolve_exprs(init) + b.resolve_exprs(init)
+
+            return Fold(
+                (), self.names + other.names, self.pre or other.pre, post, make_exprs=mk
+            )
         return Fold(
             self.exprs + other.exprs, self.names + other.names, self.pre or other.pre, post
         )
@@ -115,20 +159,21 @@ class Fold:
         return replace(self, post=g)
 
 
-def run_fold(df: DataFrame, fold: Fold) -> DataFrame:
-    """foldlTask/foldStreamTask: ungrouped single-row aggregate."""
+def run_fold(df: DataFrame, fold: Fold, init=None) -> DataFrame:
+    """foldlTask/foldStreamTask: ungrouped single-row aggregate.
+    ``init`` feeds a parameterized-init fold (Fold.with_init)."""
     if fold.pre:
         df = fold.pre(df)
-    out = df.agg(*fold.exprs)
+    out = df.agg(*fold.resolve_exprs(init))
     return fold.post(out) if fold.post else out
 
 
-def run_fold_grouped(df: DataFrame, keys: list[str], fold: Fold) -> DataFrame:
+def run_fold_grouped(df: DataFrame, keys: list[str], fold: Fold, init=None) -> DataFrame:
     """parMapTask + fold: per-index fold = groupBy(idx).agg(...) — the
     repetition index becomes the grouping key (SURVEY §2.7)."""
     if fold.pre:
         df = fold.pre(df)
-    out = df.groupBy(*keys).agg(*fold.exprs)
+    out = df.groupBy(*keys).agg(*fold.resolve_exprs(init))
     return fold.post(out) if fold.post else out
 
 

@@ -111,6 +111,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = s2.select(
         "doc_id", n.cast("long").alias("n_toks"), F.explode(pairs).alias("p")
     ).select("doc_id", "n_toks", F.col("p.tok").alias("tok"), F.col("p.cnt").alias("cnt"))
+    # The rows subtree is referenced twice (df agg + scored join) and
+    # deliberately NOT persisted: measured at sf0.1, recompute = 1.6-1.9s
+    # vs localCheckpoint = 1.6-2.3s — the barrier costs as much as the
+    # second tokenize+sort pass, and at cluster scale a checkpoint of
+    # the full (doc_id, tok) set is real storage pressure while
+    # recompute is embarrassingly parallel map work.
     df_ = rows.groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs_with"))
     n_docs = docs.count()
     scored = rows.join(df_, "tok").select(

@@ -132,7 +132,13 @@ def make_cli(
             logging.DEBUG if ns.verbose >= 2 else logging.INFO if ns.verbose else logging.WARNING
         )
         logging.getLogger("porcupine_spark").setLevel(level)
-        raw = load_config_file(ns.config) if ns.config else {}
+        # remote (scheme'd) configs resolve through the accessors
+        # (Run.hs:232-245); hadoop-scheme URIs need the session up front
+        if ns.config and "://" in ns.config and not ns.config.startswith(("http://", "https://")):
+            from porcupine_spark.session import get_spark
+
+            spark = spark or get_spark("porcupine_run")
+        raw = load_config_file(ns.config, spark=spark) if ns.config else {}
         raw = apply_dotted_overrides(raw, ns.override)
         cli_vals = {k: v for k, v in vars(ns).items()
                     if k not in {"command", "config", "root", "loc", "var", "override",

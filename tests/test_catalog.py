@@ -211,3 +211,96 @@ def test_json_serial_custom_ext(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id long, v string")
     bound.write(df, "j")
     assert bound.read(spark, "j").collect()[0].v == "a"
+
+
+def test_s3a_configuration_and_catalog_binding(spark, tmp_path):
+    """porcupine-s3 parity without a live bucket: configure_s3a sets the
+    retry/credential posture on the Hadoop conf (honored by every
+    subsequent s3a scan), and the catalog accepts an s3a:// location
+    with extension-based serial resolution."""
+    from porcupine_spark.sources.s3 import configure_s3a
+
+    applied = configure_s3a(spark, retry_limit=5, retry_interval_ms=250)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.retry.limit") == "5"
+    assert hconf.get("fs.s3a.retry.interval") == "250ms"
+    assert "fs.s3a.retry.limit" in applied
+
+    c = Catalog([Dataset("remote", SerialSet(parquet_serial(), csv_serial()))])
+    bound = c.bind("/tmp", {"remote": "s3a://some-bucket/path/remote.csv"})
+    locs = bound.locations("remote")
+    assert locs[0].path.startswith("s3a://")
+    assert locs[0].ext == "csv"
+
+
+def test_folder_ops_via_hadoop_fs(spark, tmp_path):
+    """upload/download/stream/copy folder ops (TaskPipelineUtils.hs:
+    87-133) run through the Hadoop FileSystem API — the identical code
+    path s3a:// takes, exercised here on file:// URIs."""
+    from porcupine_spark.sources.s3 import (
+        copy_obj,
+        download_folder,
+        stream_folder_uri,
+        upload_folder,
+    )
+
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("alpha")
+    (src / "sub" / "b.txt").write_text("beta")
+
+    dest_uri = f"file://{tmp_path}/remote"
+    assert upload_folder(spark, str(src), dest_uri) == ["a.txt", "sub/b.txt"]
+    assert stream_folder_uri(spark, dest_uri) == ["a.txt", "sub/b.txt"]
+
+    back = tmp_path / "back"
+    assert download_folder(spark, dest_uri, str(back)) == ["a.txt", "sub/b.txt"]
+    assert (back / "sub" / "b.txt").read_text() == "beta"
+
+    copy_obj(spark, dest_uri + "/a.txt", dest_uri + "/a2.txt")
+    assert "a2.txt" in stream_folder_uri(spark, dest_uri)
+
+
+def test_nested_tree_folder_inheritance(spark, tmp_path):
+    """propagateMappings (Mappings.hs:182-224): folder mappings
+    propagate to the subtree appending path segments; '_' shortcuts
+    derive from the tree; a null folder unmaps its subtree; exact leaf
+    mappings win."""
+    c = Catalog(
+        [
+            Dataset("sub/a", SerialSet(parquet_serial())),
+            Dataset("sub/deep/b", SerialSet(parquet_serial())),
+            Dataset("sub/c", SerialSet(parquet_serial(), csv_serial())),
+            Dataset("other/d", SerialSet(parquet_serial())),
+            Dataset.sink("dead/e", SerialSet(parquet_serial())),
+        ]
+    )
+    bound = c.bind(
+        str(tmp_path),
+        {
+            "sub": f"{tmp_path}/moved",  # folder map: subtree relocates
+            "sub/c": "_.csv",  # derive name from tree, override ext
+            "dead": None,  # null folder: subtree unmapped
+        },
+    )
+    assert bound.locations("sub/a")[0].path == f"{tmp_path}/moved/a.parquet"
+    assert bound.locations("sub/deep/b")[0].path == f"{tmp_path}/moved/deep/b.parquet"
+    c_loc = bound.locations("sub/c")[0]
+    assert c_loc.path == f"{tmp_path}/moved/c.csv" and c_loc.ext == "csv"
+    # unmapped dataset outside the folder: root fallback, unchanged
+    assert bound.locations("other/d")[0].path == f"{tmp_path}/other/d.parquet"
+    assert bound.locations("dead/e") is None
+
+    # layered folder mapping: every dataset under it gets both layers
+    two = c.bind(
+        str(tmp_path), {"sub": [f"{tmp_path}/l1", f"{tmp_path}/l2"], "dead": None}
+    )
+    assert [loc.path for loc in two.locations("sub/a")] == [
+        f"{tmp_path}/l1/a.parquet",
+        f"{tmp_path}/l2/a.parquet",
+    ]
+
+    # round-trip through a folder-inherited location
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    bound.write(df, "sub/deep/b")
+    assert bound.read(spark, "sub/deep/b").count() == 1

@@ -249,3 +249,49 @@ def test_show_tree_negative_flags_and_num_chars(capsys, tmp_path):
     assert "(rw)" not in out and "[parquet" not in out
     assert "replications" not in out
     assert ":: x int, y s…" in out  # 10 chars + ellipsis
+
+
+def test_load_config_remote_uris(spark, tmp_path):
+    """Remote config files resolve through the accessors (Run.hs:
+    232-245): hadoop-scheme URIs via the FileSystem API, http via the
+    HTTP accessor; local paths unchanged."""
+    import http.server
+    import threading
+
+    from porcupine_spark.config import load_config_file
+
+    cfg_text = "root: /data\nvariables: {x: '1'}\n"
+    p = tmp_path / "cfg.yaml"
+    p.write_text(cfg_text)
+
+    local = load_config_file(str(p))
+    assert local["root"] == "/data"
+
+    via_fs = load_config_file(f"file://{p}", spark=spark)
+    assert via_fs == local
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = cfg_text.encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        via_http = load_config_file(f"http://127.0.0.1:{port}/cfg.yaml")
+        assert via_http == local
+    finally:
+        srv.shutdown()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_config_file("s3a://bucket/cfg.yaml")  # scheme'd URI needs a session

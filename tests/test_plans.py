@@ -128,10 +128,12 @@ def test_repetition_ratio_zero_shuffle(spark, sf_dir):
 
 def test_tfidf_no_token_corpus_shuffle(spark, sf_dir):
     """tf comes from per-row run lengths (pre-aggregated explode), so
-    only the df agg and the per-doc window exchange — the raw token
-    corpus never shuffles and nothing needs a checkpoint barrier."""
+    exactly two keyed exchanges exist — the document-frequency agg
+    (tok) and the per-doc top-k window (doc_id); the df side reaches
+    the join as a broadcast. The raw token corpus never shuffles and
+    nothing needs a checkpoint barrier."""
     plan = plan_of(spark, sf_dir, "tfidf_top_terms")
-    assert shuffles(plan) <= 3
+    assert shuffles(plan) == 2
     assert "Scan ExistingRDD" not in plan
 
 

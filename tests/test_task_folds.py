@@ -171,3 +171,29 @@ def test_io_task_and_namespace(spark, tmp_path):
     t = io_task(probe).named("step1")
     run_pipeline(t, Catalog([]), spark, root=str(tmp_path))
     assert seen == [("step1",)]
+
+
+def test_fold_with_init_and_premap_init(spark):
+    """FoldA's parameterized accumulator init + premapInitA
+    (FoldA.hs:120-144): exprs built from a run-time init value, the
+    init transformable, and <*> sharing one init across zipped folds."""
+    from pyspark.sql import functions as F
+
+    from porcupine_spark.folds import Fold, run_fold
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+
+    # accumulator starts at `init`: sum-with-offset
+    offset_sum = Fold.with_init(
+        lambda i: (F.sum("x") + F.lit(i),), ("offsum",)
+    )
+    assert run_fold(df, offset_sum, init=10).collect()[0].offsum == 16
+
+    # premapInitA: init arrives as a dict, mapped down to the offset
+    mapped = offset_sum.premap_init(lambda cfg: cfg["offset"])
+    assert run_fold(df, mapped, init={"offset": 100}).collect()[0].offsum == 106
+
+    # <*> shares the init; the plain side ignores it; single Aggregate
+    both = mapped.zip(Fold.length("n"))
+    row = run_fold(df, both, init={"offset": 1}).collect()[0]
+    assert (row.offsum, row.n) == (7, 3)
