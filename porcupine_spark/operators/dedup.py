@@ -253,10 +253,8 @@ def _sql_bands() -> str:
     return "\n      UNION ALL\n      ".join(selects)
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {SQL_SHINGLES},
+_SQL_MINHASH_PAIRS_CTES = f"""
+    {SQL_SHINGLES},
     sigs AS (
       SELECT doc_id,
            {_sql_minhash_exprs()}
@@ -277,13 +275,23 @@ def _sql_bands() -> str:
       JOIN shingles sa ON sa.doc_id = c.doc_a
       JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
       GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             COALESCE(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 0.0) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+      JOIN sizes za ON za.doc_id = c.doc_a
+      JOIN sizes zb ON zb.doc_id = c.doc_b
     )
-    SELECT c.doc_a, c.doc_b,
-           COALESCE(CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i), 0.0) AS jaccard
-    FROM cand c
-    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-    JOIN sizes za ON za.doc_id = c.doc_a
-    JOIN sizes zb ON zb.doc_id = c.doc_b
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     tags=("dedup", "lsh"),
     doc=f"MinHash+LSH near-dup: {N_PERMS} min-hashes per doc computed "
@@ -296,6 +304,13 @@ def _sql_bands() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for band-bucket-colliding doc pairs —
+    the shared candidate+verify core of dedup_minhash_lsh and
+    dedup_keep_canonical."""
     # per-row signatures (no shuffle); checkpoint so the band SELF-join
     # (two refs) and the candidate join don't recompute the md5 pass
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
@@ -341,6 +356,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         i.cast("double") / (F.size("arr_a") + F.size("arr_b") - i), F.lit(0.0)
     )
     return paired.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+DEDUP_CANON_T = 0.5  # verified-jaccard threshold for dropping a doc
+
+
+@query(
+    "dedup_keep_canonical",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES},
+    dropped AS (
+      SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= {DEDUP_CANON_T}
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM dropped)
+    """,
+    tags=("dedup", "lsh"),
+    doc=f"The deduplicated corpus itself: drop every document that has "
+    f"a verified near-duplicate (jaccard >= {DEDUP_CANON_T}) with a "
+    "smaller doc_id — the keep-first canonical policy. Candidates come "
+    "from the minhash band buckets (never N^2); the final step is one "
+    "broadcast anti-join of the corpus against the tiny dropped set, "
+    "so the whole dedup costs the LSH pass plus one scan.",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        minhash_lsh_pairs(docs)
+        .filter(F.col("jaccard") >= DEDUP_CANON_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
 
 
 SIMHASH_BITS = 32  # one bit per md5 hex digit

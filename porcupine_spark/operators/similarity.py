@@ -341,6 +341,24 @@ _SQL_LSH_SIGS = f"""
 """.format(dot=sql_dot("embedding", "comp"))
 
 
+_M_LIT_CACHE: list = []
+
+
+def _lsh_plane_matrix_lit() -> Column:
+    """The 64x32 transposed plane matrix as ONE cached literal Column:
+    F.lit on the nested python list costs ~1.2s of py4j conversion per
+    call (measured — it was a third of lsh_topk's wall time); the
+    resulting expression is session-independent and immutable, so one
+    build serves every query in the process."""
+    if not _M_LIT_CACHE:
+        m_rows = [
+            [((p * _LSH_A + d * _LSH_B) % _LSH_M) - (_LSH_M // 2) for p in range(LSH_PLANES)]
+            for d in range(LSH_DIM)
+        ]
+        _M_LIT_CACHE.append(F.lit(m_rows))
+    return _M_LIT_CACHE[0]
+
+
 def _lsh_signatures(emb: DataFrame) -> DataFrame:
     """(vec_id, sig) — the 32-bit sign signature per vector, checkpointed.
 
@@ -354,15 +372,11 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
     Decimal addition is exact, so per-dimension fold order matches the
     oracle's list_sum regardless of order; sign bits therefore agree
     even for near-zero dots."""
-    m_rows = [
-        [((p * _LSH_A + d * _LSH_B) % _LSH_M) - (_LSH_M // 2) for p in range(LSH_PLANES)]
-        for d in range(LSH_DIM)
-    ]
     # ONE ArrayType literal node — F.array(*[F.array(*...)]) would build
     # 2048 nested Literal/CreateArray nodes, and with the matrix used by
     # both passes the analyzer+codegen walk ~4k nodes per run (measured
     # ~2s of flat per-call overhead at any data size)
-    m_lit = F.lit(m_rows)
+    m_lit = _lsh_plane_matrix_lit()
     # two-phase sign computation (the repo's standard float discipline):
     # an all-double single pass scores every row; only rows with some
     # |dot| < eps (where a double sign could disagree with the oracle's
@@ -391,18 +405,30 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
     def to_sig(dots):
         return F.concat_ws("", F.transform(dots, lambda a: F.when(a >= 0, "1").otherwise("0")))
 
-    # one projection, one checkpoint: double signs normally, the
-    # exact-decimal dots only for rows where some |dot| < eps — CASE
-    # branches evaluate lazily, so the decimal pass executes on ~zero
-    # rows (the double pass runs twice per row, condition + value;
-    # still cheaper than a second checkpoint round — measured).
-    # Checkpointing the tiny sig table matters twice over: the band
-    # self-join references it from both sides, and any downstream stage
-    # that embeds the decimal lambda pays its compilation even when it
-    # never runs a row (measured ~17s when it leaked into 3 stages).
+    # The decimal expression's whole-stage-codegen COMPILE alone costs
+    # seconds (measured 3.8s of a 4.2s query — it dominates at any data
+    # size), so it must not appear in the common-case plan at all: run
+    # the double pass, checkpoint, and only if some row has a
+    # near-boundary dot (|dot| < eps, where a double sign could disagree
+    # with the oracle's decimal sign — error bound ~3e-9 for 64
+    # products, eps=1e-6) build the decimal plan for THOSE rows and
+    # patch them in. Typical corpora have zero such rows and never
+    # compile the decimal expression.
+    # Checkpointing the tiny sig table also matters because the band
+    # self-join references it from both sides.
     near_zero = F.exists(dots_dbl, lambda a: F.abs(a) < 1e-6)
-    dots_use = F.when(near_zero, dots_dec.cast("array<double>")).otherwise(dots_dbl)
-    return emb.select("vec_id", to_sig(dots_use).alias("sig")).localCheckpoint(eager=True)
+    dbl = emb.select(
+        "vec_id", "embedding", dots_dbl.alias("dots"), near_zero.alias("nz")
+    ).localCheckpoint(eager=True)
+    if dbl.filter(F.col("nz")).limit(1).count() == 0:
+        return dbl.select("vec_id", to_sig(F.col("dots")).alias("sig")).localCheckpoint(
+            eager=True
+        )
+    exact_part = dbl.filter(F.col("nz")).select(
+        "vec_id", to_sig(dots_dec).alias("sig")
+    )
+    fast_part = dbl.filter(~F.col("nz")).select("vec_id", to_sig(F.col("dots")).alias("sig"))
+    return fast_part.unionByName(exact_part).localCheckpoint(eager=True)
 
 
 def _lsh_bands(sigs: DataFrame) -> DataFrame:
@@ -465,7 +491,9 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.tables import load_table as _lt
 
     emb = _lt(spark, sf_dir, "embeddings", widen=False)
-    bands = _lsh_bands(_lsh_signatures(emb))
+    # signatures are per-row compute -> widened scan; joins/re-rank use
+    # the raw scan (repartition there would be pure overhead)
+    bands = _lsh_bands(_lsh_signatures(_lt(spark, sf_dir, "embeddings")))
     q_bands = bands.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "band", "chunk"
     )
@@ -591,29 +619,52 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _neardup_verify(cand, emb_raw)
 
 
+def dot_double(a: Column, b: Column) -> Column:
+    """All-double dot product — the cheap prefilter pass (within 1e-12
+    of the exact-decimal score for unit-norm 64-dim vectors)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _neardup_verify(cand: DataFrame, emb_raw: DataFrame) -> DataFrame:
     """Exact-decimal cosine re-score of candidate (id_a, id_b) pairs,
     thresholded at NEARDUP_T — the shared verify stage of both the
-    exact and the LSH near-dup paths."""
-    ea = emb_raw.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), F.col("label").alias("label_a")
+    exact and the LSH near-dup paths.
+
+    Two-phase float discipline (the repo standard): norms are computed
+    exact-decimal ONCE PER VECTOR (not per pair — measured 26.8s -> ~3s
+    on the LSH path at sf0.1, whose candidate set is ~100x the kept
+    set), a double dot prefilters the pairs with a provable epsilon
+    margin, and only survivors pay the exact-decimal dot whose value is
+    bit-identical to the oracle's."""
+    vecs = emb_raw.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.sqrt(norm2_exact(F.col("embedding"))).alias("vn"),
     )
-    eb = emb_raw.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), F.col("label").alias("label_b")
+    ea = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        F.col("label").alias("label_a"), F.col("vn").alias("na"),
     )
-    exact = (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "label_a",
-            "label_b",
-            (
-                dot_exact(F.col("ea"), F.col("eb"))
-                / (F.sqrt(norm2_exact(F.col("ea"))) * F.sqrt(norm2_exact(F.col("eb"))))
-            ).alias("cosine"),
-        )
+    eb = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        F.col("label").alias("label_b"), F.col("vn").alias("nb"),
+    )
+    joined = cand.join(ea, "id_a").join(eb, "id_b")
+    # double-cosine prefilter: can never drop a pair the exact check
+    # keeps (margin >> double-vs-decimal error)
+    approx = dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    survivors = joined.filter(approx >= NEARDUP_T - NEARDUP_MARGIN)
+    exact = survivors.select(
+        "id_a",
+        "id_b",
+        "label_a",
+        "label_b",
+        (dot_exact(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
     )
     return exact.filter(F.col("cosine") >= NEARDUP_T)
 
@@ -656,7 +707,8 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = load_table(spark, sf_dir, "embeddings", widen=False).select(
         "vec_id", "embedding", "label"
     )
-    bands = _lsh_bands(_lsh_signatures(emb_raw))
+    emb_wide = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bands = _lsh_bands(_lsh_signatures(emb_wide))
     other = bands.select(
         F.col("vec_id").alias("id_b"), "band", "chunk"
     )

@@ -57,6 +57,7 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
 # green in round 1 and re-proven by the in-repo oracle sweep).
 WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
+    "dedup_keep_canonical",
     "dedup_clusters",
     "cosine_topk",
     "ivf_topk",
@@ -105,7 +106,6 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "window_rank_lag",
     "topk_per_group",
     "index_range_letter_counts",
-    "layered_merge_right_biased",
 )
 
 
