@@ -147,3 +147,24 @@ def test_lsh_topk_bucket_join_no_cartesian(spark, sf_dir):
     assert "NestedLoop" not in plan
     assert "BroadcastHashJoin" in plan
     assert "Scan ExistingRDD" in plan  # checkpointed signatures
+
+
+def test_embedding_neardup_distributed_block_pairs(spark, sf_dir):
+    """Exact near-dup must be the block-pair applyInPandas shape — one
+    FlatMapGroupsInPandas, no full-corpus mapInPandas-against-broadcast
+    (the old shape materialized every embedding on the driver first),
+    no cartesian."""
+    plan = plan_of(spark, sf_dir, "embedding_neardup")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_dedup_keep_canonical_broadcast_anti(spark, sf_dir):
+    """The corpus-sized final step is ONE broadcast anti-join against
+    the tiny dropped set — the full documents table never shuffles for
+    the dedup decision."""
+    plan = plan_of(spark, sf_dir, "dedup_keep_canonical")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
