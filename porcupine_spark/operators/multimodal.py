@@ -44,11 +44,69 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
+def parse_media_header(payload: bytes) -> dict | None:
+    """REAL metadata extraction for container formats whose headers are
+    pure byte arithmetic — no media library needed. Returns None when
+    the payload is not a recognized container (caller falls back to the
+    stub codec). Covers:
+
+    - PNG: IHDR width/height (big-endian at offset 16/20);
+    - GIF87a/89a: logical screen size (little-endian at 6/8);
+    - JPEG: first SOF0/1/2 segment's height/width;
+    - WAV (RIFF/WAVE): PCM frame count = data-chunk size / block align
+      (the audio analog of n_frames; width/height stay 0).
+    """
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return {"n_bytes": n, "width": w, "height": h, "n_frames": 1, "format": "image/png"}
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        # frame count = number of image descriptors (0x2C introducers
+        # at block level is a full parse; approximate with 1 for the
+        # header-only pass — a real decoder owns this)
+        return {"n_bytes": n, "width": w, "height": h, "n_frames": 1, "format": "image/gif"}
+    if n >= 4 and payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < n and payload[i] == 0xFF:
+            marker, seglen = payload[i + 1], int.from_bytes(payload[i + 2 : i + 4], "big")
+            if marker in (0xC0, 0xC1, 0xC2):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return {
+                    "n_bytes": n, "width": w, "height": h, "n_frames": 1,
+                    "format": "image/jpeg",
+                }
+            i += 2 + seglen
+        return None
+    if n >= 44 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk chunks for fmt (block align) and data (payload size)
+        i, block_align, data_size = 12, None, None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            csize = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 22 <= n:
+                block_align = int.from_bytes(payload[i + 20 : i + 22], "little")
+            elif cid == b"data":
+                data_size = csize
+            i += 8 + csize + (csize % 2)
+        if block_align and data_size is not None:
+            return {
+                "n_bytes": n, "width": 0, "height": 0,
+                "n_frames": data_size // block_align, "format": "audio/wav",
+            }
+    return None
+
+
 def decode_media_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (doc_id, payload binary) -> metadata rows.
-    Arrow-batched; one Python crossing per ~10k rows, not per row."""
+    Arrow-batched; one Python crossing per ~10k rows, not per row.
+    Real container headers (PNG/GIF/JPEG/WAV) parse for real; anything
+    else goes through the deterministic stub codec."""
     for pdf in batches:
-        metas = [fake_decode(p) for p in pdf["payload"]]
+        metas = [parse_media_header(p) or fake_decode(p) for p in pdf["payload"]]
         out = pd.DataFrame(metas)
         out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out[["doc_id", "n_bytes", "width", "height", "n_frames", "format"]]

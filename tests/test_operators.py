@@ -311,3 +311,32 @@ def test_ngram_jaccard_hot_shingle_cutoff(spark):
 
     no_cut = ngram_jaccard_pairs(df, df_cutoff=10**9)
     assert no_cut.count() == n * (n - 1) // 2 + 1  # quadratic blowup without it
+
+
+def test_media_header_parsing_real_formats(spark):
+    """The decode kernel extracts REAL metadata from PNG/GIF/JPEG/WAV
+    headers (pure byte arithmetic, no media libs); unrecognized
+    payloads fall back to the deterministic stub codec. Driven through
+    the same Arrow-batched mapInPandas path as the query."""
+    import struct
+
+    from porcupine_spark.operators.multimodal import META_SCHEMA, decode_media_meta
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 20
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    jpeg = (b"\xff\xd8" + b"\xff\xe0\x00\x10JFIF" + b"\x00" * 10
+            + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 240, 360) + b"\x00" * 12 + b"\xff\xd9")
+    wav = (b"RIFF" + struct.pack("<I", 36 + 800) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+           + b"data" + struct.pack("<I", 800) + b"\x00" * 800)
+    other = b"not a media file"
+
+    rows = [(1, png), (2, gif), (3, jpeg), (4, wav), (5, other)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in df.mapInPandas(decode_media_meta, schema=META_SCHEMA).collect()}
+
+    assert (out[1].width, out[1].height, out[1].format) == (640, 480, "image/png")
+    assert (out[2].width, out[2].height, out[2].format) == (320, 200, "image/gif")
+    assert (out[3].width, out[3].height, out[3].format) == (360, 240, "image/jpeg")
+    assert (out[4].n_frames, out[4].format) == (200, "audio/wav")  # 800 bytes / 4 block align
+    assert out[5].format == "fake/v1"  # stub fallback
