@@ -562,22 +562,31 @@ NEARDUP_MARGIN = 1e-6
     "embedding_neardup_lsh (same verify stage, banded-LSH candidates).",
 )
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_raw = load_table(spark, sf_dir, "embeddings", widen=False).select(
+        "vec_id", "embedding", "label"
+    )
+    cand = block_pair_candidates(emb_raw)
+    return _neardup_verify(cand, emb_raw)
+
+
+def block_pair_candidates(
+    emb_raw: DataFrame, thresh: float = NEARDUP_T - NEARDUP_MARGIN,
+    rows_per_block: int = 4096,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs with approx cosine >= thresh, via
+    the distributed block-pair decomposition (see embedding_neardup
+    doc). Exposed for equivalence testing against brute force."""
     import math
 
     import numpy as np
     import pandas as pd
 
-    emb_raw = load_table(spark, sf_dir, "embeddings", widen=False).select(
-        "vec_id", "embedding", "label"
-    )
-
     # Block count: >=8 keeps 36+ groups of parallelism even on tiny
-    # inputs; ceil(N/4096) bounds per-task memory to ~2*4096 vectors at
-    # any corpus size. N is one count() scalar — the only driver-side
-    # value this operator ever materializes.
+    # inputs; ceil(N/rows_per_block) bounds per-task memory to
+    # ~2*rows_per_block vectors at any corpus size. N is one count()
+    # scalar — the only driver-side value this operator materializes.
     n = emb_raw.count()
-    n_blocks = max(8, math.ceil(n / 4096))
-    thresh = NEARDUP_T - NEARDUP_MARGIN
+    n_blocks = max(8, math.ceil(n / rows_per_block))
 
     # Each vector lands in block hash(vec_id)%B and is shipped to every
     # block pair (min(b,j), max(b,j)) for j in 0..B-1 — exactly B groups
@@ -615,8 +624,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"id_a": np.minimum(ia, ib), "id_b": np.maximum(ia, ib)}
         )
 
-    cand = rep.groupBy("lo", "hi").applyInPandas(pair_cands, schema="id_a long, id_b long")
-    return _neardup_verify(cand, emb_raw)
+    return rep.groupBy("lo", "hi").applyInPandas(pair_cands, schema="id_a long, id_b long")
 
 
 def dot_double(a: Column, b: Column) -> Column:

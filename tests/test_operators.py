@@ -340,3 +340,38 @@ def test_media_header_parsing_real_formats(spark):
     assert (out[3].width, out[3].height, out[3].format) == (360, 240, "image/jpeg")
     assert (out[4].n_frames, out[4].format) == (200, "audio/wav")  # 800 bytes / 4 block align
     assert out[5].format == "fake/v1"  # stub fallback
+
+
+def test_block_pair_candidates_equal_bruteforce(spark):
+    """The block-pair decomposition finds EXACTLY the brute-force
+    candidate set — every unordered vector pair meets in exactly one
+    applyInPandas group (no pair missed across blocks, none counted
+    twice), at any block count."""
+    import numpy as np
+
+    from porcupine_spark.operators.similarity import block_pair_candidates
+
+    rng = np.random.default_rng(7)
+    n, d = 80, 8
+    mat = rng.normal(size=(n, d))
+    # plant near-dups: vectors 70..79 are tiny perturbations of 0..9
+    mat[70:] = mat[:10] + rng.normal(scale=1e-3, size=(10, d))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # brute force in numpy on the SAME float32-rounded data Spark holds
+    m32 = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    m32 = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    sims = m32 @ m32.T
+    thresh = 0.9
+    expect = {
+        (i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= thresh
+    }
+    assert len(expect) >= 10  # the planted pairs are present
+
+    for rpb in (4096, 16):  # one-block-ish and many-block regimes
+        got = {
+            (r.id_a, r.id_b)
+            for r in block_pair_candidates(df, thresh=thresh, rows_per_block=rpb).collect()
+        }
+        assert got == expect, f"rows_per_block={rpb}"
