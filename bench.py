@@ -118,8 +118,11 @@ def main() -> int:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    with open(detail_path, "w") as fh:
-        json.dump(detail, fh, indent=1)
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:  # read-only checkout: the stdout line must still emit
+        pass
 
     out = {
         "metric": "total_query_wall_seconds",

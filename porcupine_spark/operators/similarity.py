@@ -315,6 +315,87 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_centroids(emb: DataFrame, k: int, mode: str = "first") -> DataFrame:
+    """(cid, cent_e) centroid provider for IVF bucketing.
+
+    - ``first``: deterministic first-k by vec_id — what the oracled
+      ivf_topk query uses (cross-engine reproducible);
+    - ``kmeans``: pyspark.ml KMeans trained on the corpus — the
+      production choice at scale (better-balanced buckets => better
+      recall per probe). Swapping providers changes nothing downstream:
+      assignment, probing and scoring are centroid-agnostic.
+    """
+    if mode == "first":
+        return emb.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_e")
+        )
+    if mode != "kmeans":
+        raise ValueError(f"unknown centroid mode {mode!r}")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=7, maxIter=10).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(rows, "cid long, cent_e array<float>")
+
+
+def ivf_topk_generic(
+    emb: DataFrame, centroids: DataFrame, query_ids, k: int = 5, probes: int = 2
+) -> DataFrame:
+    """Generic IVF top-k over ANY centroid set (all-double scoring — the
+    production fast path; the oracled ivf_topk query layers the
+    exact-decimal discipline on top of the same shape):
+
+    1. every vector joins the broadcast centroid table, keeps its
+       top-1 bucket (queries: top-``probes``) by cosine;
+    2. queries meet bucket members in a bucket equi-join (shuffles on
+       cid — never a cross product);
+    3. per-query top-k by a window over the scored candidates.
+    """
+    vecs = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("vn"),
+    )
+    cent = centroids.select(
+        "cid", "cent_e",
+        F.sqrt(dot_double(F.col("cent_e"), F.col("cent_e"))).alias("cn"),
+    )
+    sim = dot_double(F.col("embedding"), F.col("cent_e")) / (F.col("vn") * F.col("cn"))
+    assign_w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    ranked = (
+        vecs.join(F.broadcast(cent), how="cross")
+        .select("vec_id", "embedding", "vn", "cid", sim.alias("sim"))
+        .withColumn("arn", F.row_number().over(assign_w))
+    )
+    is_query = F.col("vec_id").isin([int(q) for q in query_ids])
+    buckets = ranked.filter(F.col("arn") == 1).select("vec_id", "embedding", "vn", "cid")
+    probes_df = ranked.filter(is_query & (F.col("arn") <= probes)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("vn").alias("qn"), "cid",
+    )
+    scored = (
+        buckets.join(F.broadcast(probes_df), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot_double(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
+        )
+        .distinct()  # a neighbor probed via 2 buckets appears once
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 LSH_PLANES = 32  # hyperplane count = signature bits
 LSH_BAND_BITS = 8  # 4 bands of 8 bits
 LSH_DIM = 64  # embedding dimensionality (fixed in the corpus)
