@@ -252,3 +252,48 @@ def test_stream_to_dataset_foreachbatch(spark, sf_dir, tmp_path):
     want = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
     assert back.count() == want
     assert "epoch" in back.columns  # partition column visible for audit
+
+
+def test_stream_restart_recovery_exactly_once(spark, tmp_path):
+    """Checkpoint-backed restart: a second run of the same stream (same
+    checkpointLocation) must process ONLY files that arrived since the
+    first run — no reprocessing, no duplicates, across query restarts.
+    This is the foreachBatch + epoch-idempotent-layout contract under
+    the failure mode that matters in production."""
+    from porcupine_spark.catalog import Catalog, Dataset
+    from porcupine_spark.serials import SerialSet, parquet_serial
+    from porcupine_spark.streaming.sinks import stream_to_dataset
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def put_file(name, lo, hi, tag):
+        tbl = pa.table(
+            {"id": pa.array(range(lo, hi), pa.int64()),
+             "v": [f"{tag}{i}" for i in range(lo, hi)]}
+        )
+        pq.write_table(tbl, str(src / name))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    put_file("batch1.parquet", 0, 10, "a")
+
+    bound = Catalog([Dataset.sink("out", SerialSet(parquet_serial()))]).bind(
+        str(tmp_path), {"out": str(tmp_path / "out.parquet")}
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("id long, v string").parquet(str(src))
+        stream_to_dataset(stream, bound, "out", ckpt)
+
+    run_once()
+    first = spark.read.parquet(str(tmp_path / "out.parquet"))
+    assert first.count() == 10
+
+    # new data arrives; the restarted query must pick up ONLY this file
+    put_file("batch2.parquet", 10, 15, "b")
+    run_once()
+    both = spark.read.parquet(str(tmp_path / "out.parquet"))
+    assert both.count() == 15  # no duplicates of batch1
+    assert both.select("id").distinct().count() == 15
