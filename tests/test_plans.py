@@ -168,3 +168,42 @@ def test_dedup_keep_canonical_broadcast_anti(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_keep_canonical")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """write_partitioned layouts must partition-prune: a filter on the
+    partition key reaches the scan as a PartitionFilter (no data files
+    outside the selected partition are touched) with zero DataFilters
+    — at 100 TB this is the difference between reading one partition
+    and reading the lake."""
+    from porcupine_spark.catalog import Catalog, Dataset
+    from porcupine_spark.run import run_pipeline
+    from porcupine_spark.serials import SerialSet, parquet_serial
+    from porcupine_spark.task import arr, load
+    from porcupine_spark.task_ext import write_partitioned
+
+    c = Catalog(
+        [
+            Dataset.source("inp", SerialSet(parquet_serial())),
+            Dataset.sink("outp", SerialSet(parquet_serial())),
+        ]
+    )
+    src = f"{tmp_path}/in.parquet"
+    spark.createDataFrame(
+        [(i % 4, i) for i in range(100)], "part long, x long"
+    ).write.parquet(src)
+    run_pipeline(
+        load("inp") >> arr(lambda df: df) >> write_partitioned("outp", "part"),
+        c,
+        spark,
+        root=str(tmp_path),
+        mappings={"inp": src, "outp": f"{tmp_path}/out.parquet"},
+    )
+    back = spark.read.parquet(f"{tmp_path}/out.parquet").filter("part = 3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "part" in m.group(1) and "3" in m.group(1), plan[:500]
+    assert re.search(r"DataFilters: \[\]", plan), "filter should be partition-only"
+    assert back.count() == 25
