@@ -95,11 +95,18 @@ class Location:
     path: str
     ext: str | None = None  # None => dataset's default serial
 
+    KNOWN_EXTS = frozenset(
+        {"parquet", "json", "csv", "tsv", "txt", "bin", "yaml", "yml", "orc"}
+    )
+
     @staticmethod
-    def parse(spec: str) -> "Location":
+    def parse(spec: str, known=None) -> "Location":
+        """``known`` extends the recognized extensions with the target
+        dataset's own serial exts, so custom-extension serials (e.g.
+        ``json_serial(ext='jsonl')``) resolve by path suffix instead of
+        falling through to the default serial."""
         base, dot, ext = spec.rpartition(".")
-        known = {"parquet", "json", "csv", "tsv", "txt", "bin", "yaml", "yml"}
-        if dot and ext in known:
+        if dot and (ext in Location.KNOWN_EXTS or (known and ext in known)):
             return Location(spec, ext)
         return Location(spec, None)
 
@@ -240,7 +247,7 @@ class Catalog:
             if nulled:
                 bound[name] = None
                 continue
-            locs = [Location.parse(p) for p in layers]
+            locs = [Location.parse(p, known=ds.serials.exts()) for p in layers]
             if not explicit_leaf:
                 # derived leaves take the dataset's default extension
                 # (the reference derives name+ext from the tree)

@@ -304,3 +304,23 @@ def test_nested_tree_folder_inheritance(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], "id long, v string")
     bound.write(df, "sub/deep/b")
     assert bound.read(spark, "sub/deep/b").count() == 1
+
+
+def test_custom_ext_resolves_by_suffix(spark, tmp_path):
+    """A dataset with a custom-extension serial (jsonl) bound to a
+    matching path must resolve THAT serial by suffix — not fall through
+    to the default (which would silently read jsonl as parquet)."""
+    from porcupine_spark.serials import json_serial
+
+    c = Catalog([Dataset("d", SerialSet(parquet_serial(), json_serial(ext="jsonl")))])
+    bound = c.bind(str(tmp_path), {"d": str(tmp_path / "d.jsonl")})
+    loc = bound.locations("d")[0]
+    assert loc.ext == "jsonl"
+    df = spark.createDataFrame([(1, "a")], "id long, v string").coalesce(1)
+    bound.write(df, "d")
+    # the payload on disk is actual JSON lines, not parquet
+    import glob
+
+    payload = "".join(open(p).read() for p in glob.glob(f"{tmp_path}/d.jsonl/part*"))
+    assert payload.startswith("{")
+    assert bound.read(spark, "d").collect()[0].v == "a"
