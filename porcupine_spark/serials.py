@@ -181,10 +181,7 @@ class YamlSerial(Serial):
     """
 
     def read(self, spark: SparkSession, path: str, schema=None) -> DataFrame:
-        import json as _json
-
         import pandas as pd
-        import yaml
 
         # NB: the option must ride the text() kwarg — DataFrameReader
         # .option("wholeText")...text() drops it in pyspark classic
@@ -192,16 +189,9 @@ class YamlSerial(Serial):
 
         def to_json_lines(batches):
             for pdf in batches:
-                out = []
-                for doc in pdf["value"]:
-                    for rec in yaml.safe_load_all(doc):
-                        if rec is None:
-                            continue
-                        if isinstance(rec, list):  # one doc holding a list of records
-                            out.extend(_json.dumps(r) for r in rec)
-                        else:
-                            out.append(_json.dumps(rec))
-                yield pd.DataFrame({"value": out})
+                yield pd.DataFrame(
+                    {"value": [j for doc in pdf["value"] for j in yaml_stream_to_json_lines(doc)]}
+                )
 
         jlines = raw.mapInPandas(to_json_lines, schema="value string")
         if schema is not None:
@@ -214,7 +204,6 @@ class YamlSerial(Serial):
 
     def write(self, df: DataFrame, path: str, mode: str = "overwrite") -> None:
         import pandas as pd
-        import yaml
 
         if self.pre_write:
             df = self.pre_write(df)
@@ -222,15 +211,35 @@ class YamlSerial(Serial):
         def to_yaml_docs(batches):
             for pdf in batches:
                 yield pd.DataFrame(
-                    {
-                        "value": [
-                            "---\n" + yaml.safe_dump(rec, sort_keys=False).rstrip("\n")
-                            for rec in pdf.to_dict("records")
-                        ]
-                    }
+                    {"value": [record_to_yaml_doc(rec) for rec in pdf.to_dict("records")]}
                 )
 
         df.mapInPandas(to_yaml_docs, schema="value string").write.mode(mode).text(path)
+
+
+def record_to_yaml_doc(rec: dict) -> str:
+    """One row as a ``---``-prefixed YAML document (the write kernel)."""
+    import yaml
+
+    return "---\n" + yaml.safe_dump(rec, sort_keys=False, allow_unicode=True).rstrip("\n")
+
+
+def yaml_stream_to_json_lines(doc: str) -> list[str]:
+    """A (multi-)document YAML stream as JSON strings, one per record
+    (the read kernel); a top-level list doc yields one per element."""
+    import json as _json
+
+    import yaml
+
+    out: list[str] = []
+    for rec in yaml.safe_load_all(doc):
+        if rec is None:
+            continue
+        if isinstance(rec, list):
+            out.extend(_json.dumps(r) for r in rec)
+        else:
+            out.append(_json.dumps(rec))
+    return out
 
 
 def yaml_serial(ext: str = "yaml") -> Serial:

@@ -324,3 +324,36 @@ def test_custom_ext_resolves_by_suffix(spark, tmp_path):
     payload = "".join(open(p).read() for p in glob.glob(f"{tmp_path}/d.jsonl/part*"))
     assert payload.startswith("{")
     assert bound.read(spark, "d").collect()[0].v == "a"
+
+
+def test_yaml_kernel_roundtrip_property():
+    """Property: any record of ints/floats/strings (newlines, colons,
+    quotes, unicode, YAML-ish keywords) survives the YAML write/read
+    kernels byte-exactly. Pure-python kernels — no Spark job per
+    example, so hypothesis can actually explore."""
+    import json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from porcupine_spark.serials import record_to_yaml_doc, yaml_stream_to_json_lines
+
+    text = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+    )
+    record = st.fixed_dictionaries(
+        {
+            "id": st.integers(min_value=-(2**62), max_value=2**62),
+            "v": text,
+            "x": st.floats(allow_nan=False, allow_infinity=False, width=64),
+        }
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(record, min_size=1, max_size=5))
+    def run(recs):
+        stream = "\n".join(record_to_yaml_doc(r) for r in recs)
+        back = [json.loads(j) for j in yaml_stream_to_json_lines(stream)]
+        assert back == recs
+
+    run()
