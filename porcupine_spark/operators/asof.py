@@ -30,11 +30,25 @@ def asof_join(
     right_ts: str,
     right_order: str,
     payload_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every ``left`` row, attach the latest ``right`` payload with
-    ``right_ts <= left_ts`` and the same ``on`` key (ties on right_ts
-    broken by largest ``right_order``). Returns left columns + payloads
-    (null when no right row precedes)."""
+    """For every ``left`` row, attach one ``right`` payload with the
+    same ``on`` key, chosen by ``direction`` (pandas merge_asof's
+    vocabulary):
+
+    - ``backward``: latest right with ``right_ts <= left_ts`` (ties on
+      right_ts broken by largest ``right_order``);
+    - ``forward``: earliest right with ``right_ts >= left_ts`` (ties
+      broken by smallest ``right_order``);
+    - ``nearest``: whichever of the two is closer in time (exact tie ->
+      backward). Timestamp or numeric ts columns.
+
+    Returns left columns + payloads (null when no right row qualifies).
+    All three directions are the same join-free union + ONE
+    key-partitioned window (forward adds a second sort over the same
+    exchange, never a second shuffle)."""
+    from pyspark.sql.types import TimestampType, TimestampNTZType
+
     lcols = left.columns
     l = left.withColumn("__t", F.col(left_ts)).withColumn("__side", F.lit(1))
     for c in payload_cols:
@@ -47,17 +61,72 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     sel = [on, "__t", "__side", "__ord", *[c for c in lcols if c != on], *payload_cols]
     unioned = l.select(*sel).unionByName(r.select(*sel))
-    # right rows sort BEFORE left rows at equal ts => "at or before" includes ties
-    w = (
+    # right-row timestamp, null on left rows: rides the same fill as the
+    # payloads so `nearest` can compare actual match distances
+    unioned = unioned.withColumn(
+        "__rt", F.when(F.col("__side") == 0, F.col("__t"))
+    )
+    keep = [on, "__side", *[c for c in lcols if c != on]]
+
+    # backward: right rows sort BEFORE left rows at equal ts => "at or
+    # before" includes ties; last() walks back to the newest right
+    wb = (
         W.partitionBy(on)
         .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__ord").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        *[F.col(c) for c in [on, "__side", *[c for c in lcols if c != on]]],
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    # forward: left rows sort BEFORE right rows at equal ts => the
+    # frame starting at the current row still sees same-ts rights;
+    # first() grabs the oldest qualifying right
+    wf = (
+        W.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__side").desc(), F.col("__ord").asc_nulls_last())
+        .rowsBetween(0, W.unboundedFollowing)
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+
+    def fill(w, agg):
+        cols = [agg(F.col(c), ignorenulls=True).over(w).alias(f"{c}") for c in payload_cols]
+        rt = agg(F.col("__rt"), ignorenulls=True).over(w).alias("__mt")
+        return cols, rt
+
+    if direction in ("backward", "forward"):
+        w, agg = (wb, F.last) if direction == "backward" else (wf, F.first)
+        cols, _ = fill(w, agg)
+        filled = unioned.select(*[F.col(c) for c in keep], *cols)
+        return filled.filter(F.col("__side") == 1).drop("__side")
+    if direction != "nearest":
+        raise ValueError(f"unknown direction {direction!r}")
+
+    bcols, brt = fill(wb, F.last)
+    fcols, frt = fill(wf, F.first)
+    both = unioned.select(
+        *[F.col(c) for c in keep],
+        F.col("__t"),
+        *[c.alias(f"__b_{payload_cols[i]}") for i, c in enumerate(bcols)],
+        brt.alias("__bt"),
+        *[c.alias(f"__f_{payload_cols[i]}") for i, c in enumerate(fcols)],
+        frt.alias("__ft"),
+    )
+
+    def as_num(col):
+        dt = dict(unioned.dtypes).get("__t")
+        if isinstance(unioned.schema["__t"].dataType, (TimestampType, TimestampNTZType)):
+            return F.unix_micros(col)
+        return col.cast("double")
+
+    dist_b = as_num(F.col("__t")) - as_num(F.col("__bt"))
+    dist_f = as_num(F.col("__ft")) - as_num(F.col("__t"))
+    use_backward = F.col("__ft").isNull() | (
+        F.col("__bt").isNotNull() & (dist_b <= dist_f)
+    )
+    picked = both.select(
+        *[F.col(c) for c in keep],
+        *[
+            F.when(use_backward, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )
+    return picked.filter(F.col("__side") == 1).drop("__side")
 
 
 @query(

@@ -420,3 +420,35 @@ def test_ivf_generic_with_kmeans_centroids(spark, sf_dir):
         got = [n for _, n, _ in sorted(by_q[q])]
         hits += true_top1 in got
     assert hits >= 3
+
+
+def test_asof_join_directions(spark):
+    """forward / nearest directions (pandas merge_asof vocabulary),
+    same join-free union+window machinery; nearest breaks exact ties
+    backward."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (1, 300)], "user_id long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1, 9.0), (1, 210, 2, 21.0), (1, 300, 3, 30.0)],
+        "user_id long, rts long, rid long, rv double",
+    )
+
+    def run(direction):
+        out = asof_join(
+            left, right, on="user_id", left_ts="lts", right_ts="rts",
+            right_order="rid", payload_cols=["rid", "rv"], direction=direction,
+        )
+        return {r.lts: r.rid for r in out.collect()}
+
+    assert run("backward") == {100: 1, 205: 1, 300: 3}
+    assert run("forward") == {100: 2, 205: 2, 300: 3}
+    # 205: backward dist 115 vs forward dist 5 -> forward; 100: dist 10
+    # back vs 110 fwd -> backward; 300 exact on both -> backward rule
+    assert run("nearest") == {100: 1, 205: 2, 300: 3}
+
+    # single shuffle even for nearest (two windows share the exchange)
+    out = asof_join(left, right, on="user_id", left_ts="lts", right_ts="rts",
+                    right_order="rid", payload_cols=["rid"], direction="nearest")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
