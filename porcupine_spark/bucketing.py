@@ -47,3 +47,24 @@ def shuffle_exchanges_in_plan(df: DataFrame) -> int:
     exchanges are not shuffles and are not counted."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange hashpartitioning") + plan.count("Exchange rangepartitioning")
+
+
+def write_sorted(
+    df: DataFrame, path: str, cols: str | list[str], files_hint: int | None = None
+) -> None:
+    """Range-partitioned, sorted parquet layout for DATA SKIPPING: rows
+    are range-partitioned then sorted within partitions on ``cols``, so
+    each output file covers a narrow, near-disjoint value range and its
+    parquet footer min/max statistics let a filtered scan skip whole
+    files/row-groups. At 100 TB this is the difference between reading
+    one time-slice and reading the lake — the open-table-format
+    "OPTIMIZE ... ZORDER"-lite for a single sort dimension, in plain
+    Spark. One shuffle at write time (the range exchange), paid once.
+    """
+    keys = [cols] if isinstance(cols, str) else list(cols)
+    out = df
+    if files_hint:
+        out = out.repartitionByRange(files_hint, *keys)
+    else:
+        out = out.repartitionByRange(*keys)
+    out.sortWithinPartitions(*keys).write.mode("overwrite").parquet(path)

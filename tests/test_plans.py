@@ -207,3 +207,35 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert m and "part" in m.group(1) and "3" in m.group(1), plan[:500]
     assert re.search(r"DataFilters: \[\]", plan), "filter should be partition-only"
     assert back.count() == 25
+
+
+def test_write_sorted_layout_enables_data_skipping(spark, tmp_path):
+    """write_sorted must produce files whose parquet footer min/max
+    ranges are near-disjoint (each file covers a narrow slice), so a
+    selective filter — pushed to the scan — can skip most files at
+    planning/read time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from porcupine_spark.bucketing import write_sorted
+
+    df = spark.range(0, 40_000).selectExpr("id AS k", "id % 7 AS v")
+    p = f"{tmp_path}/sorted"
+    write_sorted(df, p, "k", files_hint=8)
+
+    ranges = []
+    for f in sorted(glob.glob(f"{p}/part*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+    back = spark.read.parquet(p).filter("k >= 39000")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,39000)]" in plan
+    assert back.count() == 1000
