@@ -170,3 +170,99 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["view_id", "view_value"],
     )
     return out.select("event_id", "user_id", "view_id", "view_value")
+
+
+@query(
+    "asof_purchase_next_view",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    ),
+    ranked AS (
+      SELECT p.event_id, v.view_id, v.view_value,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts ASC, v.view_id ASC) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+    )
+    SELECT p.event_id, p.user_id, r.view_id, r.view_value
+    FROM p LEFT JOIN (SELECT event_id, view_id, view_value FROM ranked WHERE rn = 1) r
+      ON r.event_id = p.event_id
+    """,
+    tags=("asof", "window"),
+    doc="Forward as-of: each purchase gets the EARLIEST at-or-after view "
+    "of the same user (merge_asof direction='forward'). Same join-free "
+    "union+window plan; oracle by correlated rank.",
+)
+def asof_purchase_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="view_id", payload_cols=["view_id", "view_value"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "view_id", "view_value")
+
+
+@query(
+    "asof_purchase_nearest_view",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    ),
+    b AS (
+      SELECT event_id, view_id, view_value, vts FROM (
+        SELECT p.event_id, v.view_id, v.view_value, v.ts AS vts,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.view_id DESC) AS rn
+        FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+      ) WHERE rn = 1
+    ),
+    f AS (
+      SELECT event_id, view_id, view_value, vts FROM (
+        SELECT p.event_id, v.view_id, v.view_value, v.ts AS vts,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY v.ts ASC, v.view_id ASC) AS rn
+        FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts
+      ) WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN f.vts IS NULL OR (b.vts IS NOT NULL AND
+                     (p.ts - b.vts) <= (f.vts - p.ts))
+                THEN b.view_id ELSE f.view_id END AS view_id,
+           CASE WHEN f.vts IS NULL OR (b.vts IS NOT NULL AND
+                     (p.ts - b.vts) <= (f.vts - p.ts))
+                THEN b.view_value ELSE f.view_value END AS view_value
+    FROM p
+    LEFT JOIN b ON b.event_id = p.event_id
+    LEFT JOIN f ON f.event_id = p.event_id
+    """,
+    tags=("asof", "window"),
+    doc="Nearest as-of: each purchase gets whichever same-user view is "
+    "closer in time, exact tie -> backward (merge_asof "
+    "direction='nearest'). One key-partitioned exchange serves both "
+    "window passes.",
+)
+def asof_purchase_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        right_order="view_id", payload_cols=["view_id", "view_value"],
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "view_id", "view_value")
