@@ -30,6 +30,7 @@ REPRESENTATIVE = [
     "range_join_error_burst",  # events loader + range join
     "events_props_json",  # events JSON props
     "asof_purchase_last_view",  # as-of join
+    "asof_purchase_nearest_view",  # as-of nearest direction
     "sessionize_events",  # sessionization
     "dedup_exact",  # exact dedup
     "dedup_ngram_jaccard",  # inverted-index jaccard + DF cutoff
