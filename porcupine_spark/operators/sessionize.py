@@ -137,3 +137,45 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("reached_purchase").alias("n_view_click_purchase"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@query(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events
+    )
+    SELECT f.cohort_week AS cohort_week,
+           CAST(DATEDIFF('week', f.cohort_week, a.activity_week) AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort"),
+    doc="Weekly retention cohorts: users grouped by first-seen week, "
+    "counted in each later activity week (offset in weeks). Two "
+    "user-keyed aggregations + one join on user_id + one small final "
+    "agg — every shuffle moves one row per user(-week), never raw "
+    "events; the cohort matrix itself is tiny at any corpus size.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("activity_week")).distinct()
+    # offset must be CALENDAR weeks between week-starts (DuckDB
+    # datediff('week')), not elapsed-days/7: integer weeks between
+    # Monday-truncated timestamps are exactly datediff(day)/7
+    offset = (
+        F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
