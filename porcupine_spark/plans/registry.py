@@ -97,12 +97,12 @@ WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_sliding_counts",
     "stream_stream_join",
     "stream_dedup",
+    "stream_session_agg",
     "stream_stateful_user_stats",
     "q1_pricing_summary",
     "q5_region_revenue",
     "filter_project",
     "orderby_limit",
-    "set_ops",
     "window_rank_lag",
     "topk_per_group",
     "index_range_letter_counts",

@@ -124,3 +124,62 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
     )
+
+
+@query(
+    "stream_session_agg",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP_NS) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTES AS TIMESTAMP_NS) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+    doc="session_window(30m) per user as a REAL streaming query — the "
+    "streaming twin of the batch gap-sessionization. Spark's session "
+    "end is last-event + gap, mirrored in the oracle (MAX(ts) + 30m); "
+    "state is per (user, open session) and on an unbounded source the "
+    "watermark closes sessions and evicts their state.",
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _state_sized_session(spark)
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"session_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
