@@ -218,10 +218,15 @@ class YamlSerial(Serial):
 
 
 def record_to_yaml_doc(rec: dict) -> str:
-    """One row as a ``---``-prefixed YAML document (the write kernel)."""
+    """One row as a ``---``-prefixed YAML document (the write kernel).
+
+    Deliberately NOT ``allow_unicode``: YAML 1.1 treats NEL (U+0085)
+    and the U+2028/29 separators as line breaks, so emitting them raw
+    is lossy (they fold to a space on read — found by the hypothesis
+    round-trip test); the escaped form round-trips every code point."""
     import yaml
 
-    return "---\n" + yaml.safe_dump(rec, sort_keys=False, allow_unicode=True).rstrip("\n")
+    return "---\n" + yaml.safe_dump(rec, sort_keys=False).rstrip("\n")
 
 
 def yaml_stream_to_json_lines(doc: str) -> list[str]:
