@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from porcupine_spark.operators.dedup import SQL_SHINGLES
+from porcupine_spark.operators.dedup import HOT_DF_FLOOR, HOT_DF_FRAC, SQL_SHINGLES
 from porcupine_spark.plans.registry import query
 
 MAX_ROUNDS = 50  # backstop far above any real near-dup graph diameter
@@ -136,10 +136,16 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     "dedup_clusters",
     f"""
     WITH RECURSIVE {SQL_SHINGLES},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    df AS (SELECT shingle, COUNT(*) AS c FROM shingles GROUP BY shingle),
+    keep AS (
+      SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
+      WHERE c <= GREATEST({HOT_DF_FLOOR},
+                          CAST({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents) AS BIGINT))
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-      FROM shingles a JOIN shingles b
+      FROM keep a JOIN keep b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
