@@ -164,18 +164,27 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events; the cohort matrix itself is tiny at any corpus size.",
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts"))
-    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    # join-free: cohort week = min activity week via a window over the
+    # already-distinct (user, week) rows — at scale this saves the
+    # firsts aggregation AND the user-keyed join (no hash tables, no
+    # broadcast dependency); three bounded exchanges total, each moving
+    # one row per user(-week)
     activity = ev.select("user_id", week.alias("activity_week")).distinct()
+    cohort = F.min("activity_week").over(W.partitionBy("user_id"))
     # offset must be CALENDAR weeks between week-starts (DuckDB
     # datediff('week')), not elapsed-days/7: integer weeks between
     # Monday-truncated timestamps are exactly datediff(day)/7
+    with_cohort = activity.select(
+        cohort.alias("cohort_week"), "activity_week"
+    )
     offset = (
         F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
     ).cast("long")
     return (
-        activity.join(firsts, "user_id")
-        .groupBy("cohort_week", offset.alias("week_offset"))
+        with_cohort.groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -239,3 +239,12 @@ def test_write_sorted_layout_enables_data_skipping(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,39000)]" in plan
     assert back.count() == 1000
+
+
+def test_retention_cohorts_join_free(spark, sf_dir):
+    """Cohorts must be the join-free window formulation: exactly 3
+    bounded exchanges (distinct, per-user window, final agg), no join
+    operator anywhere."""
+    plan = plan_of(spark, sf_dir, "retention_cohorts")
+    assert shuffles(plan) == 3
+    assert "Join" not in plan
