@@ -302,3 +302,78 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "source_unigram_l1",
+    f"""
+    WITH t AS (
+      SELECT source, UNNEST({_SQL_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT source, tok, COUNT(*) AS c FROM t GROUP BY source, tok),
+    tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source),
+    freq AS (
+      SELECT cnt.source, tok, c, n
+      FROM cnt JOIN tot ON tot.source = cnt.source
+    ),
+    overlap AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             SUM(LEAST(a.c * b.n, b.c * a.n)) AS s,
+             MAX(a.n) AS na, MAX(b.n) AS nb
+      FROM freq a JOIN freq b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           2 - 2 * (CAST(s AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS l1_distance
+    FROM overlap
+    """,
+    tags=("corpus", "monitoring"),
+    doc="Pairwise L1 distance between the unigram distributions of every "
+    "source pair — the mixture-drift monitor of a curation pipeline. "
+    "Uses the identity L1 = 2 - 2*SUM(min(p,q)) (distributions sum to "
+    "1), so only tokens present in BOTH sources are ever joined: the "
+    "candidate space is bounded by vocab x source-pairs, never "
+    "documents. Divisions are IEEE exact-rounded identically on both "
+    "engines and the min-mass sums in exact decimal, so distances are "
+    "bit-identical to the oracle.",
+)
+def source_unigram_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
+    # EXACT integer arithmetic end to end: min(ca/na, cb/nb) picked by
+    # cross-multiplied int64 comparison and summed SCALED by the common
+    # denominator (sum(min(ca*nb, cb*na)); one IEEE division at the
+    # very end. No double->decimal casts anywhere — engines round those
+    # differently for arbitrary doubles (measured: Spark half-up vs
+    # DuckDB truncation at digit 18), while int64 math and a single
+    # correctly-rounded division are bit-identical everywhere.
+    freq = cnt.join(F.broadcast(tot), "source").select("source", "tok", "c", "n")
+    a = freq.select(
+        F.col("source").alias("source_a"), "tok",
+        F.col("c").alias("ca"), F.col("n").alias("na"),
+    )
+    b = freq.select(
+        F.col("source").alias("source_b"), "tok",
+        F.col("c").alias("cb"), F.col("n").alias("nb"),
+    )
+    overlap = (
+        a.join(b, ["tok"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.least(F.col("ca") * F.col("nb"), F.col("cb") * F.col("na"))).alias("s"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
+    )
+    return overlap.select(
+        "source_a",
+        "source_b",
+        (
+            F.lit(2.0)
+            - F.lit(2.0)
+            * (F.col("s").cast("double") / (F.col("na") * F.col("nb")).cast("double"))
+        ).alias("l1_distance"),
+    )
