@@ -38,6 +38,8 @@ REPRESENTATIVE = [
     "cosine_topk",  # brute-force ANN baseline
     "embedding_neardup_lsh",  # LSH near-dup (scale path)
     "tfidf_top_terms",  # corpus stats
+    "source_unigram_l1",  # exact-int64 distribution drift
+    "dedup_keep_canonical",  # keep-first canonical corpus
     "text_stats",  # per-row text metrics
 ]
 
