@@ -5,12 +5,10 @@
 ``porcupine_spark.plans.registry`` (one per implemented operator from
 SURVEY.md §2 plus the large-scale curation operators).
 
-Ordering: the registry exposes the curation suite (dedup / similarity
-/ text / corpus / streaming) first — see ``registry.WINDOW_PRIORITY``
-— so a checker that samples a prefix of ``queries()`` covers the
-flagship operators; the TPC-H shapes that follow are additionally
-verified in-repo by ``tools/verify_oracles.py`` (full sweep) and
-``tests/test_oracles.py`` (per-run representative subset).
+Ordering: plain registration order (module import order, then source
+order) — no curation.  Every query, not just a sampled subset, is
+additionally verified in-repo by ``tools/verify_oracles.py`` (full
+sweep) and ``tests/test_oracles.py`` (per-run representative subset).
 """
 
 from __future__ import annotations

@@ -201,24 +201,32 @@ class Catalog:
                 f"(catalog has {target.names()})"
             )
 
-        def apply_shortcuts(specs: list[str], inherited: list[str]) -> list[str]:
+        def apply_shortcuts(
+            specs: list[str], inherited: list[str]
+        ) -> list[tuple[str, bool]]:
             """Location shortcuts (Mappings.hs:142-160): '_' derives the
             whole location from the tree (keep inherited), '_.ext'
             overrides only the extension, '_rel/path' appends to the
             inherited prefix; anything else is a fully-specified
-            location replacing the inherited layers."""
-            out: list[str] = []
+            location replacing the inherited layers.  Returns
+            ``(path, bare)`` pairs: ``bare`` marks outputs of a bare
+            ``'_'`` spec, which stay fully tree-derived — a leaf bound
+            with ``'_'`` must be identical to an unmapped leaf, so those
+            outputs still receive the dataset's default extension."""
+            out: list[tuple[str, bool]] = []
             for s in specs:
                 if s == "_":
-                    out.extend(inherited)
+                    out.extend((p, True) for p in inherited)
                 elif s.startswith("_"):
                     rel = s[1:]
                     if rel.startswith("."):
-                        out.extend(p + rel for p in inherited)
+                        out.extend((p + rel, False) for p in inherited)
                     else:
-                        out.extend(os.path.join(p, rel.lstrip("/")) for p in inherited)
+                        out.extend(
+                            (os.path.join(p, rel.lstrip("/")), False) for p in inherited
+                        )
                 else:
-                    out.append(s)
+                    out.append((s, False))
             return out
 
         for name, ds in target._ds.items():
@@ -231,6 +239,7 @@ class Catalog:
             segs = name.split("/")
             layers = [root]
             explicit_leaf = False
+            leaf_bare: list[bool] | None = None
             nulled = False
             path_so_far = ""
             for i, seg in enumerate(segs):
@@ -242,20 +251,26 @@ class Catalog:
                         nulled = True
                         break
                     specs = spec if isinstance(spec, list) else [spec]
-                    layers = apply_shortcuts(specs, layers)
-                    explicit_leaf = i == len(segs) - 1
+                    pairs = apply_shortcuts(specs, layers)
+                    layers = [p for p, _ in pairs]
+                    if i == len(segs) - 1:
+                        explicit_leaf = True
+                        leaf_bare = [b for _, b in pairs]
             if nulled:
                 bound[name] = None
                 continue
             locs = [Location.parse(p, known=ds.serials.exts()) for p in layers]
-            if not explicit_leaf:
-                # derived leaves take the dataset's default extension
-                # (the reference derives name+ext from the tree)
-                default_ext = ds.serials.default_ext
-                locs = [
-                    loc if loc.ext is not None else Location(f"{loc.path}.{default_ext}")
-                    for loc in locs
-                ]
+            # derived leaves take the dataset's default extension (the
+            # reference derives name+ext from the tree); outputs of a
+            # bare '_' leaf spec are equally tree-derived and get it too
+            fill = leaf_bare if explicit_leaf else [True] * len(locs)
+            default_ext = ds.serials.default_ext
+            locs = [
+                Location(f"{loc.path}.{default_ext}")
+                if bare and loc.ext is None
+                else loc
+                for loc, bare in zip(locs, fill)
+            ]
             bound[name] = locs
         return BoundCatalog(target, bound, variables)
 

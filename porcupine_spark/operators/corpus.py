@@ -318,13 +318,13 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     overlap AS (
       SELECT a.source AS source_a, b.source AS source_b,
-             SUM(LEAST(a.c * b.n, b.c * a.n)) AS s,
+             SUM(LEAST(CAST(a.c AS HUGEINT) * b.n, CAST(b.c AS HUGEINT) * a.n)) AS s,
              MAX(a.n) AS na, MAX(b.n) AS nb
       FROM freq a JOIN freq b ON b.tok = a.tok AND a.source < b.source
       GROUP BY a.source, b.source
     )
     SELECT source_a, source_b,
-           2 - 2 * (CAST(s AS DOUBLE) / CAST(na * nb AS DOUBLE)) AS l1_distance
+           2 - 2 * (CAST(s AS DOUBLE) / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE)) AS l1_distance
     FROM overlap
     """,
     tags=("corpus", "monitoring"),
@@ -343,12 +343,17 @@ def source_unigram_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.groupBy("source").agg(F.sum("c").alias("n"))
     # EXACT integer arithmetic end to end: min(ca/na, cb/nb) picked by
-    # cross-multiplied int64 comparison and summed SCALED by the common
+    # cross-multiplied comparison and summed SCALED by the common
     # denominator (sum(min(ca*nb, cb*na)); one IEEE division at the
-    # very end. No double->decimal casts anywhere — engines round those
-    # differently for arbitrary doubles (measured: Spark half-up vs
-    # DuckDB truncation at digit 18), while int64 math and a single
-    # correctly-rounded division are bit-identical everywhere.
+    # very end. The cross-multiplied terms are widened to decimal(38,0)
+    # BEFORE the multiply — with per-source token totals n ~ 1e10+ the
+    # product ca*nb exceeds int64, where non-ANSI Spark would wrap
+    # silently while DuckDB errors; decimal keeps it exact to 38 digits
+    # (mirrored with HUGEINT in the oracle). No double->decimal casts
+    # anywhere — engines round those differently for arbitrary doubles
+    # (measured: Spark half-up vs DuckDB truncation at digit 18), while
+    # exact integer math and a single correctly-rounded division are
+    # bit-identical everywhere.
     freq = cnt.join(F.broadcast(tot), "source").select("source", "tok", "c", "n")
     a = freq.select(
         F.col("source").alias("source_a"), "tok",
@@ -363,7 +368,12 @@ def source_unigram_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(
-            F.sum(F.least(F.col("ca") * F.col("nb"), F.col("cb") * F.col("na"))).alias("s"),
+            F.sum(
+                F.least(
+                    F.col("ca").cast("decimal(38,0)") * F.col("nb"),
+                    F.col("cb").cast("decimal(38,0)") * F.col("na"),
+                )
+            ).alias("s"),
             F.max("na").alias("na"),
             F.max("nb").alias("nb"),
         )
@@ -374,6 +384,9 @@ def source_unigram_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.lit(2.0)
             - F.lit(2.0)
-            * (F.col("s").cast("double") / (F.col("na") * F.col("nb")).cast("double"))
+            * (
+                F.col("s").cast("double")
+                / (F.col("na").cast("decimal(38,0)") * F.col("nb")).cast("double")
+            )
         ).alias("l1_distance"),
     )

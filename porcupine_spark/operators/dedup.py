@@ -166,7 +166,7 @@ def ngram_jaccard_pairs(
     keep AS (
       SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
       WHERE c <= GREATEST({HOT_DF_FLOOR},
-                          CAST({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents) AS BIGINT))
+                          CAST(FLOOR({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents)) AS BIGINT))
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
     inter AS (

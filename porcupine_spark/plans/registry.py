@@ -47,71 +47,10 @@ def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = 
     return deco
 
 
-# Exposure order for queries()/oracle_sql(): the grading driver checks a
-# bounded PREFIX of the registry (50 entries in round 1), so the queries
-# whose driver-verified correctness matters most must come first. Order:
-# flagship curation operators (dedup/similarity/corpus), the text suite,
-# events/sessionization, multimodal, upsert, streaming, then one
-# representative per relational op family. Everything after this list
-# follows in registration order (TPC-H variants — shapes already proven
-# green in round 1 and re-proven by the in-repo oracle sweep).
-WINDOW_PRIORITY: tuple[str, ...] = (
-    "dedup_minhash_lsh",
-    "dedup_keep_canonical",
-    "dedup_clusters",
-    "cosine_topk",
-    "ivf_topk",
-    "lsh_topk",
-    "tfidf_top_terms",
-    "sessionize_events",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "simhash_signatures",
-    "simhash_pairs",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
-    "text_stats",
-    "quality_score",
-    "lang_id",
-    "doc_fingerprint",
-    "token_count_bpe",
-    "pii_scrub",
-    "repetition_ratio",
-    "stratified_sample",
-    "contamination_check",
-    "token_diversity",
-    "vocab_top_tokens",
-    "source_mixture_sample",
-    "doc_chunking",
-    "dataset_split_assign",
-    "funnel_view_click_purchase",
-    "asof_purchase_last_view",
-    "range_join_error_burst",
-    "window_sliding_mean",
-    "events_props_json",
-    "media_decode_meta",
-    "media_frame_sample",
-    "merge_upsert_customers",
-    "scd2_customer_segments",
-    "stream_tumbling_agg",
-    "stream_sliding_counts",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_session_agg",
-    "stream_stateful_user_stats",
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "filter_project",
-    "orderby_limit",
-    "window_rank_lag",
-    "topk_per_group",
-    "index_range_letter_counts",
-)
-
-
 def load_all_plans() -> dict[str, QuerySpec]:
     """Import every plan module so its @query decorators run; return the
-    registry in WINDOW_PRIORITY-first order (see comment above)."""
+    registry in plain registration order (module import order, then
+    source order within a module) — no curation of exposure order."""
     # Imports are effectful (registration); keep them in one place so the
     # driver entry file and the tests see an identical registry.
     from porcupine_spark.plans import joins_extra, relational, tpch_extra  # noqa: F401
@@ -128,11 +67,4 @@ def load_all_plans() -> dict[str, QuerySpec]:
     )
     from porcupine_spark.streaming import joins, stateful, windows  # noqa: F401
 
-    ordered: dict[str, QuerySpec] = {}
-    for name in WINDOW_PRIORITY:
-        if name in REGISTRY:
-            ordered[name] = REGISTRY[name]
-    for name, spec in REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = spec
-    return ordered
+    return dict(REGISTRY)

@@ -4,45 +4,67 @@ The reference's only stateful construct is ``FoldA`` over batch
 streams (SURVEY §2.10); this is the additive streaming twin: an
 arbitrary per-key accumulator carried across microbatches, with the
 GroupState API bounding memory (state ages out by timeout — the thing
-a 100 TB unbounded stream demands). Registered as a rows-only query
-(no SQL oracle: emission granularity is per-microbatch, so the final
-rowset depends on batch boundaries — exactly the non-SQL-expressible
-class the contract flags)."""
+a 100 TB unbounded stream demands).
+
+The registered query keeps only each user's FINAL emission, so after
+``processAllAvailable`` the rowset is deterministic (count / exact-
+decimal sum / argmax-by-(ts,event_id) last event per user) and a plain
+``GROUP BY user_id`` DuckDB oracle hash-matches it.  The value sum is
+accumulated in Python ``Decimal`` over values pre-cast to
+decimal(38,6) in Spark SQL — the identical exact-sum-then-one-cast
+recipe that makes ``stream_session_agg`` bit-identical to its oracle
+(engines disagree on IEEE summation order, never on a single
+correctly-rounded decimal->double cast)."""
 
 from __future__ import annotations
 
 import uuid
 from collections.abc import Iterator
-from typing import Any
+from decimal import Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from porcupine_spark.plans.registry import query
 from porcupine_spark.tables import load_events_stream
 
-OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, last_event string"
-STATE_SCHEMA = "n bigint, total double, last string"
+OUT_SCHEMA = (
+    "user_id bigint, n_events bigint, total_value decimal(38,6), last_event string"
+)
+# total is carried as its exact string form: Arrow round-trips strings
+# through the state store losslessly on every Spark version, and
+# Decimal(str) reparses exactly.
+STATE_SCHEMA = "n bigint, total string, last string"
 
 
 def running_user_stats(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Per-user running (count, sum, last-event-type) accumulator."""
+    """Per-user running (count, exact sum, last-event-type) accumulator."""
     if state.exists:
-        n, total, last = state.get
+        n, total_s, last = state.get
+        total = Decimal(total_s)
     else:
-        n, total, last = 0, 0.0, None
+        n, total, last = 0, Decimal(0), None
     for pdf in pdfs:
         pdf = pdf.sort_values(["ts", "event_id"])
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # value arrives as decimal(38,6) => Decimal objects; the sum is
+        # exact and order-independent
+        for v in pdf["value"]:
+            total += v
         if len(pdf):
             last = str(pdf["event_type"].iloc[-1])
-    state.update((n, total, last))
+    state.update((n, str(total), last))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total], "last_event": [last]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "last_event": [last],
+        }
     )
 
 
@@ -50,7 +72,8 @@ def stateful_user_stats(spark: SparkSession, stream: DataFrame) -> DataFrame:
     """Drive the stateful query over a (file-source) stream to
     completion; returns the final per-key emissions."""
     out = (
-        stream.groupBy("user_id")
+        stream.withColumn("value", F.col("value").cast("decimal(38,6)"))
+        .groupBy("user_id")
         .applyInPandasWithState(
             running_user_stats,
             outputStructType=OUT_SCHEMA,
@@ -70,15 +93,33 @@ def stateful_user_stats(spark: SparkSession, stream: DataFrame) -> DataFrame:
 
 @query(
     "stream_stateful_user_stats",
-    None,  # rows-only: emission granularity is per-microbatch
+    """
+    WITH last AS (
+      SELECT user_id, event_type AS last_event FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+    ),
+    agg AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY user_id
+    )
+    SELECT agg.user_id, n_events, total_value, last_event
+    FROM agg JOIN last ON last.user_id = agg.user_id
+    """,
     tags=("streaming", "stateful"),
     doc="Custom stateful streaming operator (applyInPandasWithState): "
-    "per-user running count/sum/last-event across microbatches. "
-    "Rows-only check by design; the batch-equivalence assertion lives "
-    "in tests/test_operators.py.",
+    "per-user running count/sum/last-event across microbatches, keeping "
+    "each user's final emission. Deterministic after "
+    "processAllAvailable, so a plain GROUP BY user_id oracle "
+    "hash-matches; the batch-equivalence assertion additionally lives "
+    "in tests/test_task_ext.py.",
 )
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F, Window as W
+    from pyspark.sql import Window as W
 
     # Stateful cost is dominated by per-partition state-store + Python
     # worker setup; size the state partitioning to the key cardinality
@@ -93,5 +134,13 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result is batch-boundary-insensitive after all data is processed
     w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
-        raw.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select(
+            "user_id",
+            "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
+            "last_event",
+        )
     )

@@ -130,7 +130,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_agg",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
                   THEN 1 ELSE 0 END AS is_new
@@ -139,7 +139,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM flagged

@@ -306,6 +306,32 @@ def test_nested_tree_folder_inheritance(spark, tmp_path):
     assert bound.read(spark, "sub/deep/b").count() == 1
 
 
+def test_bare_underscore_leaf_equals_unmapped(tmp_path):
+    """A leaf mapped to exactly '_' derives the WHOLE location from the
+    tree (Mappings.hs:142-160) — including the default extension — so it
+    binds identically to leaving the leaf unmapped."""
+    c = Catalog(
+        [
+            Dataset("x", SerialSet(parquet_serial())),
+            Dataset("sub/y", SerialSet(parquet_serial(), csv_serial())),
+        ]
+    )
+    mapped = c.bind(str(tmp_path), {"x": "_", "sub/y": "_"})
+    unmapped = c.bind(str(tmp_path))
+    for name in ("x", "sub/y"):
+        assert [loc.path for loc in mapped.locations(name)] == [
+            loc.path for loc in unmapped.locations(name)
+        ]
+    assert mapped.locations("x")[0].path == f"{tmp_path}/x.parquet"
+    # '_' in a layered list: the bare output still gets the default ext,
+    # the fully-specified layer keeps its own
+    layered = c.bind(str(tmp_path), {"sub/y": ["_", f"{tmp_path}/alt/y.csv"]})
+    assert [loc.path for loc in layered.locations("sub/y")] == [
+        f"{tmp_path}/sub/y.parquet",
+        f"{tmp_path}/alt/y.csv",
+    ]
+
+
 def test_custom_ext_resolves_by_suffix(spark, tmp_path):
     """A dataset with a custom-extension serial (jsonl) bound to a
     matching path must resolve THAT serial by suffix — not fall through
