@@ -99,14 +99,30 @@ class Location:
         {"parquet", "json", "csv", "tsv", "txt", "bin", "yaml", "yml", "orc"}
     )
 
+    @property
+    def is_http(self) -> bool:
+        """http(s) URLs are first-class locations (porcupine-http
+        HTTP.hs:58-92: a RemoteFile Loc with GET read / POST write)."""
+        return self.path.startswith(("http://", "https://"))
+
     @staticmethod
     def parse(spec: str, known=None) -> "Location":
         """``known`` extends the recognized extensions with the target
         dataset's own serial exts, so custom-extension serials (e.g.
         ``json_serial(ext='jsonl')``) resolve by path suffix instead of
-        falling through to the default serial."""
-        base, dot, ext = spec.rpartition(".")
-        if dot and (ext in Location.KNOWN_EXTS or (known and ext in known)):
+        falling through to the default serial.  For http(s) URLs the
+        extension is detected on the path part only (query/fragment
+        stripped — HTTP.hs getURLType:139-143 takes getLocType of the
+        URL), while the full URL stays the location path."""
+        probe = spec
+        if spec.startswith(("http://", "https://")):
+            probe = spec.split("?", 1)[0].split("#", 1)[0]
+        base, dot, ext = probe.rpartition(".")
+        if (
+            dot
+            and "/" not in ext
+            and (ext in Location.KNOWN_EXTS or (known and ext in known))
+        ):
             return Location(spec, ext)
         return Location(spec, None)
 
@@ -298,7 +314,15 @@ class BoundCatalog:
                     )
                 continue
             for loc in locs:
-                ds.serials.for_ext(loc.ext)  # raises if no serial for ext
+                serial = ds.serials.for_ext(loc.ext)  # raises if no serial for ext
+                if loc.is_http and serial.format not in ("json", "csv", "text"):
+                    # resolveDataAccess fails ahead-of-time on an
+                    # access/serial mismatch (PorcupineTree.hs:647-697);
+                    # an http body has no filesystem for columnar formats
+                    raise ValueError(
+                        f"dataset {name!r}: http location {loc.path!r} needs a "
+                        f"json/csv/text serial, not {serial.format!r}"
+                    )
 
     def locations(self, name: str) -> list[Location] | None:
         """getLocsMappedTo (VirtualFileAccess.hs:389-405)."""
@@ -347,7 +371,12 @@ class BoundCatalog:
             serial = ds.serials.for_ext(loc.ext)
             path = self._splice(loc.path, variables)
             t0 = time.perf_counter()
-            dfs.append(serial.read(spark, path, ds.schema))
+            if loc.is_http:
+                from porcupine_spark.sources.http import read_url_via_serial
+
+                dfs.append(read_url_via_serial(spark, path, serial, ds.schema))
+            else:
+                dfs.append(serial.read(spark, path, ds.schema))
             # clockVFileAccesses (VirtualFile.hs:400-401): per-access timing.
             # Read timing here covers plan+schema resolution; execution time
             # shows up at action time in the Spark UI / task logs.
@@ -356,6 +385,43 @@ class BoundCatalog:
         for layer_df in dfs[1:]:
             out = out.unionByName(layer_df, allowMissingColumns=True)
         return out
+
+    def read_many(
+        self,
+        spark: SparkSession,
+        name: str,
+        variables_list: list[dict],
+        timeout_s: float = 10.0,
+    ) -> DataFrame:
+        """Distributed repetition read over an http-bound dataset: one
+        spliced URL per variables dict, fetched with the mapInPandas
+        fan-out (the parMapTask-over-loadData topology of
+        ExamplePokeAPI.hs:95-103, but the fetches run on executors, not
+        one-at-a-time on a driver thread). Rows keep a ``url`` column
+        for provenance. JSON serials only — the reference's HTTP APIs
+        are JSON documents; filesystem layers should use ``read`` per
+        index instead."""
+        from porcupine_spark.sources.http import fetch_distributed, json_bodies_to_df
+
+        ds = self.catalog[name]
+        if not ds.readable:
+            raise ValueError(f"{name!r} is a sink (NoRead)")
+        locs = self._bound[name]
+        if not locs:
+            raise ValueError(f"{name!r} is unmapped; read_many needs http layers")
+        loc = locs[-1]  # right-biased: the overriding layer
+        if not loc.is_http:
+            raise ValueError(
+                f"read_many is the http fan-out; {name!r} is bound to {loc.path!r} "
+                "(use read(variables=...) per index for filesystem layers)"
+            )
+        serial = ds.serials.for_ext(loc.ext)
+        if serial.format != "json":
+            raise ValueError(f"read_many decodes JSON bodies, not {serial.format!r}")
+        urls = [self._splice(loc.path, v) for v in variables_list]
+        fetched = fetch_distributed(spark, urls, timeout_s=timeout_s)
+        df = json_bodies_to_df(spark, fetched, schema=ds.schema)
+        return serial.post_read(df) if serial.post_read else df
 
     def read_merged(
         self,
@@ -414,7 +480,12 @@ class BoundCatalog:
             serial = ds.serials.for_ext(loc.ext)
             path = self._splice(loc.path, variables)
             t0 = time.perf_counter()
-            serial.write(df, path, mode=mode)
+            if loc.is_http:
+                from porcupine_spark.sources.http import write_df_to_url
+
+                write_df_to_url(df, path, serial)
+            else:
+                serial.write(df, path, mode=mode)
             _access_log.info("Wrote '%s' in %.3fs", path, time.perf_counter() - t0)
             written.append(path)
         return written

@@ -87,6 +87,75 @@ def json_bodies_to_df(spark: SparkSession, fetched: DataFrame, schema=None) -> D
     return ok.select("url", F.from_json("body_str", inferred).alias("j")).select("url", "j.*")
 
 
+def read_url_via_serial(spark: SparkSession, url: str, serial, schema=None) -> DataFrame:
+    """Read one http(s) location through a dataset's serial — the
+    catalog-bound read path (HTTP.hs:58-92: readBSS streams the body,
+    the serial deserializes it). A single document fetch is driver-side
+    (like a config read); the body is then parallelized so the decode
+    and everything downstream is a normal distributed plan. For
+    many-URL fan-out use ``fetch_distributed`` (BoundCatalog.read_many
+    routes there)."""
+    status, body = fetch_one(url)
+    if not (200 <= status <= 299):
+        raise IOError(f"GET {url} -> HTTP {status}")
+    text = body.decode("utf-8")
+    sc = spark.sparkContext
+    if serial.format == "json":
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in serial.options.items():
+            reader = reader.option(k, v)
+        df = reader.json(sc.parallelize([text]))
+    elif serial.format == "csv":
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        for k, v in serial.options.items():
+            reader = reader.option(k, v)
+        df = reader.csv(sc.parallelize(text.splitlines()))
+    elif serial.format == "text":
+        df = spark.createDataFrame([(line,) for line in text.splitlines()], "value string")
+    else:
+        raise ValueError(
+            f"serial format {serial.format!r} cannot deserialize an http body "
+            "(json/csv/text only — columnar formats need a filesystem location)"
+        )
+    return serial.post_read(df) if serial.post_read else df
+
+
+def write_df_to_url(df: DataFrame, url: str, serial, method: str = "POST") -> None:
+    """Write a DataFrame to one http(s) location through its serial
+    (HTTP.hs:127-153: writeBSS POSTs the serialized document). HTTP
+    sinks are single-document by contract in the reference, so the
+    serialization is driver-side; large distributed posts go through
+    ``post_distributed``."""
+    if serial.pre_write:
+        df = serial.pre_write(df)
+    if serial.format == "json":
+        body = "\n".join(df.toJSON().collect()).encode("utf-8")
+        ctype = "application/json"
+    elif serial.format == "csv":
+        pdf = df.toPandas()
+        sep = serial.options.get("sep", ",")
+        header = serial.options.get("header", "true") == "true"
+        body = pdf.to_csv(index=False, sep=sep, header=header).encode("utf-8")
+        ctype = "text/csv"
+    elif serial.format == "text":
+        col = df.columns[0]
+        body = "\n".join(str(r[col]) for r in df.select(col).collect()).encode("utf-8")
+        ctype = "text/plain"
+    else:
+        raise ValueError(
+            f"serial format {serial.format!r} cannot serialize to an http body"
+        )
+    status, _ = fetch_one(
+        url, method=method, data=body, headers={"Content-Type": ctype}
+    )
+    if not (200 <= status <= 299):
+        raise IOError(f"{method} {url} -> HTTP {status}")
+
+
 def post_distributed(
     spark: SparkSession, df: DataFrame, url_col: str, payload_col: str,
     timeout_s: float = 10.0, headers: dict | None = None,

@@ -332,6 +332,81 @@ def test_bare_underscore_leaf_equals_unmapped(tmp_path):
     ]
 
 
+def test_http_locations_in_catalog(spark, tmp_path):
+    """HTTP URLs as first-class catalog locations (porcupine-http
+    HTTP.hs:58-92,127-153): a dataset bound to http://…/{var} loads
+    through GET + the JSON serial, a sink bound to an http URL POSTs
+    its serialized body, and a columnar serial on an http layer fails
+    ahead-of-time (resolveDataAccess semantics)."""
+    import http.server
+    import json as _json
+    import threading
+
+    posted = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            ident = int(self.path.rstrip("/").rsplit("/", 1)[1])
+            body = _json.dumps({"id": ident, "v": ident * 10}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            posted.append(self.rfile.read(n))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from porcupine_spark.serials import json_serial
+
+        c = Catalog(
+            [
+                Dataset.source(
+                    "inputs/item", SerialSet(json_serial()), schema="id long, v long"
+                ),
+                Dataset.sink("outputs/report", SerialSet(json_serial())),
+            ]
+        )
+        bound = c.bind(
+            str(tmp_path),
+            {
+                "inputs/item": f"http://127.0.0.1:{port}/api/{{itemId}}",
+                "outputs/report": f"http://127.0.0.1:{port}/ingest",
+            },
+        )
+        # single-location read with variable splicing
+        df = bound.read(spark, "inputs/item", variables={"itemId": 3})
+        assert df.collect()[0].asDict() == {"id": 3, "v": 30}
+        # distributed fan-out over spliced URLs
+        many = bound.read_many(
+            spark, "inputs/item", [{"itemId": i} for i in (1, 2, 5)]
+        )
+        assert {r.v for r in many.collect()} == {10, 20, 50}
+        # http sink: write POSTs the serialized document
+        out = spark.createDataFrame([(1, 2)], "a long, b long")
+        assert bound.write(out, "outputs/report") == [
+            f"http://127.0.0.1:{port}/ingest"
+        ]
+        assert _json.loads(posted[0]) == {"a": 1, "b": 2}
+        # ahead-of-time failure: parquet serial can't ride an http body
+        with pytest.raises(ValueError, match="json/csv/text"):
+            Catalog([Dataset.source("p", SerialSet(parquet_serial()))]).bind(
+                str(tmp_path), {"p": f"http://127.0.0.1:{port}/p"}
+            )
+    finally:
+        srv.shutdown()
+
+
 def test_custom_ext_resolves_by_suffix(spark, tmp_path):
     """A dataset with a custom-extension serial (jsonl) bound to a
     matching path must resolve THAT serial by suffix — not fall through

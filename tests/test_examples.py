@@ -69,6 +69,36 @@ def test_example_radon(spark, tmp_path):
     assert filtered.count() == 3  # log_radon > 0.5
 
 
+def test_example_poke_http_catalog(spark, tmp_path):
+    """The example-Poke port: an http-bound DataSource read through the
+    catalog with a distributed per-id fan-out, analysis + summary sinks
+    (ExamplePokeAPI.hs:44-103)."""
+    from examples.example_poke import CATALOG, build_task, start_local_api
+    from porcupine_spark.run import run_pipeline
+
+    base_url, shutdown = start_local_api()
+    try:
+        indices = [1, 2, 3, 7]
+        run_pipeline(
+            build_task(indices),
+            CATALOG,
+            spark,
+            root=str(tmp_path),
+            mappings={
+                "inputs/pokemon": f"{base_url}/api/v2/pokemon/{{pokemonId}}",
+                "outputs/analysis": str(tmp_path / "Outputs/analysis.json"),
+                "outputs/summary": str(tmp_path / "Outputs/summary.csv"),
+            },
+        )
+    finally:
+        shutdown()
+    out = spark.read.json(str(tmp_path / "Outputs/analysis.json"))
+    rows = {r.id: r.moveCount for r in out.collect()}
+    assert rows == {i: i % 5 + 1 for i in indices}
+    summary = spark.read.option("header", True).csv(str(tmp_path / "Outputs/summary.csv"))
+    assert summary.count() == len(indices)
+
+
 def test_example_curation(spark, tmp_path, sf_dir):
     """The curation showcase: task-layer composition (load >>> quality
     gate >>> near-dup removal >>> tee to two sinks) over the real
