@@ -20,12 +20,15 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
 import time
 from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger("porcupine_spark.cache")
 
 
 @dataclass(frozen=True)
@@ -60,13 +63,25 @@ def cache_key(ident: str, params: Any, input_locations: list[str]) -> str:
 
 
 class CacheStore:
-    """Content-addressed Parquet checkpoint store."""
+    """Content-addressed Parquet checkpoint store.
 
-    def __init__(self, spark: SparkSession, store_dir: str):
+    Two-tier when ``mirror_uri`` is given (the reference's funflow
+    remote cache, FunflowRemoteCache.hs:27-59): the local store is
+    primary; a local miss PULLS ``<mirror>/<key>`` if the mirror has
+    it, a compute PUSHES the fresh checkpoint to both. Mirror errors
+    degrade to local-only (``tryS`` semantics :29-30,42-44 — a broken
+    mirror must never fail the pipeline). The mirror may be any
+    Hadoop-FS URI (s3a://, file://, hdfs://) via the same FileSystem
+    code path as the folder ops."""
+
+    def __init__(self, spark: SparkSession, store_dir: str, mirror_uri: str | None = None):
         self.spark = spark
         self.store_dir = store_dir
+        self.mirror_uri = mirror_uri.rstrip("/") if mirror_uri else None
         self.hits = 0
         self.misses = 0
+        self.mirror_hits = 0
+        self.mirror_pushes = 0
 
     def _paths(self, key: str) -> tuple[str, str]:
         base = os.path.join(self.store_dir, key)
@@ -76,9 +91,42 @@ class CacheStore:
         _, meta = self._paths(key)
         return os.path.exists(meta)
 
+    def _pull_from_mirror(self, key: str) -> bool:
+        """Remote.pull (FunflowRemoteCache.hs:45-57): fetch the keyed
+        archive into the local store; any error = PullError = miss."""
+        if self.mirror_uri is None:
+            return False
+        from porcupine_spark.sources.s3 import download_folder, uri_exists
+
+        remote = f"{self.mirror_uri}/{key}"
+        try:
+            if not uri_exists(self.spark, f"{remote}/meta.json"):
+                return False
+            download_folder(self.spark, remote, os.path.join(self.store_dir, key))
+            self.mirror_hits += 1
+            return True
+        except Exception as e:  # noqa: BLE001 — tryS: log, treat as miss
+            _log.warning("cache mirror pull failed for %s: %s", key, e)
+            return False
+
+    def _push_to_mirror(self, key: str) -> None:
+        """Remote.push (FunflowRemoteCache.hs:34-44): mirror the keyed
+        archive; push failures are logged, never raised."""
+        if self.mirror_uri is None:
+            return
+        from porcupine_spark.sources.s3 import upload_folder
+
+        try:
+            upload_folder(
+                self.spark, os.path.join(self.store_dir, key), f"{self.mirror_uri}/{key}"
+            )
+            self.mirror_pushes += 1
+        except Exception as e:  # noqa: BLE001
+            _log.warning("cache mirror push failed for %s: %s", key, e)
+
     def get(self, key: str) -> DataFrame | None:
         data, meta = self._paths(key)
-        if not os.path.exists(meta):
+        if not os.path.exists(meta) and not self._pull_from_mirror(key):
             return None
         self.hits += 1
         return self.spark.read.parquet(data)
@@ -90,6 +138,7 @@ class CacheStore:
         os.makedirs(os.path.dirname(meta), exist_ok=True)
         with open(meta, "w") as fh:
             json.dump({"key": key, "written_at": time.time(), **(info or {})}, fh)
+        self._push_to_mirror(key)
         # read back: downstream plans hang off the checkpoint, not the
         # (possibly expensive) upstream lineage
         return self.spark.read.parquet(data)

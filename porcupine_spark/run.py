@@ -44,10 +44,13 @@ def run_pipeline(
     variables: dict[str, Any] | None = None,
     input_: Any = None,
     cache_dir: str | None = None,
+    cache_mirror: str | None = None,
     data: dict[str, list] | None = None,
 ) -> Any:
     """simpleRunPTask / runLocalPipelineTask (Run.hs:107-124): bind the
-    catalog under a root with optional explicit mappings, run."""
+    catalog under a root with optional explicit mappings, run.
+    ``cache_mirror`` layers a remote pull-fallback-push mirror over the
+    local cache store (FunflowRemoteCache.hs:27-59)."""
     missing = {r for r in task.requirements if r not in catalog}
     if missing:
         raise KeyError(
@@ -56,7 +59,7 @@ def run_pipeline(
             "reference's VirtualTree)"
         )
     bound = catalog.bind(root, mappings, variables, data=data)
-    cache = CacheStore(spark, cache_dir) if cache_dir else None
+    cache = CacheStore(spark, cache_dir, mirror_uri=cache_mirror) if cache_dir else None
     ctx = RunCtx(spark, bound, variables=dict(variables or {}), cache=cache)
     return task.run(ctx, input_)
 

@@ -163,6 +163,13 @@ def download_folder(spark: SparkSession, src_uri: str, local_dir: str) -> list[s
     return rels
 
 
+def uri_exists(spark: SparkSession, uri: str) -> bool:
+    """Existence probe through the same any-scheme FileSystem path the
+    folder ops use (s3a://, file://, hdfs://)."""
+    fs, path = _fs_for(spark, uri)
+    return fs.exists(path)
+
+
 def copy_obj(spark: SparkSession, src_uri: str, dest_uri: str) -> None:
     """Server-side object copy within/between stores (copyObj,
     TaskPipelineUtils.hs:87-93) via Hadoop FileUtil."""

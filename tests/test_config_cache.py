@@ -152,6 +152,37 @@ def test_cache_survives_sessions(spark, tmp_path):
     assert got.collect()[0].x == 9
 
 
+def test_cache_mirror_pull_fallback_push(spark, tmp_path):
+    """Two-tier cache (FunflowRemoteCache.hs:27-59): a miss computes
+    and pushes to local + mirror; a COLD local store pulls the hit from
+    the mirror instead of recomputing; a broken mirror degrades to
+    local-only without failing."""
+    mirror = f"file://{tmp_path}/mirror"
+    a = CacheStore(spark, str(tmp_path / "store_a"), mirror_uri=mirror)
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.createDataFrame([(7, "m")], "id long, v string")
+
+    a.cached("step", {"p": 1}, ["/in.parquet"], compute)
+    assert calls == [1] and a.mirror_pushes == 1
+    # cold local store, same mirror: pull, don't recompute
+    b = CacheStore(spark, str(tmp_path / "store_b"), mirror_uri=mirror)
+    got = b.cached(
+        "step", {"p": 1}, ["/in.parquet"],
+        lambda: (_ for _ in ()).throw(AssertionError("recomputed despite mirror")),
+    )
+    assert got.collect()[0].id == 7
+    assert b.mirror_hits == 1 and b.hits == 1 and b.misses == 0
+    # the pulled copy is now local: a third read needs no mirror at all
+    assert b.has(cache_key("step", {"p": 1}, ["/in.parquet"]))
+    # broken mirror: compute succeeds, push failure only logged
+    c = CacheStore(spark, str(tmp_path / "store_c"), mirror_uri="badscheme-x://nope")
+    out = c.cached("step2", {}, [], lambda: spark.createDataFrame([(1,)], "x long"))
+    assert out.count() == 1 and c.mirror_pushes == 0
+
+
 def test_config_data_section_binds_literal_rows(spark, tmp_path):
     """replaceWithDataFromConfig (PorcupineTree.hs:440-503): the YAML
     data: section supplies rows; the dataset needs no physical file."""
