@@ -396,6 +396,54 @@ def ivf_topk_generic(
     )
 
 
+@query(
+    "ivf_kmeans_recall",
+    None,  # rows-only by design: k-means centroids aren't SQL-expressible
+    tags=("similarity", "ann", "ivf", "quality"),
+    doc="Recall@5 of the PRODUCTION IVF path — pyspark.ml KMeans "
+    "centroids (ivf_centroids mode='kmeans'), 2 probes — against the "
+    "exact brute-force top-5 for the 10-query set, one row per query. "
+    "The oracled ivf_topk query proves the bucketing machinery "
+    "bit-exactly with deterministic centroids; this one proves the "
+    "quality-bearing centroid provider actually earns its recall "
+    "(tests assert recall >= 0.9). The exact baseline reuses "
+    "ivf_topk_generic with ONE centroid = one bucket = a full scan, so "
+    "approx and exact go through identical scoring code. Probe "
+    "fraction is high (12 of 16) because the synthetic embeddings are "
+    "near-isotropic — measured recall: 2/8 probes 0.56, 6/8 0.90, "
+    "12/16 1.00; real clustered corpora earn the same recall at far "
+    "lower probe fractions, which is the whole IVF bet.",
+)
+def ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", widen=False)
+    k = 5
+    query_ids = range(10)
+    cents = ivf_centroids(emb, k=16, mode="kmeans")
+    approx = ivf_topk_generic(emb, cents, query_ids, k=k, probes=12)
+    # exact baseline: a single centroid puts every vector in one bucket
+    # -> the "IVF" scan is the brute-force scan, same scoring path
+    one = emb.limit(1).select(
+        F.lit(0).cast("long").alias("cid"), F.col("embedding").alias("cent_e")
+    )
+    exact = ivf_topk_generic(emb, one, query_ids, k=k, probes=1)
+    hits = (
+        approx.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias("recall_at_5"),
+        )
+    )
+
+
 LSH_PLANES = 32  # hyperplane count = signature bits
 LSH_BAND_BITS = 8  # 4 bands of 8 bits
 LSH_DIM = 64  # embedding dimensionality (fixed in the corpus)

@@ -69,6 +69,26 @@ def test_example_radon(spark, tmp_path):
     assert filtered.count() == 3  # log_radon > 0.5
 
 
+def test_example0_1_two_serials_one_value(spark, tmp_path):
+    """example0/example0.1 (Example0_1.hs:19-33): one value through two
+    serial layers of the same sink; the .yz layer run-length encodes
+    via the serial's lmap pre-write transform."""
+    from examples.example0_1 import CATALOG, build_task
+    from porcupine_spark.run import run_pipeline
+
+    run_pipeline(
+        build_task("ab", [3, 4]),
+        CATALOG,
+        spark,
+        root=str(tmp_path),
+        mappings={"result": [f"{tmp_path}/result.txt", f"{tmp_path}/result.yz"]},
+    )
+    plain = [r.value for r in spark.read.text(f"{tmp_path}/result.txt").collect()]
+    assert plain == ["aaabbbb"]
+    rle = [r.value for r in spark.read.text(f"{tmp_path}/result.yz").collect()]
+    assert rle == ["3a,4b,"]
+
+
 def test_example_poke_http_catalog(spark, tmp_path):
     """The example-Poke port: an http-bound DataSource read through the
     catalog with a distributed per-id fan-out, analysis + summary sinks

@@ -377,6 +377,19 @@ def test_block_pair_candidates_equal_bruteforce(spark):
         assert got == expect, f"rows_per_block={rpb}"
 
 
+def test_ivf_kmeans_recall_query(spark):
+    """The registered recall query (ivf_kmeans_recall): the k-means IVF
+    path must earn recall@5 >= 0.9 averaged over the 10-query set at
+    sf0.01 (VERDICT r2 item 4's bar)."""
+    from porcupine_spark.plans.registry import load_all_plans
+
+    out = load_all_plans()["ivf_kmeans_recall"].builder(spark, "/root/testdata/sf0.01")
+    rows = out.collect()
+    assert {r.query_id for r in rows} == set(range(10))
+    mean_recall = sum(r.recall_at_5 for r in rows) / len(rows)
+    assert mean_recall >= 0.9, f"mean recall@5 {mean_recall} < 0.9"
+
+
 def test_ivf_generic_with_kmeans_centroids(spark, sf_dir):
     """The IVF stages are centroid-agnostic: swapping the deterministic
     first-k provider for pyspark.ml KMeans changes one stage and the
