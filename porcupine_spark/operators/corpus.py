@@ -390,3 +390,73 @@ def source_unigram_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("l1_distance"),
     )
+
+
+LM_TOPK = 5  # bigrams kept per source
+
+
+@query(
+    "bigram_lm_topk",
+    f"""
+    WITH t AS (
+      SELECT source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT source, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS gram
+      FROM t, UNNEST(range(1, len(ws))) AS r(i)
+      WHERE len(ws) >= 2
+    ),
+    c AS (
+      SELECT source, w1, gram, COUNT(*) AS n FROM b GROUP BY 1, 2, 3
+    ),
+    cc AS (
+      SELECT source, w1, gram, n,
+             CAST(SUM(n) OVER (PARTITION BY source, w1) AS BIGINT) AS ctx_n
+      FROM c
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n DESC, gram ASC) AS rk
+      FROM cc
+    )
+    SELECT source, gram, n, ctx_n,
+           CAST(n AS DOUBLE) / ctx_n AS cond_p, rk
+    FROM r WHERE rk <= {LM_TOPK}
+    """,
+    tags=("corpus", "curation"),
+    doc="Distributed n-gram LM estimation (the classic MapReduce 'large "
+    "LM' workload, Brants et al. 2007 shape): per-source bigram counts, "
+    "conditional P(w2|w1) against the context total, top-5 bigrams per "
+    "source with deterministic tie-breaking. Counts pre-aggregate "
+    "map-side before the one (source, gram) shuffle; the context "
+    "normalizer is a window over the already-aggregated count table "
+    "(rows = vocab size, not corpus size).",
+)
+def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from porcupine_spark.functions import word_ngrams
+
+    ws = tokens(F.col("text"))
+    grams = docs.select(
+        "source", F.explode(word_ngrams(ws, 2)).alias("gram")
+    ).withColumn("w1", F.substring_index("gram", " ", 1))
+    c = grams.groupBy("source", "w1", "gram").agg(F.count(F.lit(1)).alias("n"))
+    cc = c.withColumn(
+        "ctx_n", F.sum("n").over(W.partitionBy("source", "w1"))
+    )
+    r = cc.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("n"), F.asc("gram"))
+        ),
+    )
+    return r.filter(F.col("rk") <= LM_TOPK).select(
+        "source",
+        "gram",
+        "n",
+        "ctx_n",
+        (F.col("n").cast("double") / F.col("ctx_n")).alias("cond_p"),
+        "rk",
+    )

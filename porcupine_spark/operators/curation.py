@@ -1,0 +1,252 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+Gopher-style rule filtering, token-budget sequence packing, and
+cross-document duplicated-span statistics (substring-level dedup).
+
+These extend the reference's data-processing surface with the
+operations an LLM-pretraining curation pipeline runs over a 100 TB
+document corpus. Everything stays in built-in column expressions
+(whole-stage codegen); the only shuffles are the ones the semantics
+require, and they move hashed longs or small pre-aggregated rows —
+never raw text.
+
+Rule thresholds follow the published Gopher quality heuristics
+(Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A) —
+word-count band, mean-word-length band, alpha-word fraction,
+symbol-to-word ratio, stopword floor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from porcupine_spark.functions import word_ngrams
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_table
+
+#: normalized single-spaced text — shared by every op in this module so
+#: token counts agree across operators (and with text.tokens()).
+def _norm(col):
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+_NORM_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+_GSTOP_SQL = "(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+
+
+@query(
+    "gopher_quality_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_NORM_SQL} AS norm,
+             string_split({_NORM_SQL}, ' ') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(length(norm) - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_word_len,
+             CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+               / len(toks) AS alpha_word_frac,
+             CAST(length(norm) - length(replace(replace(norm, '#', ''), '...', ''))
+                  AS DOUBLE) / len(toks) AS symbol_word_ratio,
+             len(list_filter(toks, w -> w IN {_GSTOP_SQL})) AS stop_count
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+           stop_count,
+           CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS ok_words,
+           CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS ok_mwl,
+           CASE WHEN alpha_word_frac >= 0.8 THEN 1 ELSE 0 END AS ok_alpha,
+           CASE WHEN symbol_word_ratio <= 0.1 THEN 1 ELSE 0 END AS ok_symbol,
+           CASE WHEN stop_count >= 2 THEN 1 ELSE 0 END AS ok_stop,
+           CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3 AND 10
+                 AND alpha_word_frac >= 0.8
+                 AND symbol_word_ratio <= 0.1
+                 AND stop_count >= 2 THEN 1 ELSE 0 END AS keep
+    FROM feat
+    """,
+    tags=("text", "curation"),
+    doc="Gopher-rule quality gate (Rae et al. 2021 App. A): word-count "
+    "band [50, 100k], mean word length [3, 10], >=80% alphabetic words, "
+    "#/ellipsis symbol ratio <= 0.1, >=2 stopwords. Per-row column "
+    "expressions only — embarrassingly parallel, zero shuffles.",
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_flags(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Gopher rule features + per-rule flags + combined keep gate for
+    any (doc_id, text) DataFrame."""
+    norm = _norm(F.col("text"))
+    toks = F.split(norm, " ")
+    nw = F.size(toks)
+    # sum(len(word)) == len(norm) - (n_words - 1): norm is single-spaced
+    mwl = (F.length(norm) - (nw - F.lit(1))).cast("double") / nw
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    alpha_frac = (
+        F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("double") / nw
+    )
+    sym_ratio = (
+        F.length(norm)
+        - F.length(F.replace(F.replace(norm, F.lit("#"), F.lit("")), F.lit("..."), F.lit("")))
+    ).cast("double") / nw
+    stop_count = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w)))
+    ok_words = F.when((nw >= 50) & (nw <= 100000), 1).otherwise(0)
+    ok_mwl = F.when((mwl >= 3) & (mwl <= 10), 1).otherwise(0)
+    ok_alpha = F.when(alpha_frac >= 0.8, 1).otherwise(0)
+    ok_symbol = F.when(sym_ratio <= 0.1, 1).otherwise(0)
+    ok_stop = F.when(stop_count >= 2, 1).otherwise(0)
+    flags = docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        sym_ratio.alias("symbol_word_ratio"),
+        stop_count.cast("long").alias("stop_count"),
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_symbol.alias("ok_symbol"),
+        ok_stop.alias("ok_stop"),
+    )
+    keep = (
+        (F.col("ok_words") == 1)
+        & (F.col("ok_mwl") == 1)
+        & (F.col("ok_alpha") == 1)
+        & (F.col("ok_symbol") == 1)
+        & (F.col("ok_stop") == 1)
+    )
+    return flags.withColumn("keep", F.when(keep, 1).otherwise(0))
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(string_split({_NORM_SQL}, ' ')) AS toks
+      FROM documents
+    ),
+    placed AS (
+      SELECT source, doc_id, toks,
+             CAST(FLOOR(COALESCE(SUM(toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {PACK_BUDGET}) AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT source, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc,
+           CAST(SUM(toks) AS DOUBLE) / {PACK_BUDGET} AS fill_ratio
+    FROM placed
+    GROUP BY source, bin_id
+    """,
+    tags=("curation",),
+    doc="Token-budget sequence packing: docs are packed contiguously "
+    "(deterministic doc_id order) into bins of ~512 tokens via an "
+    "exclusive running sum — bin_id = floor(tokens_before / budget), so "
+    "a bin overflows by at most one document (standard streaming-pack "
+    "discipline; no bin-packing search). The window partitions by "
+    "source, so packing parallelizes across sources/shards — at 100 TB "
+    "the partition key becomes (source, hash-shard) and no global sort "
+    "or single-reducer cumsum ever happens.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_docs(load_table(spark, sf_dir, "documents"), PACK_BUDGET)
+
+
+def pack_docs(docs: DataFrame, budget: int) -> DataFrame:
+    """Contiguous token-budget packing of (doc_id, source, text) rows;
+    see the pack_sequences query doc for the discipline."""
+    t = docs.select(
+        "source", "doc_id", F.size(F.split(_norm(F.col("text")), " ")).alias("toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = t.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("toks").over(w), F.lit(0)) / budget),
+    )
+    return placed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        (F.sum("toks").cast("double") / budget).alias("fill_ratio"),
+    )
+
+
+SPAN_K = 8  # words per duplicated-span gram (Lee et al. 2021 use 50 BPE tokens)
+
+
+@query(
+    "duplicate_ngram_spans",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             array_to_string(ws[CAST(i AS INT):CAST(i + {SPAN_K - 1} AS INT)], ' ') AS gram
+      FROM t, UNNEST(range(1, len(ws) - {SPAN_K - 2})) AS r(i)
+      WHERE len(ws) >= {SPAN_K}
+    ),
+    c AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS c
+      FROM g
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS dup_fraction
+    FROM c
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "curation"),
+    doc="Substring-level duplication stats (the Lee et al. 2021 "
+    "'Deduplicating Training Data' signal): per document, the fraction "
+    "of its word 8-gram positions whose gram occurs more than once in "
+    "the corpus (cross-doc or repeated in-doc). Spark shuffles only "
+    "xxhash64(gram) longs — the gram text never leaves the executor "
+    "that built it; corpus-frequency comes from one window over the "
+    "hash, then one per-doc aggregation. Docs shorter than 8 words "
+    "have no spans and are excluded on both engines.",
+)
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_dup_stats(load_table(spark, sf_dir, "documents"), SPAN_K)
+
+
+def span_dup_stats(docs: DataFrame, k: int) -> DataFrame:
+    """Per-doc duplicated k-gram span stats for any (doc_id, text)
+    DataFrame; see the duplicate_ngram_spans query doc."""
+    ws = F.split(_norm(F.col("text")), " ")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(ws, k)).alias("gram")
+    ).select("doc_id", F.xxhash64("gram").alias("h"))
+    # corpus df per gram-hash as a window: one shuffle on the 8-byte key
+    counted = grams.withColumn("c", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("dup_grams"),
+        (
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_fraction"),
+    )

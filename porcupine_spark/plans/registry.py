@@ -58,6 +58,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         asof,
         components,
         corpus,
+        curation,
         dedup,
         sessionize,
         similarity,
@@ -65,6 +66,6 @@ def load_all_plans() -> dict[str, QuerySpec]:
         multimodal,
         upsert,
     )
-    from porcupine_spark.streaming import joins, stateful, windows  # noqa: F401
+    from porcupine_spark.streaming import enrich, joins, stateful, windows  # noqa: F401
 
     return dict(REGISTRY)

@@ -1,0 +1,86 @@
+"""Stream-static enrichment join: an unbounded event stream joined to
+a bounded dimension table, then windowed.
+
+This is the canonical streaming-ETL topology Structured Streaming was
+built for (and the streaming counterpart of the batch broadcast dim
+joins in plans/relational.py): the static side is a regular DataFrame,
+Spark plans the join as a per-microbatch broadcast — no stream-side
+state is kept for the join itself, so it scales with the dim size, not
+the stream length. State exists only in the windowed aggregation and
+is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_events_stream, load_table
+
+
+@query(
+    "stream_static_enrich",
+    """
+    WITH dim AS (
+      SELECT event_type, length(event_type) AS wgt
+      FROM (SELECT DISTINCT event_type FROM events)
+    )
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP_NS) AS window_start,
+           CAST(date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS TIMESTAMP_NS)
+             AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6)) * CAST(d.wgt AS DECIMAL(4,0)))
+                AS DOUBLE) AS weighted_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join"),
+    doc="Stream-static enrichment: file-source event stream broadcast-"
+    "joined per microbatch to a bounded dimension (event_type -> "
+    "deterministic weight), then tumbling 1h windows of count + exact-"
+    "decimal weighted value. Join keeps zero streaming state; agg state "
+    "is watermark-bounded. Batch oracle by the window/date_trunc "
+    "equivalence.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # state keys = windows only (a few hundred); size state partitioning
+    # to that, same discipline as windows._state_sized_session
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = ns
+    # static dim: bounded, derived deterministically from the batch view
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("wgt", F.length("event_type"))
+    )
+    stream = load_events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "event_type")
+    agg = (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.col("value").cast("decimal(18,6)") * F.col("wgt").cast("decimal(4,0)")
+            )
+            .cast("double")
+            .alias("weighted_value"),
+        )
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_events",
+        "weighted_value",
+    )

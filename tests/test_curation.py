@@ -1,0 +1,79 @@
+"""Edge-case units for the curation operators (Gopher filter, sequence
+packing, duplicated-span stats); oracle parity for the full queries is
+covered by tools/verify_oracles.py."""
+
+from __future__ import annotations
+
+from porcupine_spark.operators.curation import (
+    PACK_BUDGET,
+    gopher_flags,
+    pack_docs,
+    span_dup_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_gopher_flags_rules(spark):
+    long_ok = " ".join(["the", "and"] + ["word"] * 60)  # 62 words, stopwords, alpha
+    short = "the and word"  # fails word-count band
+    symbols = " ".join(["the", "and"] + ["###"] * 60)  # symbol ratio + alpha fail
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_flags(
+            _docs(spark, [(1, "s", long_ok), (2, "s", short), (3, "s", symbols)])
+        ).collect()
+    }
+    assert out[1]["keep"] == 1
+    assert out[2]["keep"] == 0 and out[2]["ok_words"] == 0 and out[2]["ok_stop"] == 1
+    assert out[3]["ok_symbol"] == 0 and out[3]["ok_alpha"] == 0 and out[3]["keep"] == 0
+    # mean word length: (2*3 + 60*4 + 61 spaces removed) -> exact arithmetic
+    assert abs(out[1]["mean_word_len"] - (3 + 3 + 60 * 4) / 62) < 1e-12
+
+
+def test_pack_docs_contiguous_and_conserving(spark):
+    # 7 docs x 100 tokens, budget 250 -> bins close at the doc that
+    # crosses each multiple of 250: docs 0-2 | 3-4 | 5-6 (exclusive
+    # cumsum 0,100,200 | 300,400 | 500,600)
+    rows = [(i, "s", " ".join(["w"] * 100)) for i in range(7)]
+    bins = sorted(
+        (r["bin_id"], r["n_docs"], r["bin_tokens"], r["first_doc"], r["last_doc"])
+        for r in pack_docs(_docs(spark, rows), 250).collect()
+    )
+    assert bins == [(0, 3, 300, 0, 2), (1, 2, 200, 3, 4), (2, 2, 200, 5, 6)]
+    # conservation + consecutive ids hold on the real corpus shape too
+    rows2 = [(i, f"s{i % 3}", " ".join(["w"] * (10 + 37 * i % 90))) for i in range(40)]
+    out = pack_docs(_docs(spark, rows2), 100).collect()
+    per_src = {}
+    for r in out:
+        per_src.setdefault(r["source"], []).append(r)
+    total = sum(r["bin_tokens"] for r in out)
+    assert total == sum(10 + 37 * i % 90 for i in range(40))
+    for src, rs in per_src.items():
+        ids = sorted(r["bin_id"] for r in rs)
+        assert ids == list(range(len(ids))), f"non-consecutive bins for {src}"
+
+
+def test_span_dup_stats_planted_duplicate(spark):
+    span = "a b c d e f g h"  # exactly one 8-gram
+    uniq = "q w e r t y u i o p"
+    rows = [
+        (1, "s", span + " tail1 x1 y1 z1"),
+        (2, "s", "head2 " + span + " tail2"),
+        (3, "s", uniq),
+        (4, "s", "a b c"),  # < 8 words: no spans, excluded
+    ]
+    out = {r["doc_id"]: r.asDict() for r in span_dup_stats(_docs(spark, rows), 8).collect()}
+    assert 4 not in out
+    # docs 1 and 2 share the 'a b c d e f g h' span; their other grams
+    # are unique (distinct tails), doc 3 fully unique
+    assert out[1]["dup_grams"] == 1 and out[2]["dup_grams"] == 1
+    assert out[1]["n_grams"] == 12 - 8 + 1
+    assert out[3]["dup_grams"] == 0
+    assert abs(out[1]["dup_fraction"] - 1 / 5) < 1e-12
+
+
+def test_pack_budget_constant_sane():
+    assert 0 < PACK_BUDGET <= 1 << 20
