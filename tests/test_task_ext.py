@@ -297,3 +297,55 @@ def test_stream_restart_recovery_exactly_once(spark, tmp_path):
     both = spark.read.parquet(str(tmp_path / "out.parquet"))
     assert both.count() == 15  # no duplicates of batch1
     assert both.select("id").distinct().count() == 15
+
+
+def test_stream_upsert_sink_latest_state(spark, tmp_path):
+    """Keyed CDC sink: the dataset holds ONE row per key (latest
+    order_col wins), updates from later epochs replace earlier state,
+    and a checkpointed restart only applies new files."""
+    from porcupine_spark.catalog import Catalog, Dataset
+    from porcupine_spark.serials import SerialSet, parquet_serial
+    from porcupine_spark.streaming.sinks import stream_upsert_to_dataset
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def put(name, rows):
+        ids, tss, vs = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {"id": pa.array(ids, pa.int64()),
+                 "ts": pa.array(tss, pa.int64()),
+                 "v": pa.array(vs)}
+            ),
+            str(src / name),
+        )
+
+    # batch 1: keys 1..3; key 2 appears twice (ts 5 beats ts 1)
+    put("b1.parquet", [(1, 1, "a1"), (2, 1, "old"), (2, 5, "new"), (3, 1, "c1")])
+
+    bound = Catalog([Dataset.sink("state", SerialSet(parquet_serial()))]).bind(
+        str(tmp_path), {"state": str(tmp_path / "state.parquet")}
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("id long, ts long, v string").parquet(str(src))
+        stream_upsert_to_dataset(stream, bound, "state", ckpt, key="id", order_col="ts")
+
+    run_once()
+    t1 = {r["id"]: (r["ts"], r["v"]) for r in
+          spark.read.parquet(str(tmp_path / "state.parquet")).collect()}
+    assert t1 == {1: (1, "a1"), 2: (5, "new"), 3: (1, "c1")}
+
+    # batch 2: update key 2, insert key 4 — restart applies only this file
+    put("b2.parquet", [(2, 9, "newer"), (4, 2, "d1")])
+    run_once()
+    t2 = {r["id"]: (r["ts"], r["v"]) for r in
+          spark.read.parquet(str(tmp_path / "state.parquet")).collect()}
+    assert t2 == {1: (1, "a1"), 2: (9, "newer"), 3: (1, "c1"), 4: (2, "d1")}
+    # no temp swap dirs left behind
+    assert not [p for p in tmp_path.iterdir() if "_tmp" in p.name]
