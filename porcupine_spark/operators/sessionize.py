@@ -188,3 +188,41 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_cohort.groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "daily_new_users_cumulative",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP_NS) AS day,
+             COUNT(*) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+    tags=("events", "window"),
+    doc="New-vs-returning user accounting: first-seen day per user "
+    "(one groupBy min — per-user parallel, the only shuffle that "
+    "scales with data), daily new-user counts, and a cumulative total. "
+    "The running sum's unpartitioned window runs over the DAILY "
+    "aggregate — bounded by calendar days, a few hundred rows at any "
+    "corpus size — so the classic 'global cumsum single reducer' trap "
+    "never sees more than that.",
+)
+def daily_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    daily = first_seen.groupBy(
+        F.date_trunc("day", "first_ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )

@@ -857,3 +857,78 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _neardup_verify(cand, emb_raw)
+
+
+SEMDEDUP_K = 16  # clusters
+SEMDEDUP_T = NEARDUP_T  # pairwise cosine threshold within a cluster
+
+
+@query(
+    "semdedup_keep",
+    None,  # rows-only: k-means centroids aren't SQL-expressible
+    tags=("similarity", "dedup", "quality"),
+    doc=f"SemDeDup (Abbas et al. 2023): cluster embeddings with k-means "
+    f"(k={SEMDEDUP_K}), then within each cluster greedily drop any "
+    f"point with cosine > {NEARDUP_T} to an already-kept point, "
+    f"keeping duplicate-group members FARTHEST from the centroid "
+    f"(lowest cent_sim first — the paper's low-similarity-to-centroid "
+    f"keep policy). The quadratic pass is per-cluster inside "
+    f"applyInPandas — cluster granularity bounds it exactly like the "
+    f"block-pair decomposition in embedding_neardup; cross-cluster "
+    f"pairs are never formed. Invariants (every drop is justified by a "
+    f"kept witness; kept set is pairwise-below-threshold) are asserted "
+    f"by test_semdedup_invariants.",
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", widen=False)
+    return semdedup(emb, k=SEMDEDUP_K, tau=SEMDEDUP_T)
+
+
+def semdedup(emb: DataFrame, k: int, tau: float) -> DataFrame:
+    """(vec_id, cid, cent_sim, kept) — SemDeDup keep/drop assignment."""
+    import numpy as np
+    import pandas as pd
+
+    cents = ivf_centroids(emb, k=k, mode="kmeans")
+    # top-1 cluster per vector: broadcast the k-row centroid table,
+    # cosine in doubles, window keeps the argmax — one shuffle on vec_id
+    scored = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .crossJoin(F.broadcast(cents.select("cid", F.col("cent_e").cast("array<double>").alias("c"))))
+        .withColumn(
+            "sim",
+            F.aggregate(
+                F.zip_with("e", "c", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+            )
+            / (
+                F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+                * F.sqrt(F.aggregate(F.transform("c", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+            ),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", F.col("sim").alias("cent_sim"), "e")
+    )
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cent_sim", "vec_id"]).reset_index(drop=True)
+        mat = np.stack(pdf["e"].to_numpy())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        kept_rows: list[int] = []
+        kept = np.zeros(len(pdf), dtype=np.int64)
+        for i in range(len(pdf)):
+            if not kept_rows or float(np.max(unit[kept_rows] @ unit[i])) <= tau:
+                kept_rows.append(i)
+                kept[i] = 1
+        out = pdf[["vec_id", "cid", "cent_sim"]].copy()
+        out["kept"] = kept
+        return out
+
+    return assigned.groupBy("cid").applyInPandas(
+        dedup_cluster, schema="vec_id long, cid long, cent_sim double, kept long"
+    )

@@ -156,3 +156,62 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("1997-06-01 00:00:00").cast("timestamp").alias("change_ts"),
     )
     return scd2_apply(dim, changes, "c_custkey", "change_ts")
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    snap_b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           a.o_totalprice AS price_a,
+           b.o_totalprice AS price_b
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey)
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice <> b.o_totalprice
+    """,
+    tags=("merge", "cdc"),
+    doc="Snapshot diff (table-format-free CDC): classify every key of "
+    "two dataset versions as added / removed / changed, dropping "
+    "unchanged rows. One co-partitioned full-outer join on the key — "
+    "with both snapshots bucketed on the key (bucketing.py) the diff "
+    "runs shuffle-free, which is what makes periodic 100 TB snapshot "
+    "reconciliation affordable. Snapshots are derived deterministically "
+    "from orders (key mod filters, a mod-3 price bump) so both engines "
+    "see identical inputs.",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey", "o_totalprice")
+    snap_b = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    j = a.join(b, "o_orderkey", "full_outer")
+    pa = F.col("a.o_totalprice")
+    pb = F.col("b.o_totalprice")
+    return j.filter(pa.isNull() | pb.isNull() | (pa != pb)).select(
+        "o_orderkey",
+        F.when(pa.isNull(), "added")
+        .when(pb.isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        pa.alias("price_a"),
+        pb.alias("price_b"),
+    )

@@ -465,3 +465,31 @@ def test_asof_join_directions(spark):
                     right_order="rid", payload_cols=["rid"], direction="nearest")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """Every dropped vector has a kept same-cluster witness above the
+    threshold; the kept set is pairwise below it (greedy maximal
+    independent set per cluster, farthest-from-centroid keep policy)."""
+    import numpy as np
+
+    from porcupine_spark.operators.similarity import SEMDEDUP_T, semdedup
+    from porcupine_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", widen=False)
+    out = semdedup(emb, k=8, tau=SEMDEDUP_T).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    unit = {i: v / (np.linalg.norm(v) or 1.0) for i, v in vecs.items()}
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cid"], []).append(r)
+    assert sum(1 for r in out if r["kept"]) < len(out)  # something dropped
+    for cid, rows in by_cluster.items():
+        kept = [r["vec_id"] for r in rows if r["kept"]]
+        for r in rows:
+            sims = [float(unit[r["vec_id"]] @ unit[k]) for k in kept if k != r["vec_id"]]
+            if r["kept"]:
+                assert all(s <= SEMDEDUP_T + 1e-9 for s in sims)
+            else:
+                assert any(s > SEMDEDUP_T - 1e-9 for s in sims)
