@@ -64,6 +64,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         similarity,
         text,
         multimodal,
+        quality,
         upsert,
     )
     from porcupine_spark.streaming import enrich, joins, stateful, windows  # noqa: F401

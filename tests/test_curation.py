@@ -77,3 +77,51 @@ def test_span_dup_stats_planted_duplicate(spark):
 
 def test_pack_budget_constant_sane():
     assert 0 < PACK_BUDGET <= 1 << 20
+
+
+def _morton_py(a: int, b: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_interleave_matches_reference(spark):
+    from pyspark.sql import functions as F
+    from porcupine_spark.functions.zorder import z_interleave
+
+    rows = [(a, b) for a in (0, 1, 5, 255, 65535) for b in (0, 3, 128, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = df.select("a", "b", z_interleave(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in out:
+        assert r["z"] == _morton_py(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_write_zordered_tiles_prune_both_columns(spark, tmp_path):
+    """Each z-ordered file covers a compact 2-D tile: for a uniform
+    grid, every file's (max-min) extent on EACH column must be far
+    below the full domain — the property that makes min/max footer
+    pruning work on either filter column. A lexicographic sort by
+    (a, b) fails this for column b (every file spans b's whole
+    domain)."""
+    import glob
+    import pyarrow.parquet as pq
+
+    from porcupine_spark.functions.zorder import write_zordered
+
+    n = 64
+    grid = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(grid, "a long, b long").repartition(8)
+    path = str(tmp_path / "ztiles")
+    write_zordered(df, path, "a", "b", n_files=16, bits=8)
+
+    spans_a, spans_b = [], []
+    for f in glob.glob(path + "/*.parquet"):
+        t = pq.read_table(f)
+        aa, bb = t.column("a").to_pylist(), t.column("b").to_pylist()
+        spans_a.append(max(aa) - min(aa))
+        spans_b.append(max(bb) - min(bb))
+    # 16 tiles over a 64x64 grid -> ideal tile extent 16-32 per axis;
+    # assert every file is well under the full 63 domain on BOTH axes
+    assert max(spans_a) <= n // 2 and max(spans_b) <= n // 2, (spans_a, spans_b)
