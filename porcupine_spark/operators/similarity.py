@@ -47,6 +47,73 @@ def norm2_exact(a: Column) -> Column:
     return dot_exact(a, a)
 
 
+def _exact_norms(
+    df: DataFrame, keep: list[tuple[str, str]], emb_col: str = "embedding", out: str = "vn"
+) -> DataFrame:
+    """``keep`` columns + ``out`` = sqrt of the exact quantized self-dot,
+    Arrow-vectorized (functions/exactdot.py — bit-identical to
+    F.sqrt(norm2_exact(...)), pinned by test_exactdot_matches_jvm;
+    np.sqrt and java.lang.Math.sqrt are both IEEE correctly-rounded).
+    The JVM expression costs interpreted BigDecimal per element and
+    runs once per VECTOR — at 10x scale that alone was seconds per
+    query."""
+    fields = ", ".join(f"{c} {t}" for c, t in keep)
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from porcupine_spark.functions.exactdot import exact_unit_dots
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[emb_col].to_numpy())
+            units = exact_unit_dots(mat, mat)
+            d = {c: pdf[c] for c, _ in keep}
+            d[out] = np.sqrt(units / 1e12)
+            yield pd.DataFrame(d)
+
+    return df.mapInPandas(run, schema=f"{fields}, {out} double")
+
+
+def _exact_cosine_map(
+    pairs: DataFrame,
+    keep: list[tuple[str, str]],
+    a_col: str,
+    b_col: str,
+    na_col: str,
+    nb_col: str,
+    out: str = "cosine",
+) -> DataFrame:
+    """``keep`` columns + ``out`` = exact quantized cosine of the two
+    embedding columns over the two norm columns — the Arrow-vectorized
+    replacement for ``dot_exact(a, b) / (na * nb)`` on candidate-pair
+    DataFrames (same bit-exact contract as _exact_norms)."""
+    fields = ", ".join(f"{c} {t}" for c, t in keep)
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        from porcupine_spark.functions.exactdot import exact_cosines
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cos = exact_cosines(
+                np.stack(pdf[a_col].to_numpy()),
+                np.stack(pdf[b_col].to_numpy()),
+                pdf[na_col].to_numpy(),
+                pdf[nb_col].to_numpy(),
+            )
+            d = {c: pdf[c] for c, _ in keep}
+            d[out] = cos
+            yield pd.DataFrame(d)
+
+    return pairs.mapInPandas(run, schema=f"{fields}, {out} double")
+
+
 _SQL_DOT = (
     "CAST(list_sum(list_transform(list_zip({a}, {b}), "
     "p -> CAST(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)"
@@ -125,27 +192,30 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = emb.mapInPandas(prefilter, schema="query_id long, neighbor_id long")
     # exact re-score of the surviving pairs only; norms once per vector
-    q = emb_raw.filter(F.col("vec_id") < 10).select(
+    # (both Arrow-vectorized, bit-identical to the decimal expressions)
+    # one eager pass: four consumers below would otherwise re-run the
+    # Arrow norm stage each (tiny table: id + embedding + vn per vector)
+    norms = _exact_norms(
+        emb_raw, keep=[("vec_id", "long"), ("embedding", "array<float>")]
+    ).localCheckpoint(eager=True)
+    q = norms.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
-        F.sqrt(norm2_exact(F.col("embedding"))).alias("qn"),
+        F.col("vn").alias("qn"),
     )
-    c = emb_raw.select(
+    c = norms.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
-        F.sqrt(norm2_exact(F.col("embedding"))).alias("cn"),
+        F.col("vn").alias("cn"),
     )
-    scored = (
+    scored = _exact_cosine_map(
         # self-pairs can sneak past the prefilter in degenerate tiny
         # batches (-inf >= -inf - margin); drop them here regardless
         cand.filter(F.col("query_id") != F.col("neighbor_id"))
         .join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
+        .join(F.broadcast(q), "query_id"),
+        keep=[("query_id", "long"), ("neighbor_id", "long")],
+        a_col="qe", b_col="ce", na_col="qn", nb_col="cn",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -241,19 +311,19 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": a_ids[ai], "cid": ids[ci]})
 
     cand = emb.mapInPandas(assign_probe_cands, schema="vec_id long, cid long")
-    vecs = emb_raw.select("vec_id", "embedding", F.sqrt(norm2_exact(F.col("embedding"))).alias("vn"))
+    vecs = _exact_norms(
+        emb_raw, keep=[("vec_id", "long"), ("embedding", "array<float>")]
+    ).localCheckpoint(eager=True)
     cent = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_e"), F.col("vn").alias("cent_n")
     )
     wassign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
     ranked = (
-        cand.join(vecs, "vec_id")
-        .join(F.broadcast(cent), "cid")
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            (dot_exact(F.col("embedding"), F.col("cent_e")) / (F.col("vn") * F.col("cent_n"))).alias("sim"),
+        _exact_cosine_map(
+            cand.join(vecs, "vec_id").join(F.broadcast(cent), "cid"),
+            keep=[("vec_id", "long"), ("embedding", "array<float>"), ("cid", "long")],
+            a_col="embedding", b_col="cent_e", na_col="vn", nb_col="cent_n",
+            out="sim",
         )
         .withColumn("arn", F.row_number().over(wassign))
         .localCheckpoint(eager=True)  # tiny (~1 row/vector); reused by both stages
@@ -298,14 +368,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = vecs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("vn").alias("cn")
     )
-    scored = (
-        topc.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
+    scored = _exact_cosine_map(
+        topc.join(c, "neighbor_id").join(F.broadcast(q), "query_id"),
+        keep=[("query_id", "long"), ("neighbor_id", "long")],
+        a_col="qe", b_col="ce", na_col="qn", nb_col="cn",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -545,9 +611,39 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
     # compile the decimal expression.
     # Checkpointing the tiny sig table also matters because the band
     # self-join references it from both sides.
-    near_zero = F.exists(dots_dbl, lambda a: F.abs(a) < 1e-6)
-    dbl = emb.select(
-        "vec_id", "embedding", dots_dbl.alias("dots"), near_zero.alias("nz")
+    # The double pass itself is Arrow-vectorized: higher-order array
+    # lambdas are interpreted (never codegen'd), and 20k rows x 64 dims
+    # x 32 planes = 41M boxed lambda evals measured ~5s; one numpy
+    # matmul per batch is milliseconds. Only SIGNS and the |dot| < eps
+    # test consume these doubles, and both are stable under either
+    # summation order (error bounds ~1e-8 << eps=1e-6), so swapping the
+    # reduction order cannot change any emitted bit. dots_dbl above
+    # stays as documentation of the JVM-equivalent expression.
+    _ = dots_dbl
+    planes_np = [_lsh_plane(p) for p in range(LSH_PLANES)]
+
+    def dots_batch(it):
+        import numpy as np
+        import pandas as pd
+
+        m = np.array(planes_np, dtype=np.float64).T  # (dim, planes)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dots = mat @ m
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "dots": list(dots),
+                    "nz": (np.abs(dots) < 1e-6).any(axis=1),
+                }
+            )
+
+    dbl = emb.select("vec_id", "embedding").mapInPandas(
+        dots_batch,
+        schema="vec_id long, embedding array<float>, dots array<double>, nz boolean",
     ).localCheckpoint(eager=True)
     if dbl.filter(F.col("nz")).limit(1).count() == 0:
         return dbl.select("vec_id", to_sig(F.col("dots")).alias("sig")).localCheckpoint(
@@ -632,21 +728,19 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    vecs = emb.select("vec_id", "embedding", F.sqrt(norm2_exact(F.col("embedding"))).alias("vn"))
+    vecs = _exact_norms(
+        emb, keep=[("vec_id", "long"), ("embedding", "array<float>")]
+    ).localCheckpoint(eager=True)
     q = vecs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("vn").alias("qn")
     )
     c = vecs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("vn").alias("cn")
     )
-    scored = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot_exact(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
+    scored = _exact_cosine_map(
+        cand.join(c, "neighbor_id").join(F.broadcast(q), "query_id"),
+        keep=[("query_id", "long"), ("neighbor_id", "long")],
+        a_col="qe", b_col="ce", na_col="qn", nb_col="cn",
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -777,12 +871,10 @@ def _neardup_verify(cand: DataFrame, emb_raw: DataFrame) -> DataFrame:
     set), a double dot prefilters the pairs with a provable epsilon
     margin, and only survivors pay the exact-decimal dot whose value is
     bit-identical to the oracle's."""
-    vecs = emb_raw.select(
-        "vec_id",
-        "embedding",
-        "label",
-        F.sqrt(norm2_exact(F.col("embedding"))).alias("vn"),
-    )
+    vecs = _exact_norms(
+        emb_raw,
+        keep=[("vec_id", "long"), ("embedding", "array<float>"), ("label", "int")],
+    ).localCheckpoint(eager=True)
     ea = vecs.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
         F.col("label").alias("label_a"), F.col("vn").alias("na"),
@@ -795,15 +887,46 @@ def _neardup_verify(cand: DataFrame, emb_raw: DataFrame) -> DataFrame:
     # double-cosine prefilter: can never drop a pair the exact check
     # keeps (margin >> double-vs-decimal error)
     approx = dot_double(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    survivors = joined.filter(approx >= NEARDUP_T - NEARDUP_MARGIN)
-    exact = survivors.select(
-        "id_a",
-        "id_b",
-        "label_a",
-        "label_b",
-        (dot_exact(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+    survivors = joined.filter(approx >= NEARDUP_T - NEARDUP_MARGIN).select(
+        "id_a", "id_b", "label_a", "label_b", "ea", "eb", "na", "nb"
     )
-    return exact.filter(F.col("cosine") >= NEARDUP_T)
+
+    # exact re-score, Arrow-vectorized: the quantized-decimal dot is
+    # computed in numpy bit-identically to the JVM/oracle decimal path
+    # (functions/exactdot.py; equivalence pinned by
+    # test_exactdot_matches_jvm). The JVM expression form costs ~0.4ms
+    # interpreted BigDecimal per pair — at 10x scale the survivor set
+    # is ~100k pairs and that alone was ~40s; this stage is
+    # milliseconds on the same batch.
+    def rescore(it):
+        import numpy as np
+        import pandas as pd
+
+        from porcupine_spark.functions.exactdot import exact_cosines
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ea_m = np.stack(pdf["ea"].to_numpy())
+            eb_m = np.stack(pdf["eb"].to_numpy())
+            cos = exact_cosines(
+                ea_m, eb_m, pdf["na"].to_numpy(), pdf["nb"].to_numpy()
+            )
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "label_a": pdf["label_a"],
+                    "label_b": pdf["label_b"],
+                    "cosine": cos,
+                }
+            )
+            yield out[out["cosine"] >= NEARDUP_T]
+
+    return survivors.mapInPandas(
+        rescore,
+        schema="id_a long, id_b long, label_a int, label_b int, cosine double",
+    )
 
 
 @query(
@@ -846,14 +969,39 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb_wide = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     bands = _lsh_bands(_lsh_signatures(emb_wide))
-    other = bands.select(
-        F.col("vec_id").alias("id_b"), "band", "chunk"
-    )
+    # Candidate pruning happens INSIDE each band bucket: members are
+    # co-located by the one (band, chunk) shuffle (bands + embeddings,
+    # ~#vecs x #bands small rows), and a numpy pass scores the bucket's
+    # pairs locally, emitting only pairs above threshold - margin. The
+    # pair-join formulation (bands self-join -> 11M candidate rows at
+    # 10x from hot-bucket skew -> 5.7 GB of embedding arrays shuffled
+    # to score them) never materializes: per-bucket work is bounded by
+    # bucket occupancy squared IN ONE TASK's numpy call, and only
+    # near-threshold survivors (~0.1% here) reach the exact re-scorer.
+    # The margin guarantees no pair the exact check keeps is dropped
+    # (double-vs-quantized-decimal error ~1e-9 << 1e-6 margin).
+    be = bands.join(emb_wide, "vec_id")
+    margin = 2 * NEARDUP_MARGIN
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = matn @ matn.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = sims[iu, ju] >= NEARDUP_T - margin
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
     cand = (
-        bands.select(F.col("vec_id").alias("id_a"), "band", "chunk")
-        .join(other, ["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        be.groupBy("band", "chunk")
+        .applyInPandas(bucket_pairs, schema="id_a long, id_b long")
         .distinct()
     )
     return _neardup_verify(cand, emb_raw)

@@ -125,3 +125,36 @@ def test_write_zordered_tiles_prune_both_columns(spark, tmp_path):
     # 16 tiles over a 64x64 grid -> ideal tile extent 16-32 per axis;
     # assert every file is well under the full 63 domain on BOTH axes
     assert max(spans_a) <= n // 2 and max(spans_b) <= n // 2, (spans_a, spans_b)
+
+
+def test_exactdot_matches_jvm(spark):
+    """The Arrow-vectorized exact quantized dot must be bit-identical
+    to the JVM decimal expression (dot_exact) — including elements that
+    land in the .5-boundary guard band."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from porcupine_spark.functions.exactdot import exact_unit_dots
+    from porcupine_spark.operators.similarity import dot_exact
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 64
+    A = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+    B = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+    # plant near-boundary products: a*b*1e12 ~ k + 0.5
+    A[0, :4] = np.float32(1.0)
+    B[0, :4] = np.float32([1.5e-12, 2.5e-12, -3.5e-12, 7.4999e-12])
+
+    df = spark.createDataFrame(
+        [(i, A[i].tolist(), B[i].tolist()) for i in range(n)],
+        "i long, a array<float>, b array<float>",
+    )
+    jvm = {
+        r["i"]: r["dot"]
+        for r in df.select(
+            "i", dot_exact(F.col("a"), F.col("b")).alias("dot")
+        ).collect()
+    }
+    units = exact_unit_dots(A, B)
+    for i in range(n):
+        assert jvm[i] == units[i] / 1e12, (i, jvm[i], units[i] / 1e12)

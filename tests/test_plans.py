@@ -70,11 +70,12 @@ def test_range_join_is_keyed_hash_join(spark, sf_dir):
 
 
 def test_cosine_topk_prefilters_in_python_then_verifies(spark, sf_dir):
-    """Two-phase ANN: exactly one Arrow-batched python stage (the numpy
-    prefilter); the exact-decimal re-score joins against the broadcast
-    query side."""
+    """Two-phase ANN, all three numeric stages Arrow-batched: the numpy
+    prefilter, the vectorized exact norms (checkpointed — appears once
+    in the executed plan, not per consumer), and the vectorized exact
+    re-score; candidate pairs still join the broadcast query side."""
     plan = plan_of(spark, sf_dir, "cosine_topk")
-    assert plan.count("MapInPandas") == 1
+    assert 1 <= plan.count("MapInPandas") <= 3
     assert "BroadcastHashJoin" in plan
 
 
@@ -151,12 +152,14 @@ def test_lsh_topk_bucket_join_no_cartesian(spark, sf_dir):
 
 def test_embedding_neardup_distributed_block_pairs(spark, sf_dir):
     """Exact near-dup must be the block-pair applyInPandas shape — one
-    FlatMapGroupsInPandas, no full-corpus mapInPandas-against-broadcast
-    (the old shape materialized every embedding on the driver first),
+    FlatMapGroupsInPandas for candidate generation (never a driver-side
+    broadcast of the whole corpus), plus the Arrow-vectorized exact
+    re-score MapInPandas (functions/exactdot.py) on survivors only;
     no cartesian."""
     plan = plan_of(spark, sf_dir, "embedding_neardup")
     assert plan.count("FlatMapGroupsInPandas") == 1
-    assert "MapInPandas" not in plan
+    assert plan.count("MapInPandas") <= 1  # the rescore stage only
+    assert "rescore" in plan
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
 
