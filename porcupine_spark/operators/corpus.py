@@ -460,3 +460,66 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("ctx_n")).alias("cond_p"),
         "rk",
     )
+
+
+COVERAGE_KS = (10, 50, 100, 500)
+
+
+@query(
+    "vocab_coverage_curve",
+    f"""
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (
+        SELECT UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rk,
+             CAST(SUM(n) OVER (ORDER BY n DESC, tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+             CAST(SUM(n) OVER () AS BIGINT) AS total_n
+      FROM counts
+    )
+    SELECT k.k AS vocab_size,
+           CAST(MAX(r.cum_n) AS BIGINT) AS covered_tokens,
+           CAST(MAX(r.total_n) AS BIGINT) AS total_tokens,
+           CAST(MAX(r.cum_n) AS DOUBLE) / MAX(r.total_n) AS coverage
+    FROM (VALUES {", ".join(f"({k})" for k in COVERAGE_KS)}) AS k(k)
+    JOIN ranked r ON r.rk <= k.k
+    GROUP BY k.k
+    """,
+    tags=("corpus", "curation"),
+    doc="Tokenizer-budget planning: corpus token coverage of the top-K "
+    "vocabulary for K in (10, 50, 100, 500) — the curve that decides "
+    "vocab size / OOV budget before training a tokenizer. One token "
+    "count shuffle (map-side combined), then every window/join runs on "
+    "the VOCAB-sized table (thousands of rows at any corpus size, the "
+    "same bounded-aggregate discipline as daily_new_users_cumulative).",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_order = W.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.select(
+        "n",
+        F.row_number().over(w_order).alias("rk"),
+        F.sum("n").over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_n"),
+        F.sum("n").over(W.partitionBy()).alias("total_n"),
+    )
+    ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k long")
+    return (
+        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+        .groupBy(F.col("k").alias("vocab_size"))
+        .agg(
+            F.max("cum_n").alias("covered_tokens"),
+            F.max("total_n").alias("total_tokens"),
+            (F.max("cum_n").cast("double") / F.max("total_n")).alias("coverage"),
+        )
+    )

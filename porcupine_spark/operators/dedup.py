@@ -569,3 +569,75 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).filter(
         F.col("hamming") <= 3
     )
+
+
+DUP_EDGE_T = 0.5  # same verified-duplicate threshold as dedup_keep_canonical
+
+
+@query(
+    "dup_graph_metrics",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs WHERE jaccard >= {DUP_EDGE_T}
+    ),
+    degrees AS (
+      SELECT v AS doc_id, COUNT(*) AS degree FROM (
+        SELECT a AS v FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY v
+    ),
+    tris AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_counts AS (
+      SELECT v AS doc_id, COUNT(*) AS n_triangles FROM (
+        SELECT a AS v FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+      ) GROUP BY v
+    )
+    SELECT d.doc_id, CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM degrees d LEFT JOIN tri_counts t USING (doc_id)
+    """,
+    tags=("dedup", "graph"),
+    doc="Per-node metrics of the verified duplicate graph (MinHash+LSH "
+    "edges at jaccard >= 0.5): degree and triangle membership — the "
+    "triangle join is the standard a<b<c edge-ordered 3-cycle "
+    "enumeration, so each triangle counts once. The edge set is LSH "
+    "OUTPUT (bounded, sub-quadratic), so the self-joins run on the "
+    "dedup result, never the corpus; degree/triangle skew at 100 TB "
+    "is bounded by the same hot-bucket discipline that bounds the "
+    "edge list itself.",
+)
+def dup_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        minhash_lsh_pairs(docs)
+        .filter(F.col("jaccard") >= DUP_EDGE_T)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint(eager=True)  # small (post-LSH); read by 4 plans below
+    )
+    degrees = (
+        edges.select(F.col("a").alias("doc_id"))
+        .unionAll(edges.select(F.col("b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = edges.select(F.col("a"), F.col("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a"), F.col("b").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_counts = (
+        tris.select(F.col("a").alias("doc_id"))
+        .unionAll(tris.select(F.col("b").alias("doc_id")))
+        .unionAll(tris.select(F.col("c").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return degrees.join(tri_counts, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )

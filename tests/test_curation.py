@@ -158,3 +158,41 @@ def test_exactdot_matches_jvm(spark):
     units = exact_unit_dots(A, B)
     for i in range(n):
         assert jvm[i] == units[i] / 1e12, (i, jvm[i], units[i] / 1e12)
+
+
+def test_pack_docs_property(spark):
+    """Property (hypothesis): for arbitrary token-length sequences the
+    packing is a partition (tokens conserved, bins consecutive) and
+    every bin except a source's last closes only once its exclusive
+    cumsum crossed the budget — i.e. bin_tokens + (tokens before it in
+    the bin's source) >= (bin_id+1) * budget for non-final bins."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=24),
+        st.integers(min_value=5, max_value=60),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(lengths, budget):
+        rows = [(i, "s", " ".join(["w"] * n)) for i, n in enumerate(lengths)]
+        out = sorted(
+            (r["bin_id"], r["n_docs"], r["bin_tokens"])
+            for r in pack_docs(_docs(spark, rows), budget).collect()
+        )
+        ids = [b for b, _, _ in out]
+        # ids strictly increase; an oversized doc (> budget) may skip
+        # bin numbers (its exclusive cumsum jumps whole budget spans) —
+        # consecutive only when every doc fits the budget
+        assert ids == sorted(set(ids))
+        if max(lengths) <= budget:
+            assert ids == list(range(len(ids)))
+        assert sum(t for _, _, t in out) == sum(lengths)
+        assert sum(n for _, n, _ in out) == len(lengths)
+        # non-final bins crossed their boundary
+        cum = 0
+        for b, _n, t in out[:-1]:
+            assert cum + t >= (b + 1) * budget, (lengths, budget, out)
+            cum += t
+
+    check()
