@@ -226,3 +226,79 @@ def daily_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
     )
+
+
+FUNNEL_WINDOW = "1 hour"
+
+
+@query(
+    "funnel_time_bounded",
+    """
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ),
+    w2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM w2
+    )
+    SELECT user_id,
+           MAX(CASE
+             WHEN t_purchase IS NOT NULL
+                  AND t_purchase <= t_view + INTERVAL 1 HOUR THEN 3
+             WHEN t_click IS NOT NULL
+                  AND t_click <= t_view + INTERVAL 1 HOUR THEN 2
+             WHEN t_view IS NOT NULL THEN 1
+             ELSE 0 END) AS funnel_depth
+    FROM w3 GROUP BY user_id
+    """,
+    tags=("funnel", "window"),
+    doc="Time-bounded ordered funnel (the ClickHouse windowFunnel "
+    "semantics): per user, the chain first-view -> first-click-after-"
+    "view -> first-purchase-after-that-click must complete within 1h "
+    "of the view. Three sequential window passes over the SAME "
+    "user_id partitioning - Catalyst plans them behind one exchange, "
+    "so the whole funnel costs a single shuffle of the event log; no "
+    "self-joins, no per-user event collections.",
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    w1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
+    )
+    w2 = w1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    w3 = w2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    bound = F.col("t_view") + F.expr(f"INTERVAL {FUNNEL_WINDOW}")
+    depth = (
+        F.when(F.col("t_purchase").isNotNull() & (F.col("t_purchase") <= bound), 3)
+        .when(F.col("t_click").isNotNull() & (F.col("t_click") <= bound), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return w3.groupBy("user_id").agg(F.max(depth).alias("funnel_depth"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from porcupine_spark.plans.registry import query
@@ -182,4 +182,108 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.end").alias("session_end"),
         "n_events",
         "total_value",
+    )
+
+
+@query(
+    "stream_window_zscore",
+    """
+    WITH totals AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
+             event_type,
+             SUM(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT window_start, event_type, total,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_w,
+             SUM(total) OVER (PARTITION BY event_type) AS s,
+             SUM(CAST(total AS DECIMAL(18,6)) * CAST(total AS DECIMAL(18,6)))
+               OVER (PARTITION BY event_type) AS ss
+      FROM totals
+    )
+    , exact AS (
+      SELECT window_start, event_type, total, n_w,
+             s,
+             CAST(n_w AS DECIMAL(6,0)) * CAST(ss AS DECIMAL(25,12))
+               - CAST(s AS DECIMAL(19,6)) * CAST(s AS DECIMAL(19,6)) AS var_num,
+             n_w * (n_w - 1) AS var_den
+      FROM stats
+    )
+    SELECT window_start, event_type,
+           CAST(total AS DOUBLE) AS total,
+           CAST(FLOOR(var_num * 1000) AS DOUBLE)
+             / (CAST(var_den AS DOUBLE) * 1000.0) AS variance,
+           CASE WHEN (CAST(total AS DOUBLE) - CAST(s AS DOUBLE) / n_w)
+                     * (CAST(total AS DOUBLE) - CAST(s AS DOUBLE) / n_w)
+                > 4.0 * (CAST(FLOOR(var_num * 1000) AS DOUBLE)
+                         / (CAST(var_den AS DOUBLE) * 1000.0))
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM exact
+    """,
+    tags=("streaming", "window", "quality"),
+    doc="Streaming anomaly detection: hourly per-type totals come from "
+    "a genuine watermarked streaming window (exact-decimal sums), then "
+    "a second batch stage over the WINDOW AGGREGATES (calendar-bounded, "
+    "tiny) computes each type's mean/variance of window totals and "
+    "flags windows beyond 2 sigma. All statistics derive from exact "
+    "decimal sums (sum, sum of squares) so both engines compute "
+    "identical doubles - the sum-of-squares trick would be unstable in "
+    "floats but is EXACT here; the squared-comparison form avoids "
+    "sqrt so the flag needs no tolerance.",
+)
+def stream_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _state_sized_session(spark)
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+    )
+    name = f"zscore_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    totals = spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "total"
+    )
+    # second stage: batch analytics over the window aggregates
+    wt = Window.partitionBy("event_type")
+    stats = totals.select(
+        "window_start",
+        "event_type",
+        "total",
+        F.count(F.lit(1)).over(wt).alias("n_w"),
+        F.sum("total").over(wt).alias("s"),
+        F.sum(
+            F.col("total").cast("decimal(18,6)") * F.col("total").cast("decimal(18,6)")
+        ).over(wt).alias("ss"),
+    )
+    # variance numerator in EXACT decimal (n*ss - s^2 fits (38,12) at
+    # these magnitudes); one double division at the end. The all-double
+    # a*b - c*d form diverged from DuckDB in the last ulps (fused
+    # multiply-add contraction on the C++ side) — exact ints/decimals
+    # cannot.
+    var_num = (
+        F.col("n_w").cast("decimal(6,0)") * F.col("ss").cast("decimal(25,12)")
+        - F.col("s").cast("decimal(18,6)") * F.col("s").cast("decimal(18,6)")
+    )
+    var_den = (F.col("n_w") * (F.col("n_w") - 1)).cast("double")
+    # quantize the exact numerator to 1e-3 units with an explicit
+    # FLOOR before the double cast: at scale 12 its integer
+    # representation exceeds 2^53 (DuckDB's int128-decimal -> double
+    # conversion is then not correctly rounded) and decimal DOWNSCALE
+    # rounding modes differ between engines — floor of (num * 1000) is
+    # tie-free, fits 2^53, and converts exactly in both
+    variance = F.floor(var_num * 1000).cast("double") / (var_den * F.lit(1000.0))
+    s_d = F.col("s").cast("double")
+    dev = F.col("total").cast("double") - s_d / F.col("n_w")
+    return stats.select(
+        "window_start",
+        "event_type",
+        F.col("total").cast("double").alias("total"),
+        variance.alias("variance"),
+        F.when(dev * dev > F.lit(4.0) * variance, 1).otherwise(0).alias("is_anomaly"),
     )
