@@ -86,3 +86,75 @@ def dq_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("orphan_custkey").alias("rule"), "n_violations")
     )
     return long_rules.unionByName(orphans)
+
+
+@query(
+    "profile_orders_columns",
+    """
+    WITH t AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_custkey) AS nn_custkey,
+             COUNT(DISTINCT o_custkey) AS nd_custkey,
+             CAST(MIN(o_custkey) AS VARCHAR) AS min_custkey,
+             CAST(MAX(o_custkey) AS VARCHAR) AS max_custkey,
+             COUNT(o_orderstatus) AS nn_status,
+             COUNT(DISTINCT o_orderstatus) AS nd_status,
+             CAST(MIN(o_orderstatus) AS VARCHAR) AS min_status,
+             CAST(MAX(o_orderstatus) AS VARCHAR) AS max_status,
+             COUNT(o_orderdate) AS nn_date,
+             COUNT(DISTINCT o_orderdate) AS nd_date,
+             CAST(MIN(o_orderdate) AS VARCHAR) AS min_date,
+             CAST(MAX(o_orderdate) AS VARCHAR) AS max_date
+      FROM orders
+    )
+    SELECT 'o_custkey' AS col, n_rows, CAST(n_rows - nn_custkey AS BIGINT) AS n_nulls,
+           CAST(nd_custkey AS BIGINT) AS n_distinct, min_custkey AS min_str, max_custkey AS max_str
+    FROM t
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, CAST(n_rows - nn_status AS BIGINT),
+           CAST(nd_status AS BIGINT), min_status, max_status FROM t
+    UNION ALL
+    SELECT 'o_orderdate', n_rows, CAST(n_rows - nn_date AS BIGINT),
+           CAST(nd_date AS BIGINT), min_date, max_date FROM t
+    """,
+    tags=("quality", "profile"),
+    doc="ANALYZE-style column profiling (the data-catalog stats shape): "
+    "rows / nulls / exact distinct / min / max for a column set, all in "
+    "ONE aggregation pass over the table (multi-column COUNT DISTINCT "
+    "expands map-side; stringified min/max so heterogeneous column "
+    "types share one output schema). At 100 TB swap exact distinct for "
+    "approx_count_distinct per column - same single-pass plan.",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    t = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").cast("string").alias("min_status"),
+        F.max("o_orderstatus").cast("string").alias("max_status"),
+        F.count("o_orderdate").alias("nn_date"),
+        F.countDistinct("o_orderdate").alias("nd_date"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+    )
+
+    def row(col, nn, nd, mn, mx):
+        return t.select(
+            F.lit(col).alias("col"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(nn)).alias("n_nulls"),
+            F.col(nd).alias("n_distinct"),
+            F.col(mn).alias("min_str"),
+            F.col(mx).alias("max_str"),
+        )
+
+    return (
+        row("o_custkey", "nn_custkey", "nd_custkey", "min_custkey", "max_custkey")
+        .unionByName(row("o_orderstatus", "nn_status", "nd_status", "min_status", "max_status"))
+        .unionByName(row("o_orderdate", "nn_date", "nd_date", "min_date", "max_date"))
+    )
