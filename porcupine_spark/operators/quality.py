@@ -158,3 +158,60 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("o_orderstatus", "nn_status", "nd_status", "min_status", "max_status"))
         .unionByName(row("o_orderdate", "nn_date", "nd_date", "min_date", "max_date"))
     )
+
+
+@query(
+    "rfm_segmentation",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, last_order, frequency, monetary,
+             NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_quartile,
+             NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+      FROM per_cust
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(monetary) AS DOUBLE) AS min_monetary,
+           CAST(MAX(monetary) AS DOUBLE) AS max_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    tags=("window", "analytics"),
+    doc="RFM segmentation (recency / frequency / monetary quartiles "
+    "per customer, then segment sizes): one shuffle aggregates orders "
+    "per customer (exact-decimal monetary so quartile boundaries are "
+    "engine-identical), NTILE windows with deterministic tie-breaks "
+    "assign quartiles over the CUSTOMER-sized table, and the final "
+    "rollup is segment-bounded (<=64 rows). The unpartitioned NTILE "
+    "runs on per-customer aggregates, not raw orders - at 100 TB that "
+    "table is still range-partitionable by the sort key if one "
+    "reducer ever became the bottleneck.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(W.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r_quartile"),
+        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f_quartile"),
+        F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("monetary").alias("min_monetary"),
+        F.max("monetary").alias("max_monetary"),
+    )
