@@ -523,3 +523,93 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("cum_n").cast("double") / F.max("total_n")).alias("coverage"),
         )
     )
+
+
+@query(
+    "ks_drift_doc_length",
+    """
+    WITH pts AS (SELECT DISTINCT n_chars AS x FROM documents),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    grid AS (SELECT s.source, p.x FROM srcs s CROSS JOIN pts p),
+    cnt AS (SELECT source, n_chars AS x, COUNT(*) AS c
+            FROM documents GROUP BY source, n_chars),
+    cdf AS (
+      SELECT g.source, g.x,
+             SUM(COALESCE(c.c, 0)) OVER (PARTITION BY g.source ORDER BY g.x)
+               AS cum
+      FROM grid g LEFT JOIN cnt c ON c.source = g.source AND c.x = g.x
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             MAX(ABS(CAST(a.cum AS HUGEINT) * tb.n
+                     - CAST(b.cum AS HUGEINT) * ta.n)) AS d,
+             MAX(ta.n) AS n_a, MAX(tb.n) AS n_b
+      FROM cdf a JOIN cdf b ON b.x = a.x AND a.source < b.source
+      JOIN tot ta ON ta.source = a.source
+      JOIN tot tb ON tb.source = b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, n_a, n_b,
+           CAST(d AS DOUBLE)
+             / CAST(CAST(n_a AS HUGEINT) * n_b AS DOUBLE) AS ks_stat
+    FROM pairs
+    """,
+    tags=("corpus", "monitoring"),
+    doc="Pairwise two-sample Kolmogorov-Smirnov statistic between the "
+    "doc-length distributions of every source pair - the distribution-"
+    "drift monitor of a curation pipeline (catches a source whose "
+    "scraper started truncating). Exact formulation: both empirical "
+    "CDFs are densified onto the global grid of observed lengths "
+    "(|distinct lengths| x |sources| rows - the broadcast of the tiny "
+    "source dimension is the only nested-loop join, bounded by the "
+    "source count, not the corpus), and sup|F_a - F_b| is taken over "
+    "cross-multiplied INTEGER numerators (|cum_a*n_b - cum_b*n_a| in "
+    "decimal(38,0)); one IEEE division at the end, bit-identical to "
+    "the oracle.",
+)
+def ks_drift_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pts = docs.select(F.col("n_chars").alias("x")).distinct()
+    srcs = docs.select("source").distinct()
+    cnt = docs.groupBy(
+        "source", F.col("n_chars").alias("x")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = pts.crossJoin(F.broadcast(srcs))
+    wcum = W.partitionBy("source").orderBy("x")
+    cdf = (
+        grid.join(cnt, ["source", "x"], "left")
+        .select("source", "x", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("cum", F.sum("c").over(wcum))
+    )
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = cdf.join(F.broadcast(tot), "source").select(
+        F.col("source").alias("source_a"), "x",
+        F.col("cum").alias("ca"), F.col("n").alias("na"),
+    )
+    b = cdf.join(F.broadcast(tot), "source").select(
+        F.col("source").alias("source_b"), "x",
+        F.col("cum").alias("cb"), F.col("n").alias("nb"),
+    )
+    pairs = (
+        a.join(b, ["x"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("nb")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("na")
+                )
+            ).alias("d"),
+            F.max("na").alias("n_a"),
+            F.max("nb").alias("n_b"),
+        )
+    )
+    return pairs.select(
+        "source_a", "source_b", "n_a", "n_b",
+        (
+            F.col("d").cast("double")
+            / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b")).cast("double")
+        ).alias("ks_stat"),
+    )

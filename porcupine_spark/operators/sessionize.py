@@ -302,3 +302,61 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
     )
     return w3.groupBy("user_id").agg(F.max(depth).alias("funnel_depth"))
+
+
+@query(
+    "event_transition_counts",
+    f"""
+    WITH seq AS (
+      SELECT session_key, event_type,
+             lead(event_type) OVER (PARTITION BY session_key
+                                    ORDER BY ts, event_id) AS next_type
+      FROM (
+        SELECT user_id, event_id, ts, event_type,
+               concat(user_id, ':', CAST(SUM(is_new) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+                 AS session_key
+        FROM (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                           > {GAP_SECONDS} * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+      )
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("sessionize", "window", "markov"),
+    doc="First-order Markov transition matrix over within-session event "
+    "paths: sessionize (lag+cumsum), lead() the next event type inside "
+    "each session, count (from, to) pairs. All three window passes "
+    "share the user_id partitioning, so the event log shuffles once; "
+    "the final count is a 25-cell aggregate (|types|^2) with map-side "
+    "partials - nothing here grows with corpus size except the one "
+    "keyed shuffle. Exact integer output.",
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id", gap_s=GAP_SECONDS)
+    # lead over the SAME user_id window the sessionizer used (exchange
+    # reuse - one shuffle total); a transition only counts when the next
+    # event is in the same session, so guard on lead(session_id).
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = s.withColumn("next_type", F.lead("event_type").over(w)).withColumn(
+        "next_sess", F.lead("session_id").over(w)
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull() & (F.col("next_sess") == F.col("session_id")))
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -100,3 +100,125 @@ def salted_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ps").alias("total_chars"),
         ],
     )
+
+
+FUZZY_MAX_DIST = 2
+
+
+@query(
+    "fuzzy_name_pairs",
+    f"""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+    ),
+    blocked AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             a.n_parts AS parts_a, b.n_parts AS parts_b,
+             levenshtein(a.p_name, b.p_name) AS edit_dist
+      FROM names a JOIN names b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_name < b.p_name
+       AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= {FUZZY_MAX_DIST}
+    )
+    SELECT name_a, name_b, edit_dist, parts_a, parts_b
+    FROM blocked WHERE edit_dist <= {FUZZY_MAX_DIST}
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+    doc="Blocked fuzzy (edit-distance) self-join - the entity-resolution "
+    "shape. Scale discipline: match the DISTINCT name space, not rows "
+    "(GROUP BY p_name first - the candidate join is |distinct names|^2 "
+    "/ blocks, independent of row count), block on the name's noun "
+    "token plus a length band (levenshtein<=k implies |len diff|<=k, "
+    "so the band loses nothing), and carry row counts through the "
+    "group-by so multiplicity survives without re-joining the fact "
+    "table. Exact integer distances on both engines.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    noun = lambda c: F.split_part(F.col(c), F.lit(" "), F.lit(2))  # noqa: E731
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("parts_a"),
+        noun("p_name").alias("blk_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("parts_b"),
+        noun("p_name").alias("blk_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+        ),
+    )
+    return (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "edit_dist", "parts_a", "parts_b")
+    )
+
+
+@query(
+    "skyline_orders",
+    """
+    WITH dmin AS (
+      SELECT o_totalprice AS price, MIN(o_orderdate) AS dmin
+      FROM orders GROUP BY o_totalprice
+    ),
+    swept AS (
+      SELECT price, dmin,
+             MIN(dmin) OVER (ORDER BY price DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m1
+      FROM dmin
+    ),
+    frontier AS (
+      SELECT price, dmin FROM swept WHERE m1 IS NULL OR dmin < m1
+    ),
+    cnt AS (
+      SELECT o_totalprice AS price, o_orderdate AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_totalprice, o_orderdate
+    )
+    SELECT f.price AS o_totalprice,
+           CAST(f.dmin AS TIMESTAMP_NS) AS o_orderdate,
+           c.n_orders
+    FROM frontier f JOIN cnt c ON c.price = f.price AND c.d = f.dmin
+    """,
+    tags=("window", "skyline"),
+    doc="2D skyline (Pareto frontier): orders not dominated on "
+    "(higher price, earlier date) by any other order. Exact sweep-line "
+    "formulation: reduce to (distinct price -> min date) first - the "
+    "global window then runs over |distinct prices|, which for "
+    "currency-valued data is a bounded grid, not the order count - "
+    "then keep a price point iff its min date beats the running min "
+    "over all strictly-higher prices (ROWS ... 1 PRECEDING = strict "
+    "dominance; equal-price/equal-date ties survive, as skyline "
+    "semantics require). Counts join back on the tiny frontier "
+    "(broadcast). No self-join, no quadratic dominance test.",
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    dmin = orders.groupBy(F.col("o_totalprice").alias("price")).agg(
+        F.min("o_orderdate").alias("dmin")
+    )
+    w = W.orderBy(F.col("price").desc()).rowsBetween(W.unboundedPreceding, -1)
+    swept = dmin.withColumn("m1", F.min("dmin").over(w))
+    frontier = swept.where(F.col("m1").isNull() | (F.col("dmin") < F.col("m1")))
+    cnt = orders.groupBy(
+        F.col("o_totalprice").alias("price"), F.col("o_orderdate").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        cnt.join(
+            F.broadcast(frontier),
+            (cnt.price == frontier.price) & (cnt.d == frontier.dmin),
+        )
+        .select(
+            cnt.price.alias("o_totalprice"),
+            F.col("d").alias("o_orderdate"),
+            "n_orders",
+        )
+    )

@@ -41,6 +41,10 @@ REPRESENTATIVE = [
     "source_unigram_l1",  # exact-int64 distribution drift
     "dedup_keep_canonical",  # keep-first canonical corpus
     "text_stats",  # per-row text metrics
+    "event_transition_counts",  # within-session Markov transitions
+    "ks_drift_doc_length",  # exact two-sample KS drift
+    "fuzzy_name_pairs",  # blocked edit-distance entity resolution
+    "skyline_orders",  # sweep-line Pareto frontier
 ]
 
 
