@@ -641,3 +641,111 @@ def dup_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
     )
+
+
+# --- cross-corpus (incremental-ingest) dedup -------------------------
+
+NEW_BATCH_MOD = 5  # doc_id % 5 == 0 plays the "incoming batch"
+
+
+def _band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) with the band signature packed into one long
+    (same packing as minhash_lsh_pairs — joins shuffle 8-byte keys)."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.col(f"mh{2*b}") * F.lit(1 << 31) + F.col(f"mh{2*b+1}")
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+
+
+def _sql_side_ctes(side: str, pred: str) -> str:
+    """Shingle + minhash + band CTEs for one split of documents."""
+    return f"""
+    {side} AS (SELECT * FROM documents WHERE {pred}),
+    shingles_{side} AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS shingle
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+            FROM {side}),
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(toks) - 2, 0))) AS i) t
+    ),
+    sigs_{side} AS (
+      SELECT doc_id,
+           {", ".join(
+               f"MIN(({MINHASH_A[p]} * {_SQL_H30} + {MINHASH_B[p]}) % {MINHASH_MOD}) AS mh{p}"
+               for p in range(N_PERMS)
+           )}
+      FROM shingles_{side} GROUP BY doc_id
+    ),
+    bands_{side} AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {b} AS band,"
+          f" mh{2*b} * 2147483648 + mh{2*b+1} AS sig FROM sigs_{side}"
+          for b in range(N_BANDS)
+      )}
+    )"""
+
+
+@query(
+    "incremental_dedup",
+    f"""
+    WITH {_sql_side_ctes("base", f"doc_id % {NEW_BATCH_MOD} <> 0")},
+    {_sql_side_ctes("newb", f"doc_id % {NEW_BATCH_MOD} = 0")},
+    bh AS (SELECT DISTINCT md5(trim(text)) AS h FROM base),
+    near AS (
+      SELECT DISTINCT nb.doc_id
+      FROM bands_newb nb JOIN bands_base bb
+        ON bb.band = nb.band AND bb.sig = nb.sig
+    )
+    SELECT n.doc_id,
+           (md5(trim(n.text)) IN (SELECT h FROM bh)) AS exact_dup,
+           (n.doc_id IN (SELECT doc_id FROM near)) AS near_dup
+    FROM newb n
+    """,
+    tags=("dedup", "incremental"),
+    doc="Cross-corpus dedup - the incremental-ingest shape: an incoming "
+    "batch (doc_id % 5 == 0 stands in for it) is checked against the "
+    "existing corpus WITHOUT any batch-internal or corpus-internal "
+    "pairing. Exact tier: semi-join on the md5 digest (shuffles 32-hex "
+    "keys, never text). Near tier: minhash band signatures of the "
+    "batch semi-joined to the corpus's band table on (band, packed "
+    "sig) - candidates are batch x collisions, so a 100 TB corpus "
+    "costs one band-keyed shuffle per ingest, not a corpus self-join; "
+    "in production the corpus's digest + band tables are precomputed "
+    "once and only the (small) batch side is fresh work.",
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % NEW_BATCH_MOD == 0
+    base = docs.filter(~is_new)
+    new = docs.filter(is_new)
+
+    base_h = base.select(F.md5(F.trim(F.col("text"))).alias("h")).distinct()
+    new_h = new.select("doc_id", F.md5(F.trim(F.col("text"))).alias("h"))
+    exact_ids = new_h.join(base_h, "h", "left_semi").select("doc_id")
+
+    base_bands = _band_table(minhash_signatures(base)).select("band", "sig").distinct()
+    new_bands = _band_table(minhash_signatures(new))
+    near_ids = (
+        new_bands.join(base_bands, ["band", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        new.select("doc_id")
+        .join(exact_ids.withColumn("exact_dup", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("near_dup", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+        )
+    )

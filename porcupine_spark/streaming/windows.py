@@ -287,3 +287,57 @@ def stream_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         variance.alias("variance"),
         F.when(dev * dev > F.lit(4.0) * variance, 1).otherwise(0).alias("is_anomaly"),
     )
+
+
+TRENDING_K = 3
+
+
+@query(
+    "stream_topk_trending",
+    f"""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT ws, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY ws
+                                ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT CAST(ws AS TIMESTAMP_NS) AS window_start, event_type, n, rk
+    FROM r WHERE rk <= {TRENDING_K}
+    """,
+    tags=("streaming", "window", "topk"),
+    doc="Trending detector: top-3 event types per tumbling hour. The "
+    "streaming half is the watermarked windowed count (bounded state, "
+    "map-side partials per microbatch); the rank is a BATCH pass over "
+    "the emitted counts - the standard topology, since per-window "
+    "top-k needs the window closed before ranking (in production the "
+    "rank runs in foreachBatch on the windows the batch closed, or "
+    "downstream over the sink table, exactly as here). Deterministic "
+    "tiebreak (count desc, type asc) keeps the result hash-stable.",
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _state_sized_session(spark)  # see stream_tumbling_agg
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"trending_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+    wr = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return counts.withColumn("rk", F.row_number().over(wr)).where(
+        F.col("rk") <= TRENDING_K
+    )

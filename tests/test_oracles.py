@@ -45,6 +45,7 @@ REPRESENTATIVE = [
     "ks_drift_doc_length",  # exact two-sample KS drift
     "fuzzy_name_pairs",  # blocked edit-distance entity resolution
     "skyline_orders",  # sweep-line Pareto frontier
+    "incremental_dedup",  # cross-corpus batch-vs-corpus dedup
 ]
 
 
