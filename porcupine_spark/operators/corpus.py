@@ -613,3 +613,156 @@ def ks_drift_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b")).cast("double")
         ).alias("ks_stat"),
     )
+
+
+TOPP_NUM, TOPP_DEN = 4, 5  # keep up to 4/5 of each source's char mass
+
+
+@query(
+    "source_topp_budget",
+    f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE cum * {TOPP_DEN} <= total * {TOPP_NUM})
+             AS n_docs_kept,
+           CAST(COALESCE(SUM(n_chars) FILTER (WHERE cum * {TOPP_DEN} <= total * {TOPP_NUM}), 0)
+             AS BIGINT) AS chars_kept,
+           CAST(MAX(total) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("corpus", "sampling"),
+    doc="Top-p (nucleus) data-budget allocation: per source, keep the "
+    "highest-value documents (length-ranked, doc_id tiebreak) until "
+    "the running char mass reaches 4/5 of the source's total. The "
+    "budget test is the cross-multiplied integer comparison cum*5 <= "
+    "total*4 - no float thresholds anywhere. Both window passes and "
+    "the rollup share the source partitioning: ONE shuffle of "
+    "(source, n_chars, doc_id) triples, nothing proportional to text "
+    "bytes.",
+)
+def source_topp_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars", "doc_id")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum"),
+        F.sum("n_chars").over(W.partitionBy("source")).alias("total"),
+    )
+    kept = F.col("cum") * TOPP_DEN <= F.col("total") * TOPP_NUM
+    return ranked.groupBy("source").agg(
+        F.count(F.when(kept, 1)).alias("n_docs_kept"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0)).alias("chars_kept"),
+        F.max("total").alias("total_chars"),
+    )
+
+
+BM25_TERMS = ("join", "hash", "scan")
+BM25_K = 20
+BM25_SCALE = 1_000_000
+
+
+@query(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(len(toks)) AS BIGINT) AS l FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, UNNEST(toks) AS tok FROM toks)
+      WHERE tok IN {BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(
+               (44 * CAST(t.tf AS HUGEINT) * s.l
+                     * (2 * s.n - 2 * f.df + 1) * {BM25_SCALE})
+               // ((2 * f.df + 1)
+                   * (20 * CAST(t.tf AS HUGEINT) * s.l + 6 * s.l
+                      + 18 * CAST(d.dl AS HUGEINT) * s.n))
+             ) AS score_scaled
+      FROM tf t
+      JOIN dl d ON d.doc_id = t.doc_id
+      JOIN dfreq f ON f.term = t.term
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score_scaled AS BIGINT) AS score_scaled,
+           CAST(score_scaled AS DOUBLE) / {BM25_SCALE} AS bm25
+    FROM scored ORDER BY score_scaled DESC, doc_id LIMIT {BM25_K}
+    """,
+    tags=("corpus", "retrieval"),
+    doc="BM25 top-k retrieval (k1=6/5, b=3/4, rational idf "
+    "(2N-2df+1)/(2df+1)) - the contamination/decontamination-by-"
+    "retrieval primitive. Exact discipline: each term score is a "
+    "single rational p/q evaluated as integer-scaled truncating "
+    "division (decimal(38,0) `div`, mirrored by HUGEINT `//`), so "
+    "per-doc sums are exact longs and the ranking is bit-stable. "
+    "Plan: tf rows exist only for (doc, query-term) matches (filter "
+    "INSIDE the token array before exploding - nothing corpus-sized "
+    "ever shuffles), df and corpus stats are broadcast one-row/"
+    "|Q|-row builds, and top-k is TakeOrderedAndProject, not a "
+    "global sort.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    tokd = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(F.filter("toks", lambda t: F.array_contains(qterms, t))).alias("term"),
+    )
+    tf = tokd.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.select(tokens(F.col("text")).alias("toks")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("l")
+    )
+    j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    p = (
+        dec(F.lit(44))
+        * F.col("tf")
+        * F.col("l")
+        * (2 * F.col("n") - 2 * F.col("df") + 1)
+        * F.lit(BM25_SCALE)
+    )
+    q = (2 * F.col("df") + 1) * (
+        dec(F.lit(20)) * F.col("tf") * F.col("l")
+        + 6 * F.col("l")
+        + dec(F.lit(18)) * F.col("dl") * F.col("n")
+    )
+    scored = (
+        j.withColumn("p", p)
+        .withColumn("q", q)
+        .withColumn("term_scaled", F.expr("p div q"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_scaled").alias("score_scaled"))
+    )
+    return (
+        scored.orderBy(F.col("score_scaled").desc(), "doc_id")
+        .limit(BM25_K)
+        .select(
+            "doc_id",
+            "score_scaled",
+            (F.col("score_scaled").cast("double") / BM25_SCALE).alias("bm25"),
+        )
+    )

@@ -215,3 +215,45 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa.alias("price_a"),
         pb.alias("price_b"),
     )
+
+
+@query(
+    "pit_join_order_segment",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(o.o_orderdate AS TIMESTAMP_NS) AS o_orderdate,
+           CASE WHEN o.o_custkey % 10 = 3
+                 AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+                THEN 'MOVED' ELSE c.c_mktsegment END AS segment_at_order
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join", "scd2", "feature-store"),
+    doc="Point-in-time correct dimension lookup - the feature-store "
+    "join: each order picks the SCD2 segment version valid AT its "
+    "order date (valid_from <= ts < valid_to), never a later one (no "
+    "training-serving leakage). Executes as the custkey equi-join "
+    "with the validity range evaluated inside the join - per-key "
+    "amplification is the version count (here <=2, generally small), "
+    "so the shuffle is the fact table keyed by custkey, same as a "
+    "plain dim join; a high-churn dimension would switch to the as-of "
+    "join (operators/asof.py) on (key, ts). The oracle is the CLOSED "
+    "FORM of the segment history - an independent derivation, not a "
+    "SQL transliteration of the pipeline.",
+)
+def pit_join_order_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    versions = scd2_customer_segments(spark, sf_dir)
+    return (
+        orders.join(
+            versions,
+            (orders.o_custkey == versions.c_custkey)
+            & (versions.valid_from <= orders.o_orderdate)
+            & (orders.o_orderdate < versions.valid_to),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.col("c_mktsegment").alias("segment_at_order"),
+        )
+    )

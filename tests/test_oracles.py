@@ -46,6 +46,8 @@ REPRESENTATIVE = [
     "fuzzy_name_pairs",  # blocked edit-distance entity resolution
     "skyline_orders",  # sweep-line Pareto frontier
     "incremental_dedup",  # cross-corpus batch-vs-corpus dedup
+    "bm25_topk",  # exact integer-scaled BM25 retrieval
+    "pit_join_order_segment",  # point-in-time SCD2 lookup
 ]
 
 
