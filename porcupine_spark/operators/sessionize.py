@@ -360,3 +360,50 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "event_disorder_stats",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE ts < high_water) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN ts < high_water
+                         THEN epoch_us(high_water) - epoch_us(ts) END), 0)
+             AS BIGINT) AS max_lateness_us
+    FROM seq
+    GROUP BY user_id
+    """,
+    tags=("sessionize", "streaming", "monitoring"),
+    doc="Event-time disorder profile - the watermark-sizing analytic: "
+    "replay each user's events in ARRIVAL order (event_id is the "
+    "ingest sequence), track the event-time high-water mark, and "
+    "measure how many events arrive late and by how much. "
+    "max_lateness_us is exactly the per-key watermark delay that "
+    "would have admitted every event - the number you set "
+    "withWatermark() from. One keyed window pass sharing the "
+    "aggregation's partitioning (single shuffle); lateness is exact "
+    "integer microseconds.",
+)
+def event_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.withColumn("high_water", F.max("ts").over(w))
+    late = F.col("ts") < F.col("high_water")
+    lateness = F.unix_micros(F.col("high_water")) - F.unix_micros(F.col("ts"))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(late, 1)).alias("n_late"),
+        F.coalesce(F.max(F.when(late, lateness)), F.lit(0)).alias("max_lateness_us"),
+    )

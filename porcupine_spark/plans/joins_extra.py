@@ -222,3 +222,69 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+BASKET_MIN_SUPPORT = 3
+
+
+@query(
+    "basket_pair_lift",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    freq AS (SELECT l_partkey, COUNT(*) AS n_part FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT p.part_a, p.part_b, p.support, fa.n_part AS n_a, fb.n_part AS n_b,
+           CAST(CAST(p.support AS HUGEINT) * n.n_orders AS DOUBLE)
+             / CAST(CAST(fa.n_part AS HUGEINT) * fb.n_part AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+    tags=("join", "basket"),
+    doc="Market-basket pairwise association (support + lift) over order "
+    "baskets. The pair join is WITHIN the order key, so fan-out per "
+    "order is C(basket,2) - bounded by basket size (<=13 here), never "
+    "by part popularity; the support floor prunes after the bounded "
+    "agg. Lift = support*N/(n_a*n_b) with both operands exact "
+    "integers widened to decimal before ONE IEEE division - "
+    "bit-identical cross-engine. The 1-row order-count broadcast is "
+    "the justified scalar-subquery class.",
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "support", "n_a", "n_b",
+            (
+                (F.col("support").cast("decimal(38,0)") * F.col("n_orders")).cast("double")
+                / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -48,6 +48,8 @@ REPRESENTATIVE = [
     "incremental_dedup",  # cross-corpus batch-vs-corpus dedup
     "bm25_topk",  # exact integer-scaled BM25 retrieval
     "pit_join_order_segment",  # point-in-time SCD2 lookup
+    "basket_pair_lift",  # within-basket pair association
+    "event_disorder_stats",  # watermark-sizing disorder profile
 ]
 
 
