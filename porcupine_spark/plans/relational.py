@@ -1014,3 +1014,55 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "revenue_daily_gapfill",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(
+        (SELECT MIN(d) FROM daily),
+        (SELECT MAX(d) FROM daily),
+        INTERVAL 1 DAY)) AS d
+    )
+    SELECT CAST(s.d AS TIMESTAMP_NS) AS day,
+           COALESCE(dy.n_orders, 0) AS n_orders,
+           COALESCE(dy.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN daily dy ON dy.d = s.d
+    """,
+    tags=("timeseries", "gapfill"),
+    doc="Gap-filled daily revenue: aggregate first (one shuffle of "
+    "(day, partials) - the spine never touches raw orders), derive "
+    "the date spine from the 1-row min/max via sequence()+explode "
+    "(no calendar table needed), left-join the daily aggregate back "
+    "and zero-fill. Spine length is bounded by the date range "
+    "(~365*years rows) at any corpus size; revenue sums in "
+    "decimal(38,6) so the zero-filled series is bit-identical to "
+    "the oracle.",
+)
+def revenue_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )

@@ -13,6 +13,7 @@ from porcupine_spark.operators.multimodal import decode_media_meta, fake_decode
 from porcupine_spark.operators.sessionize import sessionize
 from porcupine_spark.operators.similarity import dot_exact
 from porcupine_spark.functions import seq1
+from porcupine_spark.tables import load_table
 
 
 def test_asof_join_basic(spark):
@@ -493,3 +494,118 @@ def test_semdedup_invariants(spark, sf_dir):
                 assert all(s <= SEMDEDUP_T + 1e-9 for s in sims)
             else:
                 assert any(s > SEMDEDUP_T - 1e-9 for s in sims)
+
+
+def test_skyline_dominance_properties(spark, sf_dir):
+    """Every kept frontier point is undominated; every dropped
+    (price, min-date) point is dominated by some kept one."""
+    from porcupine_spark.plans.joins_extra import skyline_orders
+
+    kept = [
+        (r.o_totalprice, r.o_orderdate)
+        for r in skyline_orders(spark, sf_dir).collect()
+    ]
+    orders = load_table(spark, sf_dir, "orders")
+    allpts = [
+        (r.price, r.dmin)
+        for r in orders.groupBy(F.col("o_totalprice").alias("price"))
+        .agg(F.min("o_orderdate").alias("dmin"))
+        .collect()
+    ]
+
+    def dominates(x, y):
+        return (x[0] >= y[0] and x[1] <= y[1]) and x != y
+
+    kept_set = set(kept)
+    for k in kept:
+        assert not any(dominates(o, k) for o in allpts), k
+    for o in allpts:
+        if o not in kept_set:
+            assert any(dominates(k, o) for k in kept), o
+
+
+def test_ks_drift_bounds_and_self_zero(spark, sf_dir):
+    """KS statistic lies in [0, 1]; a source compared against an exact
+    copy of itself yields 0 (checked via a two-copy frame)."""
+    from porcupine_spark.operators.corpus import ks_drift_doc_length
+
+    rows = ks_drift_doc_length(spark, sf_dir).collect()
+    assert rows, "no source pairs"
+    for r in rows:
+        assert 0.0 <= r.ks_stat <= 1.0, r
+    # identical distributions => 0: duplicate one source under two names
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    two = docs.select(F.lit("a").alias("source"), "n_chars", "doc_id").unionByName(
+        docs.select(F.lit("b").alias("source"), "n_chars", "doc_id")
+    )
+    two.createOrReplaceTempView("___ks_two")
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", two.toPandas())
+    from porcupine_spark.plans.registry import load_all_plans
+
+    sql = load_all_plans()["ks_drift_doc_length"].oracle
+    out = con.execute(sql).fetchall()
+    assert len(out) == 1 and out[0][4] == 0.0, out
+
+
+def test_basket_lift_matches_bruteforce(spark, sf_dir):
+    """Pair supports and lifts equal a driver-side brute force over the
+    (small) sf0.001 baskets."""
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from porcupine_spark.plans.joins_extra import (
+        BASKET_MIN_SUPPORT,
+        basket_pair_lift,
+    )
+
+    got = {
+        (r.part_a, r.part_b): (r.support, r.n_a, r.n_b, r.lift)
+        for r in basket_pair_lift(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = defaultdict(set)
+    for r in li.collect():
+        baskets[r.l_orderkey].add(r.l_partkey)
+    pair_c, item_c = Counter(), Counter()
+    for items in baskets.values():
+        for it in items:
+            item_c[it] += 1
+        for a, b in combinations(sorted(items), 2):
+            pair_c[(a, b)] += 1
+    n = len(baskets)
+    want = {
+        p: (c, item_c[p[0]], item_c[p[1]], (c * n) / (item_c[p[0]] * item_c[p[1]]))
+        for p, c in pair_c.items()
+        if c >= BASKET_MIN_SUPPORT
+    }
+    assert got == want
+
+
+def test_event_disorder_high_water_is_sufficient(spark, sf_dir):
+    """Replaying each user's events in arrival order with a watermark
+    delay of max_lateness_us admits every event (the analytic's
+    contract)."""
+    from porcupine_spark.operators.sessionize import event_disorder_stats
+
+    stats = {r.user_id: r for r in event_disorder_stats(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for r in ev.collect():
+        per_user[r.user_id].append((r.event_id, r.ts))
+    for uid, rows in per_user.items():
+        rows.sort()
+        high = None
+        max_late = 0
+        n_late = 0
+        for _, ts in rows:
+            if high is not None and ts < high:
+                n_late += 1
+                max_late = max(max_late, int((high - ts).total_seconds() * 1e6))
+            high = ts if high is None else max(high, ts)
+        s = stats[uid]
+        assert (s.n_late, s.max_lateness_us) == (n_late, max_late), uid

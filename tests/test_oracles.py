@@ -50,6 +50,7 @@ REPRESENTATIVE = [
     "pit_join_order_segment",  # point-in-time SCD2 lookup
     "basket_pair_lift",  # within-basket pair association
     "event_disorder_stats",  # watermark-sizing disorder profile
+    "revenue_daily_gapfill",  # date-spine densification
 ]
 
 
