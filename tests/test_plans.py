@@ -251,3 +251,48 @@ def test_retention_cohorts_join_free(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "retention_cohorts")
     assert shuffles(plan) == 3
     assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "bm25_topk",
+        "skyline_orders",
+        "basket_pair_lift",
+        "fuzzy_name_pairs",
+        "incremental_dedup",
+        "ks_drift_doc_length",
+        "pit_join_order_segment",
+        "revenue_daily_gapfill",
+    ],
+)
+def test_r3_analytics_no_cartesian_no_python(spark, sf_dir, name):
+    """The r3 additions stay JVM-side and never cross-product: the only
+    nested-loop joins allowed are the documented bounded broadcasts
+    (1-row stats, |sources|-row dim)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan, name
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """BM25 top-k must be TakeOrderedAndProject (per-partition top-k +
+    driver merge), never a global sort of all scored docs."""
+    plan = plan_of(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [score_scaled" not in plan
+
+
+def test_skyline_reduces_before_global_window(spark, sf_dir):
+    """The global sweep must run AFTER the per-price reduction: exactly
+    one single-partition exchange, fed by the price aggregate."""
+    plan = plan_of(spark, sf_dir, "skyline_orders")
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan  # frontier joins back broadcast
+
+
+def test_event_transition_single_event_shuffle(spark, sf_dir):
+    """Sessionize + lead + count: the raw event log shuffles once (the
+    user_id window); only the 25-cell aggregate shuffles again."""
+    plan = plan_of(spark, sf_dir, "event_transition_counts")
+    assert shuffles(plan) == 2
