@@ -1,0 +1,136 @@
+"""Table-layout maintenance: small-file diagnosis and compaction.
+
+The 100 TB operational reality the query layer sits on: a dataset
+written by many tasks/microbatches accumulates small files, and scan
+cost degrades (per-file open/footer overhead, tiny row groups, starved
+vectorized readers). These helpers diagnose the layout from file
+metadata (driver-side Hadoop FS listing — metadata only, never data)
+and rewrite only the partitions that need it.
+
+Reference parity note: the reference's storage layer exposes folder
+operations but no layout maintenance (it is whole-file oriented —
+porcupine-core/src/Data/Locations/Accessors.hs:82-117); this module is
+part of the beyond-reference Spark surface, like sources/s3.py's
+folder ops which share the same Hadoop FS route.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # match files.maxPartitionBytes
+
+
+@dataclass
+class PartitionLayout:
+    """File-layout stats for one partition directory (or the root)."""
+
+    path: str
+    n_files: int
+    total_bytes: int
+
+    @property
+    def avg_bytes(self) -> float:
+        return self.total_bytes / self.n_files if self.n_files else 0.0
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def scan_layout(spark: SparkSession, path: str) -> list[PartitionLayout]:
+    """Per-partition-directory file stats for a parquet dataset.
+
+    Driver-side METADATA listing via the Hadoop FileSystem API (works
+    on file:// and s3a:// alike); on object stores a flat recursive
+    list is one LIST call per 1000 objects — cheap next to any scan.
+    Non-partitioned datasets return a single entry for the root.
+    """
+    fs, root, jvm = _fs_and_path(spark, path)
+    per_dir: dict[str, list[int]] = {}
+    it = fs.listFiles(root, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if not name.endswith(".parquet"):
+            continue
+        parent = p.getParent().toUri().getPath()
+        per_dir.setdefault(parent, []).append(st.getLen())
+    return [
+        PartitionLayout(path=d, n_files=len(sizes), total_bytes=sum(sizes))
+        for d, sizes in sorted(per_dir.items())
+    ]
+
+
+def compaction_plan(
+    layouts: list[PartitionLayout],
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files: int = 2,
+) -> list[tuple[PartitionLayout, int]]:
+    """Partitions worth rewriting, with their target output file count.
+
+    A partition needs compaction when it holds >= ``min_files`` files
+    AND its average file size is under half the target — the regime
+    where footer/open overhead and tiny row groups dominate. The
+    rewrite target is ceil(total/target) files (never 0).
+    """
+    plan = []
+    for lay in layouts:
+        if lay.n_files >= min_files and lay.avg_bytes < target_bytes / 2:
+            n_out = max(1, -(-lay.total_bytes // target_bytes))
+            plan.append((lay, n_out))
+    return plan
+
+
+def compact_partition(
+    spark: SparkSession, src_dir: str, n_out: int, staging_suffix: str = "__compact"
+) -> str:
+    """Rewrite one partition directory into ``n_out`` files.
+
+    Stage-and-swap: write to a sibling staging dir, then atomically
+    rename over the original (rename is atomic on HDFS/file; on object
+    stores the swap is copy+delete and readers should go through a
+    manifest/table format for full isolation — documented limitation,
+    same one plain parquet tables always have). Returns the final dir.
+
+    The rewrite itself is a distributed job: one scan, coalesce(n_out)
+    — coalesce, not repartition, so compaction never shuffles; it only
+    merges co-located splits.
+    """
+    staging = src_dir.rstrip("/") + staging_suffix
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+    fs, src, jvm = _fs_and_path(spark, src_dir)
+    dst = jvm.org.apache.hadoop.fs.Path(staging)
+    fs.delete(src, True)
+    fs.rename(dst, src)
+    return src_dir
+
+
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files: int = 2,
+) -> list[str]:
+    """Diagnose + compact every needy partition of ``path``; returns
+    the rewritten directories."""
+    done = []
+    for lay, n_out in compaction_plan(scan_layout(spark, path), target_bytes, min_files):
+        done.append(compact_partition(spark, lay.path, n_out))
+    return done
+
+
+def layout_report(spark: SparkSession, path: str) -> DataFrame:
+    """The layout stats as a DataFrame (for dashboards / thresholds)."""
+    lays = scan_layout(spark, path)
+    return spark.createDataFrame(
+        [(l.path, l.n_files, l.total_bytes, l.avg_bytes) for l in lays],
+        "path string, n_files long, total_bytes long, avg_bytes double",
+    )

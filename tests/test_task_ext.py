@@ -349,3 +349,41 @@ def test_stream_upsert_sink_latest_state(spark, tmp_path):
     assert t2 == {1: (1, "a1"), 2: (9, "newer"), 3: (1, "c1"), 4: (2, "d1")}
     # no temp swap dirs left behind
     assert not [p for p in tmp_path.iterdir() if "_tmp" in p.name]
+
+
+def test_compaction_diagnose_and_rewrite(spark, tmp_path):
+    """Small-file maintenance: a fragmented partitioned dataset is
+    diagnosed (per-partition file counts) and compacted shuffle-free
+    down to the planned file count, preserving data exactly."""
+    from porcupine_spark.functions.maintenance import (
+        compact_dataset,
+        compaction_plan,
+        layout_report,
+        scan_layout,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 2000).selectExpr("id", "id % 2 AS part")
+    # fragment: 10 files per partition directory
+    df.repartition(10).write.partitionBy("part").mode("overwrite").parquet(path)
+    lays = scan_layout(spark, path)
+    assert len(lays) == 2 and all(l.n_files == 10 for l in lays)
+
+    plan = compaction_plan(lays, target_bytes=1 << 20)
+    assert len(plan) == 2 and all(n_out == 1 for _, n_out in plan)
+
+    rep = layout_report(spark, path)
+    assert rep.count() == 2 and rep.columns == [
+        "path", "n_files", "total_bytes", "avg_bytes",
+    ]
+
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    done = compact_dataset(spark, path, target_bytes=1 << 20)
+    assert len(done) == 2
+    after_lays = scan_layout(spark, path)
+    assert all(l.n_files == 1 for l in after_lays)
+    # partition values survive the per-directory rewrite
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before
+    parts = {r.part for r in spark.read.parquet(path).collect()}
+    assert parts == {0, 1}
