@@ -1066,3 +1066,39 @@ def revenue_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+@query(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+    doc="Explicit GROUPING SETS (status totals, priority totals, grand "
+    "total in one pass) with GROUPING() markers disambiguating "
+    "set-null from data-null. One Expand + one aggregation exchange - "
+    "the multi-report shape that would otherwise be three scans "
+    "unioned; partial aggregation still applies map-side after the "
+    "expand. Revenue in decimal(38,6).",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+        )
+    )

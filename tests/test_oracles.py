@@ -51,6 +51,7 @@ REPRESENTATIVE = [
     "basket_pair_lift",  # within-basket pair association
     "event_disorder_stats",  # watermark-sizing disorder profile
     "revenue_daily_gapfill",  # date-spine densification
+    "grouping_sets_orders",  # multi-report single-pass aggregation
 ]
 
 

@@ -296,3 +296,37 @@ def test_event_transition_single_event_shuffle(spark, sf_dir):
     user_id window); only the 25-cell aggregate shuffles again."""
     plan = plan_of(spark, sf_dir, "event_transition_counts")
     assert shuffles(plan) == 2
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """SCALE.md's skew contract, runtime half: AQE detects a skewed
+    shuffle partition on the probe side of a sort-merge join and splits
+    it (skew=true in the final adaptive plan). Salting
+    (functions/skew.py) remains the fix for skewed AGGREGATIONS, which
+    AQE does not split."""
+    from pyspark.sql import functions as F
+
+    ns = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }.items():
+        ns.conf.set(k, v)
+    # 98% of rows share one key: one shuffle partition dwarfs the rest
+    left = ns.range(0, 200_000).select(
+        F.when(F.col("id") % 100 < 98, 7).otherwise(F.col("id") % 1000).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = ns.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    j = left.join(right, "k")
+    assert len(j.collect()) == 200_000
+    final = j._jdf.queryExecution().executedPlan().toString()
+    assert final.count("skew=true") >= 1, final
