@@ -144,3 +144,84 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_event",
         )
     )
+
+
+# --- event-time-timeout sessionizer ---------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
+)
+SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+
+
+def make_timeout_sessionizer(gap_ms: int):
+    """A GroupState sessionizer that closes a session by EVENT-TIME
+    TIMEOUT: when the watermark passes last_event + gap, the state
+    times out, the closed session is emitted, and the key's state is
+    freed — the eviction contract that keeps an unbounded keyspace's
+    state bounded (idle keys cost nothing after one gap).
+
+    Contrast with streaming/windows.py's ``session_window`` (built-in
+    merge logic): this is the ESCAPE HATCH shape for session semantics
+    the built-in cannot express (custom merge rules, per-key gaps,
+    side outputs), same API as Flink's KeyedProcessFunction timers.
+    """
+    import pandas as pd  # local: runs inside the Python worker
+
+    def sessionize(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = None, None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            lo, hi = int(us.min()), int(us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        state.update((start_us, end_us, n))
+        # fires once the EVENT-TIME watermark passes this instant
+        state.setTimeoutTimestamp(end_us // 1000 + gap_ms)
+        if False:
+            yield  # pragma: no cover — generator shape
+    return sessionize
+
+
+def stream_sessionize_with_timeout(
+    spark: SparkSession, stream: DataFrame, gap_ms: int, watermark: str = "0 seconds"
+) -> tuple[DataFrame, str]:
+    """Wire the timeout sessionizer over a watermarked stream; returns
+    (sink DataFrame factory table, query name). Sessions appear in the
+    sink ONLY when closed by watermark passage — append semantics."""
+    out = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_timeout_sessionizer(gap_ms),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = f"tsess_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name), name

@@ -387,3 +387,51 @@ def test_compaction_diagnose_and_rewrite(spark, tmp_path):
     assert after == before
     parts = {r.part for r in spark.read.parquet(path).collect()}
     assert parts == {0, 1}
+
+
+def test_event_time_timeout_sessionizer_closes_and_evicts(spark, tmp_path):
+    """EventTimeTimeout contract: a session closes (and its state is
+    freed) exactly when the watermark passes last_event + gap. Two
+    microbatches (maxFilesPerTrigger=1): batch 2's watermark - set by
+    batch 1's max ts - expires user 1's idle session; user 2 keeps
+    accumulating and never emits (still open at end of input)."""
+    import pandas as pd
+
+    from porcupine_spark.streaming.stateful import stream_sessionize_with_timeout
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src / name)
+        )
+
+    # batch 1: user 1 has a burst ending 00:00:10; user 2 active late
+    write_file("f1", [
+        (1, t0), (1, t0 + pd.Timedelta(seconds=10)),
+        (2, t0 + pd.Timedelta(minutes=30)),
+    ])
+    # batch 2: only user 2 speaks; its max ts drives the watermark far
+    # past user 1's last event + gap (60s), firing user 1's timeout
+    write_file("f2", [
+        (2, t0 + pd.Timedelta(minutes=31)),
+    ])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out, _ = stream_sessionize_with_timeout(spark, stream, gap_ms=60_000)
+    rows = out.collect()
+    # exactly one closed session: user 1's
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.user_id == 1
+    assert r.session_start == t0.to_pydatetime()
+    assert r.session_end == (t0 + pd.Timedelta(seconds=10)).to_pydatetime()
+    assert r.n_events == 2
