@@ -435,3 +435,40 @@ def test_event_time_timeout_sessionizer_closes_and_evicts(spark, tmp_path):
     assert r.session_start == t0.to_pydatetime()
     assert r.session_end == (t0 + pd.Timedelta(seconds=10)).to_pydatetime()
     assert r.n_events == 2
+
+
+def test_streaming_observe_metrics_surface(spark, sf_dir):
+    """df.observe on a stream surfaces per-batch metrics in query
+    progress (the zero-cost pipeline-health hook: counts/sums ride the
+    existing job, no extra pass)."""
+    from porcupine_spark.tables import load_events_stream, load_table
+    import uuid as _uuid
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = load_events_stream(ns, sf_dir)
+    from pyspark.sql import functions as F
+
+    observed = stream.observe(
+        "health",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("value_sum"),
+    )
+    name = f"obs_{_uuid.uuid4().hex[:8]}"
+    q = (
+        observed.groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p["observedMetrics"]]
+    finally:
+        q.stop()
+    assert progresses, "no observed metrics in any batch"
+    total_rows = sum(p["observedMetrics"]["health"]["n_rows"] for p in progresses)
+    ev = load_table(ns, sf_dir, "events")
+    assert total_rows == ev.count()
