@@ -749,3 +749,77 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
         )
     )
+
+
+CONTAIN_NUM, CONTAIN_DEN = 1, 2  # keep pairs with containment >= 1/2
+
+
+@query(
+    "dedup_containment_pairs",
+    f"""
+    WITH {SQL_SHINGLES},
+    df AS (SELECT shingle, COUNT(*) AS c FROM shingles GROUP BY shingle),
+    keep AS (
+      SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
+      WHERE c <= GREATEST({HOT_DF_FLOOR},
+                          CAST(FLOOR({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM keep a JOIN keep b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, i AS n_shared,
+           LEAST(sa.n, sb.n) AS n_smaller,
+           CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * {CONTAIN_DEN} >= LEAST(sa.n, sb.n) * {CONTAIN_NUM}
+    """,
+    tags=("dedup", "join"),
+    doc="Near-dup by shingle CONTAINMENT (|A∩B| / min(|A|,|B|)) - the "
+    "asymmetric measure that catches a short document embedded inside "
+    "a long one (quotes, boilerplate inclusion, excerpt pages), which "
+    "Jaccard structurally misses (|A∩B|/|A∪B| vanishes as the length "
+    "ratio grows). Same inverted-index candidates and hot-shingle "
+    "cutoff as dedup_ngram_jaccard; the 1/2 threshold is the "
+    "cross-multiplied integer comparison 2i >= min(n_a, n_b), and "
+    "containment is one IEEE division of exact ints.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    df_cutoff = max(HOT_DF_FLOOR, int(HOT_DF_FRAC * docs.count()))
+    sh_all = hashed_shingle_table(docs)
+    hot = (
+        sh_all.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cutoff)
+        .select("h")
+    )
+    sh = sh_all.join(F.broadcast(hot), "h", "left_anti").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    smaller = F.least("na", "nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("i") * CONTAIN_DEN >= smaller * CONTAIN_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").alias("n_shared"),
+            smaller.alias("n_smaller"),
+            (F.col("i").cast("double") / smaller).alias("containment"),
+        )
+    )

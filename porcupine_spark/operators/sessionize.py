@@ -407,3 +407,53 @@ def event_disorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(late, 1)).alias("n_late"),
         F.coalesce(F.max(F.when(late, lateness)), F.lit(0)).alias("max_lateness_us"),
     )
+
+
+@query(
+    "twap_user_value",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS total_us,
+           CAST(CAST(SUM(v * CAST(dt_us AS DECIMAL(20,0))) * 1000000 AS HUGEINT)
+                  // CAST(SUM(dt_us) AS HUGEINT) AS BIGINT) AS twap_micro
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("window", "timeseries"),
+    doc="Time-weighted average value per user: each event's value is "
+    "held until the next event (step-function integral / total time), "
+    "the metrics-correct mean for irregularly sampled series where "
+    "the arithmetic mean over-weights bursts. Weights are exact "
+    "integer microseconds from the lead() window (sharing the "
+    "aggregation's user_id exchange - one shuffle), the integral "
+    "accumulates in decimal (narrow enough that NEITHER engine "
+    "overflows 38 digits and silently falls back to double), and the mean is emitted as "
+    "integer micro-units via truncating division (decimal div / "
+    "HUGEINT //) - the same bit-stable recipe as bm25_topk, dodging "
+    "the double-rounding that wide-decimal->double casts disagree on.",
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead(us).over(w) - us).alias("dt_us"),
+    ).where(F.col("dt_us").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt_us").alias("total_us"),
+        F.expr(
+            "(CAST(SUM(v * CAST(dt_us AS DECIMAL(20,0))) * 1000000"
+            " AS DECIMAL(38,0))) div SUM(dt_us)"
+        ).alias("twap_micro"),
+    )

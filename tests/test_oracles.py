@@ -52,6 +52,8 @@ REPRESENTATIVE = [
     "event_disorder_stats",  # watermark-sizing disorder profile
     "revenue_daily_gapfill",  # date-spine densification
     "grouping_sets_orders",  # multi-report single-pass aggregation
+    "dedup_containment_pairs",  # asymmetric subset-dup detection
+    "twap_user_value",  # time-weighted mean, integer-scaled
 ]
 
 
