@@ -151,3 +151,20 @@ def test_example_curation(spark, tmp_path, sf_dir):
 
     survivors = minhash_lsh_pairs(curated).filter(f"jaccard >= {DEDUP_CANON_T}")
     assert survivors.count() == 0
+
+
+def test_example_incremental_ingest(spark, tmp_path, sf_dir):
+    """The ingest pipeline's accepted set is exactly the batch minus
+    the docs the oracled incremental_dedup query flags (exact OR
+    near) — pipeline and query agree on the same artifacts."""
+    from examples import example_incremental as ex
+
+    wd = str(tmp_path / "incr")
+    ex.main(wd, sf_dir)
+    accepted = {r.doc_id for r in spark.read.parquet(f"{wd}/accepted.parquet").collect()}
+
+    from porcupine_spark.operators.dedup import incremental_dedup
+
+    flags = incremental_dedup(spark, sf_dir).collect()
+    expected = {r.doc_id for r in flags if not (r.exact_dup or r.near_dup)}
+    assert accepted == expected
