@@ -76,3 +76,47 @@ def test_decimal_tie_boundary_is_real(spark):
     got, want = spark_dsum(spark, [tie], nparts=1), duck_dsum([tie])
     assert got == pytest.approx(want, abs=2e-6)
     assert got != want
+
+
+bigpos = st.integers(min_value=1, max_value=10**30)
+
+
+@given(st.lists(st.tuples(bigpos, bigpos), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_integer_scaled_div_matches_duckdb(spark, pairs):
+    """The bm25/twap recipe: Spark's decimal `div` (truncate toward
+    zero) and DuckDB's HUGEINT `//` agree exactly for positive
+    operands WHILE THE QUOTIENT FITS int64 — the recipe's documented
+    domain (every use scales a bounded ratio, so quotients are ~1e12).
+    Outside it Spark WRAPS silently (next test)."""
+    pairs = [(p, q) for p, q in pairs if p // q < 2**63] or [(7, 2)]
+    rows = [(str(p), str(q)) for p, q in pairs]
+    sdf = spark.createDataFrame(rows, "p string, q string").selectExpr(
+        "CAST(p AS DECIMAL(38,0)) div CAST(q AS DECIMAL(38,0)) AS d"
+    )
+    got = [r.d for r in sdf.collect()]
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            f"SELECT CAST(CAST('{p}' AS HUGEINT) // CAST('{q}' AS HUGEINT) AS BIGINT)"
+        ).fetchone()[0]
+        for p, q in rows
+    ]
+    py = [p // q for p, q in pairs]
+    assert got == want == py
+
+
+def test_integer_scaled_div_overflow_boundary(spark):
+    """Past int64 the engines DIVERGE: Spark's decimal `div` wraps to
+    the two's-complement residue silently (non-ANSI), DuckDB errors. Pinned so the recipe
+    is never applied to unbounded quotients by accident."""
+    sdf = spark.sql(
+        "SELECT CAST('1" + "0" * 30 + "' AS DECIMAL(38,0)) div CAST(1 AS DECIMAL(38,0)) AS d"
+    )
+    wrapped = ((10**30 + 2**63) % 2**64) - 2**63  # two's-complement wrap
+    assert sdf.collect()[0].d == wrapped  # silent wrap — the hazard
+    con = duckdb.connect()
+    with pytest.raises(Exception):
+        con.sql(
+            "SELECT CAST(CAST('1" + "0" * 30 + "' AS HUGEINT) // 1 AS BIGINT)"
+        ).fetchone()
