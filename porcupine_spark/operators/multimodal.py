@@ -179,3 +179,93 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frame_key"
         ),
     )
+
+
+# --- perceptual-hash near-dup (aHash + banded pairing) ---------------
+
+AHASH_BANDS = 4  # 16 bits each; hamming<=3 pairs share >=1 band (pigeonhole)
+AHASH_MAX_HAMMING = 3
+
+
+def ahash_grid(payload: bytes) -> list[int]:
+    """Deterministic 8x8 'luminance' grid for the stub codec: 64 cells
+    derived by chained md5 over the payload — the stand-in for
+    decode->grayscale->resize(8,8). A real pipeline swaps ONLY this
+    function for PIL/ffmpeg; everything downstream (Arrow batching,
+    banding, verification) is codec-agnostic."""
+    import hashlib
+
+    cells: list[int] = []
+    h = hashlib.md5(payload).digest()
+    while len(cells) < 64:
+        cells.extend(h)
+        h = hashlib.md5(h).digest()
+    return cells[:64]
+
+
+def ahash64(payload: bytes) -> int:
+    """Average hash: bit i set iff cell i > mean(cells). 64-bit int
+    (signed-wrapped so it fits a Spark long)."""
+    cells = ahash_grid(payload)
+    mean = sum(cells) / 64.0
+    v = 0
+    for i, c in enumerate(cells):
+        if c > mean:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def media_ahash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, payload) -> (doc_id, ahash)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "ahash": [ahash64(p) for p in pdf["payload"]]}
+        )
+
+
+def media_ahash_pairs(media: DataFrame, max_hamming: int = AHASH_MAX_HAMMING) -> DataFrame:
+    """(doc_a, doc_b, hamming) for near-identical media: banded
+    candidate generation over 16-bit slices of the aHash (pigeonhole:
+    hamming<=3 differing bits cannot touch all 4 bands), then exact
+    hamming = bit_count(xor) on the packed longs — both JVM-side. The
+    only Python is the per-row hash kernel; the self-join shuffles
+    (band, 16-bit slice) keys, never payload bytes. Same shape as
+    simhash_pairs (dedup.py) — this is its multimodal twin."""
+    sigs = media.mapInPandas(media_ahash, "doc_id long, ahash long").localCheckpoint(
+        eager=True
+    )
+    bands = sigs.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("ahash"), 16 * b).bitwiseAND(0xFFFF)
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band", "slice"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -609,3 +609,34 @@ def test_event_disorder_high_water_is_sufficient(spark, sf_dir):
             high = ts if high is None else max(high, ts)
         s = stats[uid]
         assert (s.n_late, s.max_lateness_us) == (n_late, max_late), uid
+
+
+def test_media_ahash_pairs_exact_vs_bruteforce(spark):
+    """The banded aHash pairing finds EXACTLY the pairs with hamming <=
+    3 (pigeonhole: 3 differing bits cannot touch all 4 16-bit bands),
+    verified against a driver-side brute force — including planted
+    near-identical payloads."""
+    from porcupine_spark.operators.multimodal import (
+        AHASH_MAX_HAMMING,
+        ahash64,
+        media_ahash_pairs,
+    )
+
+    payloads = [(i, f"media payload number {i}".encode()) for i in range(40)]
+    # plant near-dups: same payload (hamming 0) under new ids
+    payloads += [(100, payloads[3][1]), (101, payloads[7][1])]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming for r in media_ahash_pairs(df).collect()
+    }
+    hashes = {i: ahash64(p) & ((1 << 64) - 1) for i, p in payloads}
+    want = {}
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            h = bin(hashes[a] ^ hashes[b]).count("1")
+            if h <= AHASH_MAX_HAMMING:
+                want[(a, b)] = h
+    assert got == want
+    assert (3, 100) in got and got[(3, 100)] == 0  # planted dup found
