@@ -457,3 +457,48 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0))) div SUM(dt_us)"
         ).alias("twap_micro"),
     )
+
+
+ROLLING_WINDOW_S = 3600
+
+
+@query(
+    "rolling_distinct_types",
+    f"""
+    SELECT e.user_id, e.event_id,
+           CAST(e.ts AS TIMESTAMP_NS) AS ts,
+           (SELECT COUNT(DISTINCT w.event_type)
+            FROM events w
+            WHERE w.user_id = e.user_id
+              AND w.ts > e.ts - INTERVAL {ROLLING_WINDOW_S} SECOND
+              AND w.ts <= e.ts) AS n_types_1h
+    FROM events e
+    """,
+    tags=("window", "timeseries"),
+    doc="Rolling DISTINCT count over a time-range window: per event, "
+    "how many distinct event types the user produced in the trailing "
+    "hour - the engagement-breadth / anomaly feature. Spark has no "
+    "distinct range-window aggregate, so this composes "
+    "size(array_distinct(collect_list)) over a rangeBetween window on "
+    "unix_micros: per-window state is bounded by window row count "
+    "(and could be bounded by |types| via collect_set), rides the "
+    "same user_id exchange as any window query. The oracle is an "
+    "independent correlated-subquery formulation, not a "
+    "transliteration.",
+)
+def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-(ROLLING_WINDOW_S * 1_000_000 - 1), 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w))).cast(
+            "long"
+        ).alias("n_types_1h"),
+    )

@@ -54,6 +54,7 @@ REPRESENTATIVE = [
     "grouping_sets_orders",  # multi-report single-pass aggregation
     "dedup_containment_pairs",  # asymmetric subset-dup detection
     "twap_user_value",  # time-weighted mean, integer-scaled
+    "rolling_distinct_types",  # distinct agg over a time-range window
 ]
 
 
