@@ -1102,3 +1102,77 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "daily_orders_autocorr",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(
+        (SELECT MIN(d) FROM daily), (SELECT MAX(d) FROM daily),
+        INTERVAL 1 DAY)) AS d
+    ),
+    filled AS (
+      SELECT s.d, COALESCE(dy.n_orders, 0) AS x
+      FROM spine s LEFT JOIN daily dy ON dy.d = s.d
+    ),
+    lagged AS (
+      SELECT x, lead(x) OVER (ORDER BY d) AS y FROM filled
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM lagged WHERE y IS NOT NULL
+    )
+    SELECT n AS n_days,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS autocorr_lag1
+    FROM s
+    """,
+    tags=("timeseries", "statistics"),
+    doc="Lag-1 Pearson autocorrelation of DAILY ORDER COUNTS over the "
+    "gap-filled date spine (zero days must count, or the statistic is "
+    "biased toward sparse periods). Exactness recipe: every moment "
+    "(sx, sxx, sxy) is an exact int64 sum of counts; the only floats "
+    "are three correctly-rounded IEEE ops on exactly-cast operands "
+    "(each < 2^53): two sqrt, one divide - bit-identical cross-"
+    "engine without any decimal machinery. The global window runs "
+    "over the bounded daily aggregate (|days| rows), never orders.",
+)
+def daily_orders_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    filled = spine.join(daily, "d", "left").select(
+        "d", F.coalesce("n_orders", F.lit(0)).alias("x")
+    )
+    lagged = filled.select(
+        "x", F.lead("x").over(W.orderBy("d")).alias("y")
+    ).where(F.col("y").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    d2 = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return s.select(
+        F.col("n").alias("n_days"), (num / (d1 * d2)).alias("autocorr_lag1")
+    )

@@ -55,6 +55,7 @@ REPRESENTATIVE = [
     "dedup_containment_pairs",  # asymmetric subset-dup detection
     "twap_user_value",  # time-weighted mean, integer-scaled
     "rolling_distinct_types",  # distinct agg over a time-range window
+    "daily_orders_autocorr",  # exact-moment Pearson autocorrelation
 ]
 
 
