@@ -93,11 +93,15 @@ def compact_partition(
 ) -> str:
     """Rewrite one partition directory into ``n_out`` files.
 
-    Stage-and-swap: write to a sibling staging dir, then atomically
-    rename over the original (rename is atomic on HDFS/file; on object
-    stores the swap is copy+delete and readers should go through a
-    manifest/table format for full isolation — documented limitation,
-    same one plain parquet tables always have). Returns the final dir.
+    Stage-and-swap, crash-safe ordering: write to a sibling staging
+    dir, rename the original ASIDE (not delete), rename staging into
+    place, then drop the aside copy — at no instant is the data absent,
+    and a crash mid-swap leaves either the original or the original
+    under its aside name, never nothing. Renames are atomic on
+    HDFS/file; on object stores the swap is copy+delete and readers
+    should go through a manifest/table format for full isolation —
+    documented limitation, same one plain parquet tables always have.
+    Returns the final dir.
 
     The rewrite itself is a distributed job: one scan, coalesce(n_out)
     — coalesce, not repartition, so compaction never shuffles; it only
@@ -108,8 +112,12 @@ def compact_partition(
     df.coalesce(n_out).write.mode("overwrite").parquet(staging)
     fs, src, jvm = _fs_and_path(spark, src_dir)
     dst = jvm.org.apache.hadoop.fs.Path(staging)
-    fs.delete(src, True)
+    aside = jvm.org.apache.hadoop.fs.Path(src_dir.rstrip("/") + "__old")
+    if fs.exists(aside):  # leftover from a crashed previous swap
+        fs.delete(aside, True)
+    fs.rename(src, aside)
     fs.rename(dst, src)
+    fs.delete(aside, True)
     return src_dir
 
 

@@ -472,3 +472,63 @@ def test_streaming_observe_metrics_surface(spark, sf_dir):
     total_rows = sum(p["observedMetrics"]["health"]["n_rows"] for p in progresses)
     ev = load_table(ns, sf_dir, "events")
     assert total_rows == ev.count()
+
+
+def test_watermark_drops_late_rows_with_accounting(spark, tmp_path):
+    """A tight watermark actually DROPS late rows, and the state
+    operator accounts for them (numRowsDroppedByWatermark) - the
+    correctness contract event_disorder_stats sizes against."""
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["k", "ts"])
+        pdf["k"] = pdf["k"].astype("int64")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src / name)
+        )
+
+    # batch 0's max ts (12:30) sets the watermark to 12:20, but the
+    # global watermark becomes EFFECTIVE one batch later (it is
+    # computed at batch end and applied from the batch after next) -
+    # so the late 12:00:30 row rides in batch 2, where wm=12:20 is
+    # live, its window [12:00,12:01) is long closed, and the row must
+    # be dropped and accounted
+    write_file("f1", [(1, t0), (1, t0 + pd.Timedelta(minutes=30))])
+    write_file("f2", [(1, t0 + pd.Timedelta(minutes=30, seconds=10))])
+    write_file("f3", [(1, t0 + pd.Timedelta(seconds=30))])
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "2")
+    stream = (
+        ns.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    from pyspark.sql import functions as F
+    import uuid as _uuid
+
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{_uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        q.stop()
+    assert dropped == 1
+    # the late row is absent: the emitted [12:00,12:01) window holds
+    # only batch 0's single on-time row
+    rows = {(r["window"].start.minute, r.n) for r in ns.table(name).collect()}
+    assert (0, 1) in rows
