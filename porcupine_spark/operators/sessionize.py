@@ -502,3 +502,72 @@ def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ).alias("n_types_1h"),
     )
+
+
+@query(
+    "peak_concurrent_sessions",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {GAP_SECONDS} * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM flagged
+      )
+      GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM sessions
+      UNION ALL
+      SELECT e AS t, -1 AS d FROM sessions
+    ),
+    swept AS (
+      SELECT t, CAST(SUM(d) OVER (ORDER BY t, d DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS concurrency
+      FROM deltas
+    )
+    SELECT CAST(date_trunc('day', t) AS TIMESTAMP_NS) AS day,
+           MAX(concurrency) AS peak_concurrent
+    FROM swept GROUP BY 1
+    """,
+    tags=("sessionize", "interval"),
+    doc="Peak concurrent sessions per day - the interval-algebra sweep: "
+    "each session (closed [start, end], gap-sessionized) contributes "
+    "+1/-1 boundary deltas; a running sum over the time-ordered "
+    "boundary stream IS the concurrency curve, and its per-day max is "
+    "the capacity-planning number. Ties order +1 before -1, so "
+    "touching sessions count as concurrent (semantics mirrored in "
+    "the oracle). The ordered sweep runs over SESSION BOUNDARIES "
+    "(2 rows per session, not events); at extreme session counts the "
+    "sweep becomes hierarchical - per-bucket delta sums, prefix over "
+    "the bounded bucket table, bucket-local re-sweep - same algebra, "
+    "two bounded windows.",
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id", gap_s=GAP_SECONDS)
+    sessions = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = sessions.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        sessions.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    wsweep = (
+        W.orderBy("t", F.col("d").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = deltas.select("t", F.sum("d").over(wsweep).alias("concurrency"))
+    return swept.groupBy(
+        F.date_trunc("day", F.col("t")).alias("day")
+    ).agg(F.max("concurrency").alias("peak_concurrent"))

@@ -487,3 +487,41 @@ def token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("r")["ss"].cast("double") / (nt.cast("double") * nt.cast("double"))
         ).alias("simpson_diversity"),
     )
+
+
+HIST_BIN_WIDTH = 50
+HIST_MAX_CHARS = 600
+
+
+@query(
+    "doc_length_histogram",
+    f"""
+    SELECT LEAST(CAST(FLOOR(n_chars / {HIST_BIN_WIDTH}) AS BIGINT),
+                 {HIST_MAX_CHARS // HIST_BIN_WIDTH}) AS bin,
+           LEAST(CAST(FLOOR(n_chars / {HIST_BIN_WIDTH}) AS BIGINT),
+                 {HIST_MAX_CHARS // HIST_BIN_WIDTH}) * {HIST_BIN_WIDTH} AS bin_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("text", "statistics"),
+    doc="Fixed-width doc-length histogram with a clamped overflow "
+    "bucket - the corpus-shape monitor (a scraper emitting truncated "
+    "or runaway docs shows up as mass shifting between bins). Pure "
+    "integer bin arithmetic, one aggregation whose output is |bins| "
+    "rows regardless of corpus size; partial aggregation makes the "
+    "shuffle |bins| x partitions.",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.least(
+        F.floor(F.col("n_chars") / HIST_BIN_WIDTH),
+        F.lit(HIST_MAX_CHARS // HIST_BIN_WIDTH),
+    )
+    return (
+        docs.select(bin_col.alias("bin"), "n_chars")
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select("bin", (F.col("bin") * HIST_BIN_WIDTH).alias("bin_lo"), "n_docs", "total_chars")
+    )

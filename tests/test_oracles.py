@@ -56,6 +56,7 @@ REPRESENTATIVE = [
     "twap_user_value",  # time-weighted mean, integer-scaled
     "rolling_distinct_types",  # distinct agg over a time-range window
     "daily_orders_autocorr",  # exact-moment Pearson autocorrelation
+    "peak_concurrent_sessions",  # interval-algebra boundary sweep
 ]
 
 
