@@ -266,3 +266,69 @@ def asof_purchase_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
     )
     return out.select("event_id", "user_id", "view_id", "view_value")
+
+
+ATTR_WINDOW_S = 3600
+ATTR_SCALE = 1_000_000
+
+
+@query(
+    "linear_attribution",
+    f"""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'
+    ),
+    touched AS (
+      SELECT p.user_id, p.purchase_id, CAST(p.pts AS TIMESTAMP_NS) AS pts,
+             COUNT(v.vts) AS n_touches
+      FROM p LEFT JOIN v
+        ON v.user_id = p.user_id
+       AND v.vts <= p.pts
+       AND v.vts > p.pts - INTERVAL {ATTR_WINDOW_S} SECOND
+      GROUP BY p.user_id, p.purchase_id, p.pts
+    )
+    SELECT user_id, purchase_id, pts, n_touches,
+           CASE WHEN n_touches > 0
+                THEN CAST({ATTR_SCALE} AS BIGINT) // n_touches ELSE 0 END
+             AS credit_micro_per_touch
+    FROM touched
+    """,
+    tags=("asof", "join", "attribution"),
+    doc="Linear multi-touch attribution: each purchase splits unit "
+    "credit equally across the same user's views in the trailing hour "
+    "(the ad-tech workload behind every 'which exposure converted' "
+    "report). The touch join is the keyed range join (equi user_id + "
+    "time band - one key shuffle, no cross product; same plan family "
+    "as range_join_error_burst), and per-touch credit is the "
+    "integer-scaled truncating division recipe, so credits are exact "
+    "longs that sum without float drift downstream.",
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("vts")
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("vts") <= F.col("pts"))
+        & (F.col("vts") > F.col("pts") - F.expr(f"INTERVAL {ATTR_WINDOW_S} SECOND")),
+        "left",
+    )
+    touched = joined.groupBy("user_id", "purchase_id", "pts").agg(
+        F.count("vts").alias("n_touches")
+    )
+    credit = F.when(
+        F.col("n_touches") > 0, F.expr(f"CAST({ATTR_SCALE} AS BIGINT) div n_touches")
+    ).otherwise(F.lit(0))
+    return touched.select(
+        "user_id", "purchase_id", "pts", "n_touches",
+        credit.alias("credit_micro_per_touch"),
+    )

@@ -57,6 +57,7 @@ REPRESENTATIVE = [
     "rolling_distinct_types",  # distinct agg over a time-range window
     "daily_orders_autocorr",  # exact-moment Pearson autocorrelation
     "peak_concurrent_sessions",  # interval-algebra boundary sweep
+    "linear_attribution",  # multi-touch credit via keyed range join
 ]
 
 
