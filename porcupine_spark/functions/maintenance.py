@@ -60,7 +60,18 @@ def scan_layout(spark: SparkSession, path: str) -> list[PartitionLayout]:
         name = p.getName()
         if not name.endswith(".parquet"):
             continue
-        parent = p.getParent().toUri().getPath()
+        # full URI string, scheme and authority included — paths must
+        # round-trip to reads/writes on s3a:// etc., not just file://
+        parent_path = p.getParent()
+        # skip hidden dirs (Spark's file index ignores _/.-prefixed
+        # names — so do we: staging dirs, _temporary, etc.)
+        if any(
+            seg.startswith(("_", "."))
+            for seg in parent_path.toUri().getPath().split("/")
+            if seg
+        ):
+            continue
+        parent = parent_path.toString()
         per_dir.setdefault(parent, []).append(st.getLen())
     return [
         PartitionLayout(path=d, n_files=len(sizes), total_bytes=sum(sizes))
@@ -88,32 +99,47 @@ def compaction_plan(
     return plan
 
 
-def compact_partition(
-    spark: SparkSession, src_dir: str, n_out: int, staging_suffix: str = "__compact"
-) -> str:
+def _sibling_hidden(src_dir: str, suffix: str) -> str:
+    """A '_'-prefixed sibling of ``src_dir`` — hidden from Spark's file
+    index AND from scan_layout, so in-flight staging/aside dirs never
+    pollute partition discovery for concurrent readers."""
+    trimmed = src_dir.rstrip("/")
+    head, _, leaf = trimmed.rpartition("/")
+    return f"{head}/_{leaf}{suffix}"
+
+
+def compact_partition(spark: SparkSession, src_dir: str, n_out: int) -> str:
     """Rewrite one partition directory into ``n_out`` files.
 
-    Stage-and-swap, crash-safe ordering: write to a sibling staging
-    dir, rename the original ASIDE (not delete), rename staging into
-    place, then drop the aside copy — at no instant is the data absent,
-    and a crash mid-swap leaves either the original or the original
-    under its aside name, never nothing. Renames are atomic on
-    HDFS/file; on object stores the swap is copy+delete and readers
-    should go through a manifest/table format for full isolation —
-    documented limitation, same one plain parquet tables always have.
-    Returns the final dir.
+    Stage-and-swap, crash-safe ordering: write to a HIDDEN sibling
+    staging dir ('_'-prefixed — Spark's partition discovery and
+    scan_layout both ignore it, so concurrent readers never see
+    doubled or misparsed partitions), rename the original ASIDE (also
+    hidden, not deleted), rename staging into place, then drop the
+    aside copy — at no instant is the data absent, and a crash
+    mid-swap leaves the data under exactly one of the three names,
+    every one recoverable (a leftover aside from a crash between the
+    two renames is swapped back in on the next run). Renames are
+    atomic on HDFS/file; on object stores the swap is copy+delete and
+    readers should go through a manifest/table format for full
+    isolation — documented limitation, same one plain parquet tables
+    always have. Returns the final dir.
 
     The rewrite itself is a distributed job: one scan, coalesce(n_out)
     — coalesce, not repartition, so compaction never shuffles; it only
     merges co-located splits.
     """
-    staging = src_dir.rstrip("/") + staging_suffix
+    staging = _sibling_hidden(src_dir, "__compact")
+    fs, src, jvm = _fs_and_path(spark, src_dir)
+    aside = jvm.org.apache.hadoop.fs.Path(_sibling_hidden(src_dir, "__old"))
+    if not fs.exists(src) and fs.exists(aside):
+        # crashed between the two renames last run: data lives only in
+        # the aside dir — restore it before doing anything else
+        fs.rename(aside, src)
     df = spark.read.parquet(src_dir)
     df.coalesce(n_out).write.mode("overwrite").parquet(staging)
-    fs, src, jvm = _fs_and_path(spark, src_dir)
     dst = jvm.org.apache.hadoop.fs.Path(staging)
-    aside = jvm.org.apache.hadoop.fs.Path(src_dir.rstrip("/") + "__old")
-    if fs.exists(aside):  # leftover from a crashed previous swap
+    if fs.exists(aside):  # stale aside from an even earlier crash
         fs.delete(aside, True)
     fs.rename(src, aside)
     fs.rename(dst, src)

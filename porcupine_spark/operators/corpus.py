@@ -723,19 +723,23 @@ BM25_SCALE = 1_000_000
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     qterms = F.array(*[F.lit(t) for t in BM25_TERMS])
-    tokd = docs.select(
+    # tokenize ONCE: project each doc down to (dl, matched-terms array)
+    # — tiny rows — and materialize, so the tf branch and the 1-row
+    # corpus-stats branch both read this instead of re-scanning and
+    # re-tokenizing the full corpus (at 100 TB the tokenize scan is
+    # the dominant cost; paying it twice would double the query)
+    base = docs.select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
     ).select(
         "doc_id",
         F.size("toks").alias("dl"),
-        F.explode(F.filter("toks", lambda t: F.array_contains(qterms, t))).alias("term"),
-    )
+        F.filter("toks", lambda t: F.array_contains(qterms, t)).alias("matched"),
+    ).localCheckpoint(eager=True)
+    tokd = base.select("doc_id", "dl", F.explode("matched").alias("term"))
     tf = tokd.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.select(tokens(F.col("text")).alias("toks")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size("toks")).alias("l")
-    )
+    stats = base.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("l"))
     j = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     p = (

@@ -317,17 +317,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # band signature packed into ONE long (mh<2^31: hi*2^31+lo < 2^62)
     # — the self-join shuffles 8-byte keys, not strings; the candidate
     # SET is identical to the oracle's string-concat formulation
-    band_rows = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.col(f"mh{2*b}") * F.lit(1 << 31) + F.col(f"mh{2*b+1}")
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "sig"),
-    )
+    band_rows = _band_table(sigs)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (

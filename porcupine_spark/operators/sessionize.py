@@ -533,27 +533,52 @@ def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e AS t, -1 AS d FROM sessions
     ),
     swept AS (
-      SELECT t, CAST(SUM(d) OVER (ORDER BY t, d DESC
+      SELECT t, d,
+             CAST(SUM(d) OVER (ORDER BY t, d DESC
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS concurrency
       FROM deltas
+    ),
+    day_summary AS (
+      SELECT date_trunc('day', t) AS day,
+             MAX(concurrency) AS within_max,
+             arg_max(concurrency, epoch_us(t) * 2 + CASE WHEN d = -1 THEN 1 ELSE 0 END) AS closing
+      FROM swept GROUP BY 1
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(
+        (SELECT MIN(day) FROM day_summary),
+        (SELECT MAX(day) FROM day_summary),
+        INTERVAL 1 DAY)) AS day
+    ),
+    carried AS (
+      SELECT sp.day, ds.within_max,
+             COALESCE(
+               last_value(ds.closing IGNORE NULLS) OVER (
+                 ORDER BY sp.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS carry_in
+      FROM spine sp LEFT JOIN day_summary ds ON ds.day = sp.day
     )
-    SELECT CAST(date_trunc('day', t) AS TIMESTAMP_NS) AS day,
-           MAX(concurrency) AS peak_concurrent
-    FROM swept GROUP BY 1
+    SELECT CAST(day AS TIMESTAMP_NS) AS day,
+           GREATEST(COALESCE(within_max, 0), carry_in) AS peak_concurrent
+    FROM carried
     """,
     tags=("sessionize", "interval"),
     doc="Peak concurrent sessions per day - the interval-algebra sweep: "
     "each session (closed [start, end], gap-sessionized) contributes "
     "+1/-1 boundary deltas; a running sum over the time-ordered "
-    "boundary stream IS the concurrency curve, and its per-day max is "
-    "the capacity-planning number. Ties order +1 before -1, so "
-    "touching sessions count as concurrent (semantics mirrored in "
-    "the oracle). The ordered sweep runs over SESSION BOUNDARIES "
-    "(2 rows per session, not events); at extreme session counts the "
-    "sweep becomes hierarchical - per-bucket delta sums, prefix over "
-    "the bounded bucket table, bucket-local re-sweep - same algebra, "
-    "two bounded windows.",
+    "boundary stream IS the concurrency curve. Day peaks CARRY ACROSS "
+    "MIDNIGHT: a day's peak is max(carry-in concurrency at 00:00, "
+    "within-day max), with the carry forward-filled over a day spine "
+    "- so sessions spanning a whole day (no boundary that day) still "
+    "hold its level up, which a boundary-only group-by silently "
+    "drops. Ties order +1 before -1, so touching sessions count as "
+    "concurrent (mirrored in the oracle). The ordered sweep runs over "
+    "SESSION BOUNDARIES (2 rows per session, not events) and the "
+    "carry windows over the bounded day spine; at extreme session "
+    "counts the sweep becomes hierarchical - per-bucket delta sums, "
+    "prefix over the bounded bucket table, bucket-local re-sweep.",
 )
 def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -567,7 +592,36 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsweep = (
         W.orderBy("t", F.col("d").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    swept = deltas.select("t", F.sum("d").over(wsweep).alias("concurrency"))
-    return swept.groupBy(
+    swept = deltas.select("t", "d", F.sum("d").over(wsweep).alias("concurrency"))
+    # closing value of a day = concurrency at its LAST row in sweep
+    # order (t asc, d desc) == max_by over the orderable (t, -d) pair
+    day_summary = swept.groupBy(
         F.date_trunc("day", F.col("t")).alias("day")
-    ).agg(F.max("concurrency").alias("peak_concurrent"))
+    ).agg(
+        F.max("concurrency").alias("within_max"),
+        F.max_by(
+            "concurrency",
+            F.unix_micros(F.col("t")) * 2
+            + F.when(F.col("d") == -1, 1).otherwise(0),
+        ).alias("closing"),
+    )
+    bounds = day_summary.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    wcarry = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    carried = (
+        spine.join(day_summary, "day", "left")
+        .withColumn(
+            "carry_in",
+            F.coalesce(F.last("closing", ignorenulls=True).over(wcarry), F.lit(0)),
+        )
+    )
+    return carried.select(
+        "day",
+        F.greatest(F.coalesce("within_max", F.lit(0)), F.col("carry_in")).alias(
+            "peak_concurrent"
+        ),
+    )
+
+

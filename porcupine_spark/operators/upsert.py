@@ -222,7 +222,8 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o.o_orderkey, o.o_custkey,
            CAST(o.o_orderdate AS TIMESTAMP_NS) AS o_orderdate,
-           CASE WHEN o.o_custkey % 10 = 3
+           CASE WHEN o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00' THEN NULL
+                WHEN o.o_custkey % 10 = 3
                  AND o.o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
                 THEN 'MOVED' ELSE c.c_mktsegment END AS segment_at_order
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
@@ -249,6 +250,7 @@ def pit_join_order_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (orders.o_custkey == versions.c_custkey)
             & (versions.valid_from <= orders.o_orderdate)
             & (orders.o_orderdate < versions.valid_to),
+            "left",
         )
         .select(
             "o_orderkey",

@@ -605,7 +605,9 @@ def test_event_disorder_high_water_is_sufficient(spark, sf_dir):
         for _, ts in rows:
             if high is not None and ts < high:
                 n_late += 1
-                max_late = max(max_late, int((high - ts).total_seconds() * 1e6))
+                from datetime import timedelta
+
+                max_late = max(max_late, (high - ts) // timedelta(microseconds=1))
             high = ts if high is None else max(high, ts)
         s = stats[uid]
         assert (s.n_late, s.max_lateness_us) == (n_late, max_late), uid
@@ -640,3 +642,34 @@ def test_media_ahash_pairs_exact_vs_bruteforce(spark):
                 want[(a, b)] = h
     assert got == want
     assert (3, 100) in got and got[(3, 100)] == 0  # planted dup found
+
+
+def test_peak_concurrency_carries_across_midnight(spark, tmp_path):
+    """A session open at 00:00 must hold the next day's peak up even if
+    that day only sees closing boundaries (the boundary-only group-by
+    would report 0)."""
+    import pandas as pd
+
+    from porcupine_spark.operators.sessionize import peak_concurrent_sessions
+
+    rows = [
+        # u2: session entirely on day 1 (23:45-23:55)
+        (1, pd.Timestamp("2024-03-01 23:45:00"), 2, "view", 1.0, None),
+        (2, pd.Timestamp("2024-03-01 23:55:00"), 2, "view", 1.0, None),
+        # u1: session crossing midnight (23:50 -> 00:10, 20min gap < 30)
+        (3, pd.Timestamp("2024-03-01 23:50:00"), 1, "view", 1.0, None),
+        (4, pd.Timestamp("2024-03-02 00:10:00"), 1, "view", 1.0, None),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path / "mini_sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/events.parquet")
+    got = {
+        r.day.day: r.peak_concurrent
+        for r in peak_concurrent_sessions(spark, sf).collect()
+    }
+    assert got == {1: 2, 2: 1}  # day2's 1 is pure carry-in
