@@ -1176,3 +1176,53 @@ def daily_orders_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").alias("n_days"), (num / (d1 * d2)).alias("autocorr_lag1")
     )
+
+
+@query(
+    "customer_reorder_gaps",
+    """
+    WITH seq AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate)
+               - epoch_us(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey))
+               AS gap_us
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(CAST(SUM(gap_us) AS HUGEINT) // COUNT(*) AS BIGINT)
+             AS avg_gap_us
+    FROM seq WHERE gap_us IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    tags=("window", "timeseries", "retention"),
+    doc="Reorder-interval profile per customer: gaps between "
+    "consecutive orders (lag over the custkey window, exact integer "
+    "microseconds), min/max, and the mean as integer "
+    "microseconds via truncating division - the churn-risk feature "
+    "(a customer whose current silence exceeds their historical max "
+    "gap is churning). Window and aggregation share the custkey "
+    "exchange: one shuffle of (custkey, date) pairs.",
+)
+def customer_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # o_orderdate arrives as TIMESTAMP_NTZ; session TZ is pinned UTC,
+    # so the cast to TIMESTAMP is value-stable and unix_micros applies
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    seq = orders.select(
+        "o_custkey", (us - F.lag(us).over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    return seq.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.expr(
+            "CAST(SUM(gap_us) AS DECIMAL(38,0)) div COUNT(*)"
+        ).alias("avg_gap_us"),
+    )

@@ -58,6 +58,7 @@ REPRESENTATIVE = [
     "daily_orders_autocorr",  # exact-moment Pearson autocorrelation
     "peak_concurrent_sessions",  # interval-algebra boundary sweep
     "linear_attribution",  # multi-touch credit via keyed range join
+    "customer_reorder_gaps",  # churn-risk interval profile
 ]
 
 
