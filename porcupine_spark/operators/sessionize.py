@@ -625,3 +625,59 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+ZSCORE_K = 3  # flag |z| > 3
+
+
+@query(
+    "value_zscore_outliers_exact",
+    f"""
+    WITH u AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS xi
+      FROM events
+    ),
+    st AS (
+      SELECT COUNT(*) AS n, SUM(xi) AS s, SUM(xi * xi) AS sxx FROM u
+    )
+    SELECT u.event_id, u.user_id, CAST(u.ts AS TIMESTAMP_NS) AS ts, u.value
+    FROM u CROSS JOIN st
+    WHERE (st.n * u.xi - st.s) * (st.n * u.xi - st.s)
+          > {ZSCORE_K * ZSCORE_K} * (st.n * st.sxx - st.s * st.s)
+    """,
+    tags=("statistics", "monitoring"),
+    doc="Global z-score outliers with ZERO floating point: |z| > 3 is "
+    "equivalent to (n*x - s)^2 > 9*(n*sxx - s^2) after scaling values "
+    "to exact integer micro-units, so the flag is a pure integer "
+    "comparison - no mean, no stddev, no sqrt, no rounding anywhere, "
+    "bit-identical across engines BY CONSTRUCTION rather than by "
+    "careful rounding analysis. The corpus-stats row is the justified "
+    "1-row broadcast; the filter itself is a scan-side predicate. "
+    "Magnitudes stay under 38 digits for value*1e6 < 1e13 and n < "
+    "1e12 (documented domain; widen the scaling or shard the moments "
+    "past that).",
+)
+def value_zscore_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    u = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value").cast("decimal(18,6)") * 1_000_000)
+        .cast("bigint")
+        .alias("xi"),
+    )
+    st = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s"),
+        F.sum(dec(F.col("xi")) * F.col("xi")).alias("sxx"),
+    )
+    j = u.crossJoin(F.broadcast(st))
+    dev = dec(F.col("n")) * F.col("xi") - F.col("s")
+    bound = F.lit(ZSCORE_K * ZSCORE_K) * (
+        dec(F.col("n")) * F.col("sxx") - dec(F.col("s")) * F.col("s")
+    )
+    return j.where(dev * dev > bound).select("event_id", "user_id", "ts", "value")

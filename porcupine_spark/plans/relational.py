@@ -1226,3 +1226,35 @@ def customer_reorder_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(gap_us) AS DECIMAL(38,0)) div COUNT(*)"
         ).alias("avg_gap_us"),
     )
+
+
+@query(
+    "weekday_priority_seasonality",
+    """
+    SELECT (datediff('day', DATE '1970-01-01', o_orderdate) + 3) % 7 AS weekday,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "timeseries"),
+    doc="Order seasonality by weekday x priority - the ops-reporting "
+    "shape. Weekday computed as (epoch_days + 3) % 7 (0 = Monday) on "
+    "BOTH engines, deliberately avoiding dayofweek()/isodow(), whose "
+    "origin conventions differ across engines and locales - calendar "
+    "arithmetic from a fixed epoch is convention-free. |weekdays| x "
+    "|priorities| output rows with map-side partials.",
+)
+def weekday_priority_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wd = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        + 3
+    ) % 7
+    return orders.groupBy(
+        wd.cast("long").alias("weekday"), "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+    )

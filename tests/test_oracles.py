@@ -59,6 +59,7 @@ REPRESENTATIVE = [
     "peak_concurrent_sessions",  # interval-algebra boundary sweep
     "linear_attribution",  # multi-touch credit via keyed range join
     "customer_reorder_gaps",  # churn-risk interval profile
+    "value_zscore_outliers_exact",  # zero-float outlier detection
 ]
 
 
