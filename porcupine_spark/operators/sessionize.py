@@ -681,3 +681,130 @@ def value_zscore_outliers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.col("n")) * F.col("sxx") - dec(F.col("s")) * F.col("s")
     )
     return j.where(dev * dev > bound).select("event_id", "user_id", "ts", "value")
+
+
+@query(
+    "longest_error_run",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn_all,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, COUNT(*) AS run_len,
+             CAST(MIN(ts) AS TIMESTAMP_NS) AS run_start
+      FROM seq WHERE event_type = 'error'
+      GROUP BY user_id, rn_all - rn_type
+    ),
+    ranked AS (
+      SELECT user_id, run_len, run_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY run_len DESC, run_start) AS rk
+      FROM islands
+    )
+    SELECT user_id, run_len AS longest_error_run, run_start
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("window", "gaps-islands", "monitoring"),
+    doc="Longest consecutive-error streak per user - the gaps-and-"
+    "islands shape (health-monitoring's 'how bad did it get'). "
+    "Island id = difference of two row_numbers (overall vs per-type), "
+    "constant exactly within a run of equal types - no iteration, no "
+    "self-join; both window passes and the rollup share the user_id "
+    "exchange. Deterministic winner via (len DESC, start) tiebreak.",
+)
+def longest_error_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.row_number().over(w_type).alias("rn_type"),
+    ).where(F.col("event_type") == "error")
+    islands = seq.groupBy(
+        "user_id", (F.col("rn_all") - F.col("rn_type")).alias("island")
+    ).agg(F.count(F.lit(1)).alias("run_len"), F.min("ts").alias("run_start"))
+    wr = W.partitionBy("user_id").orderBy(F.col("run_len").desc(), "run_start")
+    return (
+        islands.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("run_len").alias("longest_error_run"), "run_start")
+    )
+
+
+PATH_TOPK = 10
+PATH_MAX_LEN = 5
+
+
+@query(
+    "top_session_paths",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {GAP_SECONDS} * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS path_len
+      FROM sess
+      GROUP BY user_id, session_id
+      HAVING COUNT(*) <= {PATH_MAX_LEN}
+    ),
+    counted AS (
+      SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions FROM counted
+    ORDER BY n_sessions DESC, path LIMIT {PATH_TOPK}
+    """,
+    tags=("sessionize", "path-mining"),
+    doc="Top complete session paths (event-type sequences, sessions up "
+    "to 5 events) - the UX path-mining report. The path string builds "
+    "INSIDE the per-session group-by (ordered string_agg / sorted "
+    "collect_list), so nothing longer than one session's events ever "
+    "concatenates, and the bounded-length gate keeps the path-string "
+    "domain finite; top-k is TakeOrderedAndProject with a "
+    "deterministic (count, path) tiebreak.",
+)
+def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", order_tiebreak="event_id", gap_s=GAP_SECONDS)
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.col("event_type")
+                            )
+                        )
+                    ),
+                    lambda r: r["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+        .where(F.col("path_len") <= PATH_MAX_LEN)
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return counted.orderBy(F.col("n_sessions").desc(), "path").limit(PATH_TOPK)

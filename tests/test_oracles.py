@@ -60,6 +60,8 @@ REPRESENTATIVE = [
     "linear_attribution",  # multi-touch credit via keyed range join
     "customer_reorder_gaps",  # churn-risk interval profile
     "value_zscore_outliers_exact",  # zero-float outlier detection
+    "longest_error_run",  # gaps-and-islands run length
+    "top_session_paths",  # ordered path mining
 ]
 
 
