@@ -1258,3 +1258,100 @@ def weekday_priority_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT nation, region,
+           CAST(nation_rev AS DOUBLE) AS nation_revenue,
+           CAST(nation_rev AS DOUBLE)
+             / CAST(SUM(nation_rev) OVER (PARTITION BY region) AS DOUBLE)
+             AS region_share
+    FROM rev
+    """,
+    tags=("window", "agg", "join"),
+    doc="Percent-of-total report: each nation's share of its region's "
+    "revenue. Revenue aggregates FIRST (broadcast dim joins, one fact "
+    "shuffle), then the share window runs over the |nations|-row "
+    "aggregate - the ratio-to-report shape that novices compute with "
+    "a self-join and pay a second fact pass for. Decimal sums; the "
+    "share is one double division of two exactly-cast decimal sums "
+    "(both engines sum in exact decimal, so numerator and denominator "
+    "are identical before the one rounded op).",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("nation_rev"))
+    )
+    w = W.partitionBy("region")
+    return rev.select(
+        "nation",
+        "region",
+        F.col("nation_rev").cast("double").alias("nation_revenue"),
+        (
+            F.col("nation_rev").cast("double")
+            / F.sum("nation_rev").over(w).cast("double")
+        ).alias("region_share"),
+    )
+
+
+@query(
+    "ship_delay_stats",
+    """
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(MIN(delay_days) AS BIGINT) AS min_delay,
+           CAST(MAX(delay_days) AS BIGINT) AS max_delay,
+           CAST(CAST(SUM(delay_days) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT)
+             AS avg_delay_milli
+    FROM d GROUP BY o_orderpriority
+    """,
+    tags=("join", "agg", "timeseries"),
+    doc="Order-to-ship delay profile per priority - the SLA report. "
+    "The fact-fact join shuffles once on the order key (or goes "
+    "shuffle-free entirely under the bucketed layout, "
+    "bucketing.py); delays are exact integer days, the mean emitted "
+    "in milli-days via truncating division. 5-row output.",
+)
+def ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay_days"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.min("delay_days").cast("long").alias("min_delay"),
+        F.max("delay_days").cast("long").alias("max_delay"),
+        F.expr(
+            "(CAST(SUM(delay_days) AS DECIMAL(38,0)) * 1000) div COUNT(*)"
+        ).alias("avg_delay_milli"),
+    )

@@ -62,6 +62,8 @@ REPRESENTATIVE = [
     "value_zscore_outliers_exact",  # zero-float outlier detection
     "longest_error_run",  # gaps-and-islands run length
     "top_session_paths",  # ordered path mining
+    "nation_revenue_share",  # percent-of-total window over aggregate
+    "ship_delay_stats",  # fact-fact SLA join
 ]
 
 
