@@ -269,3 +269,30 @@ def media_ahash_pairs(media: DataFrame, max_hamming: int = AHASH_MAX_HAMMING) ->
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@query(
+    "media_dedup_exact",
+    """
+    SELECT md5(text) AS payload_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("multimodal", "dedup"),
+    doc="Exact media dedup: hash-groupBy on the md5 of the raw binary "
+    "payload (the UTF-8 re-encoding of text stands in for real media "
+    "bytes, so the oracle's md5(text) is byte-identical), keep lowest "
+    "id. The multimodal twin of dedup_exact: the shuffle key is the "
+    "32-hex digest, never payload bytes - at 100 TB of media that is "
+    "the difference between shuffling kilobyte hashes and shuffling "
+    "the corpus.",
+)
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return (
+        media.select(F.md5(F.col("payload")).alias("payload_hash"), "doc_id")
+        .groupBy("payload_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

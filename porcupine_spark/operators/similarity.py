@@ -1080,3 +1080,36 @@ def semdedup(emb: DataFrame, k: int, tau: float) -> DataFrame:
     return assigned.groupBy("cid").applyInPandas(
         dedup_cluster, schema="vec_id long, cid long, cent_sim double, kept long"
     )
+
+
+@query(
+    "embedding_norm_stats",
+    f"""
+    WITH norms AS (
+      SELECT label,
+             SQRT({sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(nrm) AS min_norm,
+           MAX(nrm) AS max_norm
+    FROM norms GROUP BY label
+    """,
+    tags=("similarity", "monitoring"),
+    doc="Per-label embedding-norm envelope - the embedding-drift "
+    "monitor (an encoder change or a truncation bug shifts the norm "
+    "envelope before it shifts anything semantic). Each norm is "
+    "sqrt(exact-decimal self-dot): the sum is order-independent, the "
+    "one sqrt per row is correctly rounded, and min/max of identical "
+    "doubles carry no accumulation order at all - so the envelope is "
+    "bit-stable with NO per-pair work, one scan, |labels|-row output.",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(norm2_exact(F.col("embedding")))
+    return emb.select("label", nrm.alias("nrm")).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )

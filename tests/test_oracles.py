@@ -64,6 +64,8 @@ REPRESENTATIVE = [
     "top_session_paths",  # ordered path mining
     "nation_revenue_share",  # percent-of-total window over aggregate
     "ship_delay_stats",  # fact-fact SLA join
+    "embedding_norm_stats",  # bit-stable norm envelope
+    "media_dedup_exact",  # digest-keyed binary dedup
 ]
 
 
