@@ -341,3 +341,42 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rk", F.row_number().over(wr)).where(
         F.col("rk") <= TRENDING_K
     )
+
+
+@query(
+    "stream_hourly_unique_users",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS window_start,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("streaming", "window", "distinct"),
+    doc="Exact distinct users per hour on a stream. Streaming "
+    "aggregation cannot COUNT(DISTINCT) directly (unbounded per-group "
+    "state with no mergeable summary), so this composes the two "
+    "streaming-legal pieces: watermarked dropDuplicates on the "
+    "(hour, user) pair - state evicts one watermark past each hour - "
+    "then a windowed COUNT(*) over the deduplicated stream. Both "
+    "operators share the watermark; state is |active hours x users "
+    "seen this hour|, the minimum any exact-distinct needs.",
+)
+def stream_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _state_sized_session(spark)  # see stream_tumbling_agg
+    stream = load_events_stream(spark, sf_dir)
+    deduped = (
+        stream.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["hour", "user_id"])
+    )
+    agg = deduped.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    name = f"uniq_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "n_users"
+    )

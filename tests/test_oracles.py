@@ -66,6 +66,7 @@ REPRESENTATIVE = [
     "ship_delay_stats",  # fact-fact SLA join
     "embedding_norm_stats",  # bit-stable norm envelope
     "media_dedup_exact",  # digest-keyed binary dedup
+    "stream_hourly_unique_users",  # streaming dedup->agg composition
 ]
 
 
