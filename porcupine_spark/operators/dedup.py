@@ -813,3 +813,111 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i").cast("double") / smaller).alias("containment"),
         )
     )
+
+
+WINNOW_W = 4  # winnowing window (positions per window)
+WINNOW_MIN_SHARED = 2  # dup-pair threshold on shared fingerprints
+
+
+@query(
+    "winnow_dup_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15))
+                  AS BIGINT) AS h
+      FROM toks,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(t) - 2, 0))) AS i) g
+    ),
+    winmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+               AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams,
+             pos
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM winmin WHERE pos <= n_grams - {WINNOW_W - 1}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+      FROM fps a JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, shared_fps FROM pairs
+    """,
+    tags=("dedup", "fingerprint"),
+    doc="Winnowing (MOSS) duplicate detection: per document, the "
+    "fingerprint set is the distinct minima of each sliding window of "
+    "4 consecutive 3-gram hashes - the Schleimer/Wilkerson/Aiken "
+    "guarantee that any shared run of >= w+k-1 tokens yields a shared "
+    "fingerprint, at ~2/(w+1) the density of the full gram set. Pairs "
+    "sharing >= 2 fingerprints join through the inverted fingerprint "
+    "index, so the candidate space is winnowed-density-sized, a "
+    "constant factor below the full inverted-shingle join "
+    "(dedup_ngram_jaccard) with a detection guarantee instead of a "
+    "probabilistic bound (dedup_minhash_lsh) - the third point in the "
+    "dedup design space. Window minima ride the per-doc position "
+    "ordering; hashes are 60-bit md5 prefixes, exact on both engines.",
+)
+def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    with_t = docs.select("doc_id", toks.alias("t"))
+    grams = with_t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                seq1(F.greatest(F.size("t") - 2, F.lit(0))),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at("t", i),
+                                F.element_at("t", i + 1),
+                                F.element_at("t", i + 2),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        ).alias("pos0", "h"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    wmin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    wcnt = W.partitionBy("doc_id")
+    winmin = grams.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(wmin).alias("fp"),
+        F.count(F.lit(1)).over(wcnt).alias("n_grams"),
+    )
+    fps = (
+        winmin.where(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
+    )

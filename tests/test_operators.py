@@ -673,3 +673,29 @@ def test_peak_concurrency_carries_across_midnight(spark, tmp_path):
         for r in peak_concurrent_sessions(spark, sf).collect()
     }
     assert got == {1: 2, 2: 1}  # day2's 1 is pure carry-in
+
+
+def test_winnowing_guarantee_planted_run(spark, tmp_path):
+    """The Schleimer/Wilkerson/Aiken guarantee: documents sharing a
+    token run of >= w+k-1 (= 6) share at least one winnowing
+    fingerprint — planted shared run must surface as a pair; unrelated
+    docs must not."""
+    import os
+
+    import pandas as pd
+
+    from porcupine_spark.operators.dedup import winnow_dup_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, f"one unique prefix {shared} and a tail", "en", "s", 1),
+        (2, f"totally different opening {shared} closing words here", "en", "s", 1),
+        (3, "no overlap at all just some other words entirely distinct tokens", "en", "s", 1),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sf = str(tmp_path / "win_sf")
+    os.makedirs(sf)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    pairs = {(r.doc_a, r.doc_b) for r in winnow_dup_pairs(spark, sf).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

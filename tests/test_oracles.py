@@ -67,6 +67,7 @@ REPRESENTATIVE = [
     "embedding_norm_stats",  # bit-stable norm envelope
     "media_dedup_exact",  # digest-keyed binary dedup
     "stream_hourly_unique_users",  # streaming dedup->agg composition
+    "winnow_dup_pairs",  # MOSS winnowing fingerprints
 ]
 
 
