@@ -288,3 +288,60 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+SN_WINDOW = 3  # sorted-neighborhood rank distance
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    f"""
+    WITH names AS (
+      SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY p_name
+    ),
+    ranked AS (
+      SELECT p_name, n_parts,
+             ROW_NUMBER() OVER (ORDER BY p_name) AS rk
+      FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           b.rk - a.rk AS rank_dist,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM ranked a JOIN ranked b
+      ON b.rk > a.rk AND b.rk <= a.rk + {SN_WINDOW}
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+    doc="Sorted-neighborhood entity resolution - the OTHER classic "
+    "blocking method (vs fuzzy_name_pairs' token blocking): sort the "
+    "DISTINCT name space, compare only rank-neighbors within a "
+    "window of 3, verify with edit distance. Candidates are "
+    "|names| x window regardless of name popularity - immune to the "
+    "hot-block blowup token blocking can hit - at the cost of missing "
+    "pairs that sort far apart (the methods are complementary and "
+    "production stacks run both). The global sort runs over the "
+    "distinct-name table, not rows; at extreme name counts the rank "
+    "join shards by rank div window.",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    ranked = names.withColumn("rk", F.row_number().over(W.orderBy("p_name")))
+    a = ranked.select(F.col("p_name").alias("name_a"), F.col("rk").alias("rk_a"))
+    b = ranked.select(F.col("p_name").alias("name_b"), F.col("rk").alias("rk_b"))
+    return (
+        a.join(
+            b,
+            (F.col("rk_b") > F.col("rk_a"))
+            & (F.col("rk_b") <= F.col("rk_a") + SN_WINDOW),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 4)
+        .select(
+            "name_a", "name_b",
+            (F.col("rk_b") - F.col("rk_a")).cast("long").alias("rank_dist"),
+            "edit_dist",
+        )
+    )

@@ -1355,3 +1355,116 @@ def ship_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(SUM(delay_days) AS DECIMAL(38,0)) * 1000) div COUNT(*)"
         ).alias("avg_delay_milli"),
     )
+
+
+PARETO_NUM, PARETO_DEN = 4, 5  # the "80" in 80/20
+
+
+@query(
+    "revenue_pareto_8020",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(rev) OVER () AS total,
+             COUNT(*) OVER () AS n_cust
+      FROM per_cust
+    )
+    SELECT CAST(MIN(n_cust) AS BIGINT) AS n_customers,
+           COUNT(*) FILTER (
+             WHERE cum * {PARETO_DEN} <= total * {PARETO_NUM}
+                OR (cum - rev) * {PARETO_DEN} < total * {PARETO_NUM}
+           ) AS n_top_customers,
+           CAST(CAST(COUNT(*) FILTER (
+             WHERE cum * {PARETO_DEN} <= total * {PARETO_NUM}
+                OR (cum - rev) * {PARETO_DEN} < total * {PARETO_NUM}
+           ) AS HUGEINT) * 1000000 // MIN(n_cust) AS BIGINT) AS top_share_micro
+    FROM ranked
+    """,
+    tags=("window", "statistics"),
+    doc="Revenue concentration (the 80/20 question): the smallest set "
+    "of top customers covering 80% of revenue. Customers rank by "
+    "exact decimal revenue; the cover test is cross-multiplied "
+    "integer arithmetic (a customer is in the cover while the "
+    "PRECEDING cumulative is still short of 4/5 of total), and the "
+    "share of customers needed comes out in integer micro-units via "
+    "truncating division. The ranking window runs over the per-"
+    "customer aggregate (|customers| rows, not orders); 1-row output.",
+)
+def revenue_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    wrank = W.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = per_cust.select(
+        "rev",
+        F.sum("rev").over(wrank).alias("cum"),
+        F.sum("rev").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    )
+    in_cover = (F.col("cum") * PARETO_DEN <= F.col("total") * PARETO_NUM) | (
+        (F.col("cum") - F.col("rev")) * PARETO_DEN < F.col("total") * PARETO_NUM
+    )
+    return ranked.agg(
+        F.min("n_cust").alias("n_customers"),
+        F.count(F.when(in_cover, 1)).alias("n_top_customers"),
+        F.expr(
+            f"(CAST(COUNT(CASE WHEN (cum * {PARETO_DEN} <= total * {PARETO_NUM}) OR "
+            f"((cum - rev) * {PARETO_DEN} < total * {PARETO_NUM}) THEN 1 END) AS DECIMAL(38,0))"
+            " * 1000000) div MIN(n_cust)"
+        ).alias("top_share_micro"),
+    )
+
+
+@query(
+    "brand_concentration_hhi",
+    """
+    WITH c AS (
+      SELECT p_type, p_brand, COUNT(*) AS n
+      FROM part GROUP BY p_type, p_brand
+    ),
+    t AS (
+      SELECT p_type, SUM(n) AS total, SUM(CAST(n AS HUGEINT) * n) AS ssq
+      FROM c GROUP BY p_type
+    )
+    SELECT p_type,
+           CAST(total AS BIGINT) AS n_parts,
+           CAST(CAST(ssq AS HUGEINT) * 1000000
+                // (CAST(total AS HUGEINT) * total) AS BIGINT) AS hhi_micro
+    FROM t
+    """,
+    tags=("agg", "statistics"),
+    doc="Herfindahl-Hirschman concentration index of brands within "
+    "each part type (10000*HHI-style market-concentration report, "
+    "here in micro-units of the [0,1] index): HHI = sum(share^2) = "
+    "sum(n_i^2)/total^2, evaluated entirely in integers with ONE "
+    "truncating division - no per-share floats to accumulate. Two "
+    "narrowing aggregations, output |types| rows.",
+)
+def brand_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    c = part.groupBy("p_type", "p_brand").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("p_type").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("ssq"),
+    )
+    return t.select(
+        "p_type",
+        F.col("total").cast("long").alias("n_parts"),
+        F.expr(
+            "(CAST(ssq AS DECIMAL(38,0)) * 1000000)"
+            " div (CAST(total AS DECIMAL(38,0)) * total)"
+        ).alias("hhi_micro"),
+    )

@@ -68,6 +68,9 @@ REPRESENTATIVE = [
     "media_dedup_exact",  # digest-keyed binary dedup
     "stream_hourly_unique_users",  # streaming dedup->agg composition
     "winnow_dup_pairs",  # MOSS winnowing fingerprints
+    "sorted_neighborhood_pairs",  # rank-window ER blocking
+    "revenue_pareto_8020",  # cross-multiplied concentration cover
+    "brand_concentration_hhi",  # integer HHI
 ]
 
 
