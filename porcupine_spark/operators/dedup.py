@@ -921,3 +921,56 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= WINNOW_MIN_SHARED)
     )
+
+
+@query(
+    "minhash_estimator_calibration",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES}
+    SELECT p.doc_a, p.doc_b,
+           CAST(ROUND(p.jaccard, 12) AS DOUBLE) AS exact_jaccard,
+           CAST(agree.k AS BIGINT) AS n_agreeing_hashes,
+           CAST(agree.k AS DOUBLE) / {N_PERMS} AS estimated_jaccard
+    FROM pairs p
+    JOIN (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+             {" + ".join(f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(N_PERMS))}
+               AS k
+      FROM sigs sa JOIN sigs sb ON sa.doc_id < sb.doc_id
+    ) agree ON agree.doc_a = p.doc_a AND agree.doc_b = p.doc_b
+    """,
+    tags=("dedup", "lsh", "monitoring"),
+    doc="MinHash estimator calibration: for every LSH candidate pair, "
+    "the exact Jaccard next to the signature-agreement estimate "
+    "(agreeing hashes / 8) - the sketch-quality report that tells you "
+    "whether the signature budget (N_PERMS) is sized right before "
+    "trusting banding at scale. The signature agreement join runs "
+    "only over CANDIDATE pairs' signatures (broadcast-sized per "
+    "candidate), never all pairs; exact side reuses the verified "
+    "candidate machinery. exact_jaccard rounds at 1e-12 on both "
+    "engines so the comparison column is hash-stable.",
+)
+def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs)
+    sigs = minhash_signatures(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERMS)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_PERMS)]
+    )
+    k = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(N_PERMS)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("jaccard"), 12).alias("exact_jaccard"),
+            k.cast("long").alias("n_agreeing_hashes"),
+            (k.cast("double") / N_PERMS).alias("estimated_jaccard"),
+        )
+    )

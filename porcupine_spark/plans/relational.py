@@ -1468,3 +1468,57 @@ def brand_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(total AS DECIMAL(38,0)) * total)"
         ).alias("hhi_micro"),
     )
+
+
+@query(
+    "revenue_mom_growth",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 1000000 AS HUGEINT)
+               AS HUGEINT) AS rev_u
+      FROM orders GROUP BY 1
+    ),
+    seq AS (
+      SELECT month, rev_u,
+             lag(rev_u) OVER (ORDER BY month) AS prev_u
+      FROM monthly
+    )
+    SELECT CAST(month AS TIMESTAMP_NS) AS month,
+           CAST(rev_u AS DOUBLE) / 1000000 AS revenue,
+           CAST(CASE WHEN prev_u IS NOT NULL AND prev_u <> 0
+                THEN ((rev_u - prev_u) * 1000000) // prev_u END AS BIGINT)
+             AS growth_micro
+    FROM seq
+    """,
+    tags=("window", "timeseries"),
+    doc="Month-over-month revenue growth - the BI staple done "
+    "bit-stable: monthly revenue converts to exact integer micro-"
+    "units (decimal*1e6 -> integer, exact by construction), growth is "
+    "the integer-scaled truncating division (both engines truncate "
+    "toward zero, verified for negatives too), and the one double "
+    "emitted is an exact integer divided by 1e6 (two exact operands, "
+    "one correctly-rounded op). Lag window runs over the |months|-row "
+    "aggregate.",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * 1_000_000)
+        .cast("decimal(38,0)")
+        .alias("rev_u")
+    )
+    seq = monthly.withColumn("prev_u", F.lag("rev_u").over(W.orderBy("month")))
+    growth = F.when(
+        F.col("prev_u").isNotNull() & (F.col("prev_u") != 0),
+        F.expr("((rev_u - prev_u) * 1000000) div prev_u"),
+    )
+    return seq.select(
+        "month",
+        (F.col("rev_u").cast("double") / 1_000_000).alias("revenue"),
+        growth.alias("growth_micro"),
+    )

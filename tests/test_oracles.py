@@ -71,6 +71,8 @@ REPRESENTATIVE = [
     "sorted_neighborhood_pairs",  # rank-window ER blocking
     "revenue_pareto_8020",  # cross-multiplied concentration cover
     "brand_concentration_hhi",  # integer HHI
+    "revenue_mom_growth",  # MoM growth, integer-scaled
+    "minhash_estimator_calibration",  # sketch-quality report
 ]
 
 
