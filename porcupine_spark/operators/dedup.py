@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from porcupine_spark.functions import seq1, word_ngrams
-from porcupine_spark.plans.registry import query
+from porcupine_spark.plans.registry import REGISTRY, query
 from porcupine_spark.tables import load_table
 
 N_PERMS = 8  # minhash permutations
@@ -974,3 +974,57 @@ def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             (k.cast("double") / N_PERMS).alias("estimated_jaccard"),
         )
     )
+
+
+@query(
+    "dedup_savings_report",
+    None,  # assigned below via late registration (needs keep_canonical's SQL)
+    tags=("dedup", "monitoring"),
+    doc="The executive dedup report: corpus size before/after the "
+    "keep-canonical near-dup pass, chars saved in integer micro-"
+    "fractions. Reuses dedup_keep_canonical's exact oracle as a "
+    "subquery, so the report can never drift from the op it "
+    "summarizes; Spark side composes the same builder. Two 1-row "
+    "aggregates cross-joined (the justified scalar class).",
+)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_keep_canonical(spark, sf_dir).select("doc_id")
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    k = (
+        kept.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars"))
+    )
+    j = tot.crossJoin(k)
+    return j.select(
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_removed"),
+        "total_chars",
+        "kept_chars",
+        F.expr(
+            "(CAST(total_chars - kept_chars AS DECIMAL(38,0)) * 1000000)"
+            " div total_chars"
+        ).alias("saved_micro"),
+    )
+
+
+# late-bind the oracle: compose keep_canonical's full oracle as a
+# subquery (WITH-in-subquery is standard SQL; DuckDB supports it)
+REGISTRY["dedup_savings_report"].oracle = f"""
+    WITH tot AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+    ),
+    k AS (
+      SELECT COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+      FROM ({{KEEP}}) kc JOIN documents d ON d.doc_id = kc.doc_id
+    )
+    SELECT tot.n_docs, k.n_kept, tot.n_docs - k.n_kept AS n_removed,
+           tot.total_chars, k.kept_chars,
+           CAST(CAST(tot.total_chars - k.kept_chars AS HUGEINT) * 1000000
+                // tot.total_chars AS BIGINT) AS saved_micro
+    FROM tot CROSS JOIN k
+""".replace("{KEEP}", REGISTRY["dedup_keep_canonical"].oracle)

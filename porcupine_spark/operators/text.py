@@ -525,3 +525,41 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .select("bin", (F.col("bin") * HIST_BIN_WIDTH).alias("bin_lo"), "n_docs", "total_chars")
     )
+
+
+@query(
+    "decontaminate_corpus",
+    None,  # late-bound below: composes contamination_check's oracle
+    tags=("text", "contamination", "curation"),
+    doc="The removal half of contamination control: per-source corpus "
+    "counts after dropping every document contamination_check flags "
+    "(>=2 shared 5-grams with the benchmark set). Composes the check "
+    "query's builder/oracle verbatim, so check and removal can never "
+    "disagree; removal itself is one broadcast anti-join of the "
+    "corpus against the (tiny) flagged set.",
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = contamination_check(spark, sf_dir).select("doc_id").distinct()
+    clean = docs.where(F.col("doc_id") >= 10).join(
+        F.broadcast(flagged), "doc_id", "left_anti"
+    )
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+from porcupine_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["decontaminate_corpus"].oracle = f"""
+    WITH flagged AS (
+      SELECT DISTINCT doc_id FROM ({_REG["contamination_check"].oracle}) f
+    )
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+    FROM documents d
+    WHERE d.doc_id >= 10
+      AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+    GROUP BY d.source
+"""

@@ -73,6 +73,8 @@ REPRESENTATIVE = [
     "brand_concentration_hhi",  # integer HHI
     "revenue_mom_growth",  # MoM growth, integer-scaled
     "minhash_estimator_calibration",  # sketch-quality report
+    "dedup_savings_report",  # composed-oracle summary
+    "decontaminate_corpus",  # removal half of contamination control
 ]
 
 
