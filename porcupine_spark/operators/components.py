@@ -186,3 +186,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return connected_components(edges).select("node", "component")
+
+
+@query(
+    "dup_cluster_size_histogram",
+    None,  # late-bound: composes dedup_clusters' recursive oracle
+    tags=("dedup", "graph", "monitoring"),
+    doc="Distribution of near-dup cluster sizes - the dedup-health "
+    "report (a sudden spike in giant clusters means boilerplate or a "
+    "crawler loop, not ordinary duplication). Composes dedup_clusters "
+    "verbatim (builder AND oracle), groups nodes per component, then "
+    "counts components per size: |distinct sizes| output rows, two "
+    "narrowing aggregations past the clustering itself.",
+)
+def dup_cluster_size_histogram(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    clusters = dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+from porcupine_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["dup_cluster_size_histogram"].oracle = f"""
+    WITH sizes AS (
+      SELECT component, COUNT(*) AS cluster_size
+      FROM ({_REG["dedup_clusters"].oracle}) c
+      GROUP BY component
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+"""

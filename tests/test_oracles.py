@@ -75,6 +75,7 @@ REPRESENTATIVE = [
     "minhash_estimator_calibration",  # sketch-quality report
     "dedup_savings_report",  # composed-oracle summary
     "decontaminate_corpus",  # removal half of contamination control
+    "dup_cluster_size_histogram",  # composed recursive-oracle summary
 ]
 
 
