@@ -770,3 +770,70 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_scaled").cast("double") / BM25_SCALE).alias("bm25"),
         )
     )
+
+
+@query(
+    "source_novelty_rate",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS g
+      FROM t, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(toks) - 2, 0))) AS i) s
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    ),
+    per_source AS (
+      SELECT gr.source,
+             COUNT(DISTINCT gr.g) AS distinct_grams,
+             COUNT(DISTINCT CASE WHEN fs.first_doc = gr.doc_id THEN gr.g END)
+               AS novel_grams
+      FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+      GROUP BY gr.source
+    )
+    SELECT source, distinct_grams, novel_grams,
+           CAST(CAST(novel_grams AS HUGEINT) * 1000000 // distinct_grams AS BIGINT)
+             AS novelty_micro
+    FROM per_source
+    """,
+    tags=("corpus", "curation", "monitoring"),
+    doc="Per-source n-gram novelty: the fraction of a source's distinct "
+    "3-grams that FIRST appear (by ingest order = doc_id) in that "
+    "source - the marginal-content metric behind 'is this new crawl "
+    "adding anything'. First-seen attribution is one min-aggregation "
+    "over the hashed gram table (longs, not strings, on the Spark "
+    "side); novelty emits in integer micro-units. At 100 TB this is "
+    "the same inverted-gram machinery as contamination/dedup, reused "
+    "with a different aggregate - no new shuffle shapes.",
+)
+def source_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.dedup import hashed_shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # doc->source attaches by doc_id equi-join; NOT broadcast - the
+    # doc dimension is corpus-sized, and AQE picks broadcast itself
+    # whenever a filtered subset actually fits
+    grams = hashed_shingle_table(docs, n=3).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    first_seen = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first_seen, "h")
+    per_source = j.groupBy("source").agg(
+        F.countDistinct("h").alias("distinct_grams"),
+        F.countDistinct(
+            F.when(F.col("first_doc") == F.col("doc_id"), F.col("h"))
+        ).alias("novel_grams"),
+    )
+    return per_source.select(
+        "source",
+        "distinct_grams",
+        "novel_grams",
+        F.expr(
+            "(CAST(novel_grams AS DECIMAL(38,0)) * 1000000) div distinct_grams"
+        ).alias("novelty_micro"),
+    )

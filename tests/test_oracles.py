@@ -76,6 +76,7 @@ REPRESENTATIVE = [
     "dedup_savings_report",  # composed-oracle summary
     "decontaminate_corpus",  # removal half of contamination control
     "dup_cluster_size_histogram",  # composed recursive-oracle summary
+    "source_novelty_rate",  # marginal-content metric
 ]
 
 
