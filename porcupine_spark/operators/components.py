@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from porcupine_spark.operators.dedup import HOT_DF_FLOOR, HOT_DF_FRAC, SQL_SHINGLES
+from porcupine_spark.operators.dedup import SQL_HOT_DF_CUTOFF, SQL_SHINGLES
 from porcupine_spark.plans.registry import query
 
 MAX_ROUNDS = 50  # backstop far above any real near-dup graph diameter
@@ -139,8 +139,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     df AS (SELECT shingle, COUNT(*) AS c FROM shingles GROUP BY shingle),
     keep AS (
       SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
-      WHERE c <= GREATEST({HOT_DF_FLOOR},
-                          CAST(FLOOR({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+      WHERE c <= {SQL_HOT_DF_CUTOFF}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
     inter AS (
@@ -197,12 +196,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "crawler loop, not ordinary duplication). Composes dedup_clusters "
     "verbatim (builder AND oracle), groups nodes per component, then "
     "counts components per size: |distinct sizes| output rows, two "
-    "narrowing aggregations past the clustering itself.",
+    "narrowing aggregations past the clustering itself. The REGISTERED "
+    "query measures the from-scratch (same-job) mode so its oracle "
+    "composition can't drift; at 100 TB the report reads a "
+    "MATERIALIZED cluster artifact instead of reclustering - "
+    "cluster_size_histogram_from(spark.read.parquet(clusters_path)), "
+    "pytest-pinned equal to this from-scratch result.",
 )
 def dup_cluster_size_histogram(spark, sf_dir):
+    return cluster_size_histogram_from(dedup_clusters(spark, sf_dir))
+
+
+def cluster_size_histogram_from(clusters):
+    """The histogram body over a ``(node, component)`` assignment — the
+    artifact path: feed it the MATERIALIZED clusters parquet (the
+    examples/example_incremental.py pattern) so a 100 TB health report
+    is two narrowing aggregations, not a reclustering."""
     from pyspark.sql import functions as F
 
-    clusters = dedup_clusters(spark, sf_dir)
     sizes = clusters.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
 

@@ -108,25 +108,58 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Hot-shingle document-frequency cutoff: a shingle present in more than
-# max(HOT_DF_FLOOR, HOT_DF_FRAC * n_docs) documents contributes ~zero
-# Jaccard information but |df|^2 candidate pairs to the inverted-index
-# self-join — one stop-phrase shingle ("of the and") in 1% of a 100 TB
-# corpus would alone generate 10^16 pairs. Dropping hot shingles bounds
-# the per-key join fan-out; sizes are computed on the SAME filtered
-# shingle set so the measure stays a true Jaccard over the informative
-# shingle space (mirrored exactly in the oracle).
+# hot_df_cutoff(n_docs) documents contributes ~zero Jaccard information
+# but |df|^2 candidate pairs to the inverted-index self-join — one
+# stop-phrase shingle ("of the and") in 1% of a 100 TB corpus would
+# alone generate 10^16 pairs. The cutoff is fractional at small corpus
+# sizes (so tiny test corpora keep a usable shingle space) but capped
+# by an ABSOLUTE ceiling HOT_DF_CAP: a fractional-only bound grows
+# linearly with the corpus, so the per-key fan-out it exists to prevent
+# (|df|^2 pairs) re-enters at scale — at 10B docs a 5%-df shingle would
+# survive a 10% cutoff and alone generate ~10^17 pairs. With the cap,
+# per-key fan-out is <= HOT_DF_CAP^2/2 regardless of corpus size.
+# Dropping hot shingles bounds the join; sizes are computed on the SAME
+# filtered shingle set so the measure stays a true Jaccard over the
+# informative shingle space (mirrored exactly in the oracle).
 HOT_DF_FRAC = 0.1
 HOT_DF_FLOOR = 25
+HOT_DF_CAP = 2000
+
+
+def hot_df_cutoff(n_docs: int) -> int:
+    """max(FLOOR, min(FRAC * n, CAP)) — fractional in small corpora,
+    absolute at scale. Mirrored verbatim by SQL_HOT_DF_CUTOFF."""
+    return max(HOT_DF_FLOOR, min(int(HOT_DF_FRAC * n_docs), HOT_DF_CAP))
+
+
+# the oracle-side mirror of hot_df_cutoff (DuckDB SQL, documents view)
+SQL_HOT_DF_CUTOFF = (
+    f"GREATEST({HOT_DF_FLOOR}, LEAST("
+    f"CAST(FLOOR({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents)) AS BIGINT), "
+    f"{HOT_DF_CAP}))"
+)
+
+# one count() per (session, corpus dir) — the cutoff scalar is a parquet
+# metadata count, but re-running it per query build is still one job
+# each; every dedup builder shares this memo instead
+_N_DOCS_CACHE: dict[tuple[int, str], int] = {}
+
+
+def corpus_n_docs(spark: SparkSession, sf_dir: str) -> int:
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _N_DOCS_CACHE:
+        _N_DOCS_CACHE[key] = load_table(spark, sf_dir, "documents").count()
+    return _N_DOCS_CACHE[key]
 
 
 def ngram_jaccard_pairs(
     docs: DataFrame, min_jaccard: float = 0.05, df_cutoff: int | None = None
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for doc pairs sharing >=1 informative
-    shingle. ``df_cutoff`` defaults to max(HOT_DF_FLOOR, HOT_DF_FRAC *
-    count(docs)); pass an explicit value to skip the count() action."""
+    shingle. ``df_cutoff`` defaults to hot_df_cutoff(count(docs)); pass
+    an explicit value to skip the count() action."""
     if df_cutoff is None:
-        df_cutoff = max(HOT_DF_FLOOR, int(HOT_DF_FRAC * docs.count()))
+        df_cutoff = hot_df_cutoff(docs.count())
     # self-join on hashed shingles (see hashed_shingle_table): 8-byte
     # shuffle/join keys, and the shingle string is never even built
     sh_all = hashed_shingle_table(docs)
@@ -165,8 +198,7 @@ def ngram_jaccard_pairs(
     df AS (SELECT shingle, COUNT(*) AS c FROM shingles GROUP BY shingle),
     keep AS (
       SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
-      WHERE c <= GREATEST({HOT_DF_FLOOR},
-                          CAST(FLOOR({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+      WHERE c <= {SQL_HOT_DF_CUTOFF}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
     inter AS (
@@ -193,7 +225,7 @@ def ngram_jaccard_pairs(
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs)
+    return ngram_jaccard_pairs(docs, df_cutoff=hot_df_cutoff(corpus_n_docs(spark, sf_dir)))
 
 
 # Universal-hash permutation family: perm_p(s) = (A_p*h(s) + B_p) mod M
@@ -751,8 +783,7 @@ CONTAIN_NUM, CONTAIN_DEN = 1, 2  # keep pairs with containment >= 1/2
     df AS (SELECT shingle, COUNT(*) AS c FROM shingles GROUP BY shingle),
     keep AS (
       SELECT s.doc_id, s.shingle FROM shingles s JOIN df USING (shingle)
-      WHERE c <= GREATEST({HOT_DF_FLOOR},
-                          CAST(FLOOR({HOT_DF_FRAC} * (SELECT COUNT(*) FROM documents)) AS BIGINT))
+      WHERE c <= {SQL_HOT_DF_CUTOFF}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM keep GROUP BY doc_id),
     inter AS (
@@ -781,7 +812,7 @@ CONTAIN_NUM, CONTAIN_DEN = 1, 2  # keep pairs with containment >= 1/2
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    df_cutoff = max(HOT_DF_FLOOR, int(HOT_DF_FRAC * docs.count()))
+    df_cutoff = hot_df_cutoff(corpus_n_docs(spark, sf_dir))
     sh_all = hashed_shingle_table(docs)
     hot = (
         sh_all.groupBy("h")
@@ -847,9 +878,14 @@ WINNOW_MIN_SHARED = 2  # dup-pair threshold on shared fingerprints
       SELECT DISTINCT doc_id, fp
       FROM winmin WHERE pos <= n_grams - {WINNOW_W - 1}
     ),
+    fpdf AS (SELECT fp, COUNT(*) AS c FROM fps GROUP BY fp),
+    keepfp AS (
+      SELECT f.doc_id, f.fp FROM fps f JOIN fpdf USING (fp)
+      WHERE c <= {SQL_HOT_DF_CUTOFF}
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
-      FROM fps a JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      FROM keepfp a JOIN keepfp b ON b.fp = a.fp AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
       HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     )
@@ -867,12 +903,24 @@ WINNOW_MIN_SHARED = 2  # dup-pair threshold on shared fingerprints
     "(dedup_ngram_jaccard) with a detection guarantee instead of a "
     "probabilistic bound (dedup_minhash_lsh) - the third point in the "
     "dedup design space. Window minima ride the per-doc position "
-    "ordering; hashes are 60-bit md5 prefixes, exact on both engines.",
+    "ordering; hashes are 60-bit md5 prefixes, exact on both engines. "
+    "Fingerprints hotter than the absolute hot-DF cap (boilerplate "
+    "window minima, the d^2-fan-out key class) are dropped before the "
+    "self-join, mirroring the hot-shingle guard in dedup_ngram_jaccard.",
 )
 def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(docs, fp_cutoff=hot_df_cutoff(corpus_n_docs(spark, sf_dir)))
+
+
+def winnow_pairs(docs: DataFrame, fp_cutoff: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, shared_fps) via MOSS winnowing fingerprints.
+    ``fp_cutoff`` defaults to hot_df_cutoff(count(docs)); pass an
+    explicit value to skip the count() action."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    if fp_cutoff is None:
+        fp_cutoff = hot_df_cutoff(docs.count())
     toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
     with_t = docs.select("doc_id", toks.alias("t"))
     grams = with_t.select(
@@ -912,6 +960,19 @@ def winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
+    # hot-fingerprint guard, same shape as the hot-shingle cutoff in
+    # ngram_jaccard_pairs: a boilerplate window minimum shared by d
+    # docs would otherwise contribute d^2 rows to the self-join below
+    # with no cutoff at all — winnowing thins the index density
+    # (~2/(w+1)) but does nothing about per-key skew. Absolute cap via
+    # hot_df_cutoff; the hot set is tiny, so broadcast anti-join.
+    hot_fp = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > fp_cutoff)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot_fp), "fp", "left_anti")
     a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
     b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
     return (
@@ -990,6 +1051,17 @@ def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
 def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     kept = dedup_keep_canonical(spark, sf_dir).select("doc_id")
+    return savings_report_from(docs, kept)
+
+
+def savings_report_from(docs: DataFrame, kept: DataFrame) -> DataFrame:
+    """The savings report body over a precomputed keep-set — the
+    artifact path: at 100 TB pass the MATERIALIZED keep_canonical
+    output (spark.read.parquet(kept_path).select('doc_id')) so the
+    executive report is two 1-row aggregates, not a re-run of the
+    whole near-dup pass. The registered query measures the
+    from-scratch (same-job) mode; pytest pins both modes equal."""
+    kept = kept.select("doc_id")
     tot = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )

@@ -314,6 +314,66 @@ def test_ngram_jaccard_hot_shingle_cutoff(spark):
     assert no_cut.count() == n * (n - 1) // 2 + 1  # quadratic blowup without it
 
 
+def test_hot_df_cutoff_absolute_cap():
+    """The hot-DF cutoff must NOT scale linearly with the corpus: the
+    fractional term governs small corpora (so tiny test sets keep a
+    usable shingle space) but an ABSOLUTE ceiling takes over at scale
+    — at 10B docs the cutoff is HOT_DF_CAP, not 1B, so a boilerplate
+    key in 1% of the corpus is dropped instead of generating ~10^16
+    join pairs."""
+    from porcupine_spark.operators.dedup import (
+        HOT_DF_CAP,
+        HOT_DF_FLOOR,
+        hot_df_cutoff,
+    )
+
+    assert hot_df_cutoff(0) == HOT_DF_FLOOR
+    assert hot_df_cutoff(100) == HOT_DF_FLOOR          # floor-dominated
+    assert hot_df_cutoff(500) == 50                    # sf0.01: fractional
+    assert hot_df_cutoff(5000) == 500                  # sf0.1: fractional
+    assert hot_df_cutoff(10**6) == HOT_DF_CAP          # cap takes over
+    assert hot_df_cutoff(10**10) == HOT_DF_CAP         # stays absolute at 10B
+
+
+def test_winnow_hot_fingerprint_cutoff(spark):
+    """A boilerplate run shared by every doc yields one hot fingerprint;
+    without a cutoff the fingerprint self-join goes quadratic on it.
+    With the cap the hot fingerprint is dropped while a genuine dup
+    pair (long unique shared run -> multiple shared fingerprints)
+    survives."""
+    from porcupine_spark.operators.dedup import winnow_pairs
+
+    n = 60
+    # each doc: the same 8-token boilerplate run + unique tail tokens.
+    # The boilerplate produces identical gram hashes -> at least one
+    # shared window-minimum fingerprint across all n docs.
+    boiler = (
+        "terms of service apply to all users here and this boilerplate "
+        "footer text repeats verbatim on every single page of the site"
+    )
+    docs = [(i, f"{boiler} u{i}a u{i}b u{i}c") for i in range(n)]
+    # genuine near-dup pair: a long shared unique run (yields >=
+    # WINNOW_MIN_SHARED distinct window minima)
+    shared = (
+        "zeta eta theta iota kappa lam mu nu xi omicron pi rho alpha "
+        "beta gamma delta epsilon one two three four five six seven "
+        "eight nine ten eleven twelve thirteen"
+    )
+    docs += [(1000, shared + " sigma"), (1001, shared + " tau")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = winnow_pairs(df, fp_cutoff=10)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (1000, 1001) in pairs          # real dup pair survives
+    # no boilerplate-only pair survives: every other pair would need
+    # >= WINNOW_MIN_SHARED shared fps, and all shared fps among the n
+    # boilerplate docs are hot (df == n > 10) hence dropped
+    assert pairs == {(1000, 1001)}
+
+    uncapped = winnow_pairs(df, fp_cutoff=10**9)
+    assert uncapped.count() >= n * (n - 1) // 2  # quadratic without the cap
+
+
 def test_media_header_parsing_real_formats(spark):
     """The decode kernel extracts REAL metadata from PNG/GIF/JPEG/WAV
     headers (pure byte arithmetic, no media libs); unrecognized
@@ -699,3 +759,51 @@ def test_winnowing_guarantee_planted_run(spark, tmp_path):
     pairs = {(r.doc_a, r.doc_b) for r in winnow_dup_pairs(spark, sf).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_compositional_reports_from_materialized_artifact(spark, sf_dir, tmp_path):
+    """The three compositional reports must give IDENTICAL results when
+    fed a materialized base artifact (parquet written once, read back)
+    instead of recomputing their base operator end-to-end — the 100 TB
+    mode: cluster once / check once, then report from the artifact.
+    The registered queries measure the from-scratch mode (so their
+    oracle composition can't drift); this pins the two modes equal."""
+    from porcupine_spark.operators.components import (
+        cluster_size_histogram_from,
+        dedup_clusters,
+        dup_cluster_size_histogram,
+    )
+    from porcupine_spark.operators.dedup import (
+        dedup_keep_canonical,
+        dedup_savings_report,
+        savings_report_from,
+    )
+    from porcupine_spark.operators.text import (
+        contamination_check,
+        decontaminate_corpus,
+        decontaminate_from,
+    )
+    from porcupine_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # 1. cluster-size histogram from a persisted cluster assignment
+    cpath = str(tmp_path / "clusters.parquet")
+    dedup_clusters(spark, sf_dir).write.parquet(cpath)
+    from_artifact = cluster_size_histogram_from(spark.read.parquet(cpath))
+    assert rows(from_artifact) == rows(dup_cluster_size_histogram(spark, sf_dir))
+
+    # 2. savings report from a persisted keep-set
+    kpath = str(tmp_path / "kept.parquet")
+    dedup_keep_canonical(spark, sf_dir).select("doc_id").write.parquet(kpath)
+    from_artifact = savings_report_from(docs, spark.read.parquet(kpath))
+    assert rows(from_artifact) == rows(dedup_savings_report(spark, sf_dir))
+
+    # 3. decontamination report from persisted flagged ids
+    fpath = str(tmp_path / "flagged.parquet")
+    contamination_check(spark, sf_dir).select("doc_id").distinct().write.parquet(fpath)
+    from_artifact = decontaminate_from(docs, spark.read.parquet(fpath))
+    assert rows(from_artifact) == rows(decontaminate_corpus(spark, sf_dir))
