@@ -135,14 +135,33 @@ def compact_partition(spark: SparkSession, src_dir: str, n_out: int) -> str:
     if not fs.exists(src) and fs.exists(aside):
         # crashed between the two renames last run: data lives only in
         # the aside dir — restore it before doing anything else
-        fs.rename(aside, src)
+        if not fs.rename(aside, src):
+            raise IOError(f"compact: failed to restore {aside} -> {src}")
     df = spark.read.parquet(src_dir)
     df.coalesce(n_out).write.mode("overwrite").parquet(staging)
     dst = jvm.org.apache.hadoop.fs.Path(staging)
     if fs.exists(aside):  # stale aside from an even earlier crash
         fs.delete(aside, True)
-    fs.rename(src, aside)
-    fs.rename(dst, src)
+    # Hadoop rename() signals failure by RETURNING FALSE, not raising —
+    # every step below checks it, because proceeding past a failed
+    # rename is how the swap could destroy the only visible copy: if
+    # rename(staging -> src) failed after rename(src -> aside)
+    # succeeded, an unconditional delete(aside) would drop the data's
+    # only copy at the visible path. On failure we abort with the aside
+    # intact (next run's recovery guard restores it).
+    if not fs.rename(src, aside):
+        raise IOError(f"compact: failed to move {src} aside; nothing changed")
+    if not fs.rename(dst, src):
+        if not fs.rename(aside, src):  # roll back; else recovery guard
+            raise IOError(
+                f"compact: staging swap AND rollback failed; data is intact "
+                f"under {aside} and will be restored on the next run"
+            )
+        raise IOError(f"compact: failed to swap {dst} -> {src}; rolled back")
+    # only now is it safe to drop the aside copy: verify the visible
+    # path exists and holds the staged files before deleting
+    if not fs.exists(src):
+        raise IOError(f"compact: {src} missing after swap; aside kept at {aside}")
     fs.delete(aside, True)
     return src_dir
 

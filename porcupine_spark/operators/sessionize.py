@@ -542,7 +542,7 @@ def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_summary AS (
       SELECT date_trunc('day', t) AS day,
              MAX(concurrency) AS within_max,
-             arg_max(concurrency, epoch_us(t) * 2 + CASE WHEN d = -1 THEN 1 ELSE 0 END) AS closing
+             SUM(d) AS day_delta
       FROM swept GROUP BY 1
     ),
     spine AS (
@@ -553,10 +553,10 @@ def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     carried AS (
       SELECT sp.day, ds.within_max,
-             COALESCE(
-               last_value(ds.closing IGNORE NULLS) OVER (
+             CAST(COALESCE(
+               SUM(ds.day_delta) OVER (
                  ORDER BY sp.day
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                AS carry_in
       FROM spine sp LEFT JOIN day_summary ds ON ds.day = sp.day
     )
@@ -570,7 +570,9 @@ def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+1/-1 boundary deltas; a running sum over the time-ordered "
     "boundary stream IS the concurrency curve. Day peaks CARRY ACROSS "
     "MIDNIGHT: a day's peak is max(carry-in concurrency at 00:00, "
-    "within-day max), with the carry forward-filled over a day spine "
+    "within-day max), with the carry computed as a TIE-FREE prefix sum "
+    "of per-day delta totals over a day spine (not a last-row pick, "
+    "which is nondeterministic when boundary instants collide) "
     "- so sessions spanning a whole day (no boundary that day) still "
     "hold its level up, which a boundary-only group-by silently "
     "drops. Ties order +1 before -1, so touching sessions count as "
@@ -593,17 +595,18 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.orderBy("t", F.col("d").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     swept = deltas.select("t", "d", F.sum("d").over(wsweep).alias("concurrency"))
-    # closing value of a day = concurrency at its LAST row in sweep
-    # order (t asc, d desc) == max_by over the orderable (t, -d) pair
+    # a day's CLOSING concurrency = cumulative delta total through the
+    # end of that day. Deriving it as a prefix sum of per-day SUM(d)
+    # over the day spine is tie-free; picking the "last" sweep row via
+    # max_by keyed on (t, d) is NOT unique when several sessions share
+    # a boundary instant and direction — among tied rows the running
+    # sums differ, so max_by/arg_max choose arbitrarily and the
+    # carry-in could be off by up to k-1 (both engines, independently).
     day_summary = swept.groupBy(
         F.date_trunc("day", F.col("t")).alias("day")
     ).agg(
         F.max("concurrency").alias("within_max"),
-        F.max_by(
-            "concurrency",
-            F.unix_micros(F.col("t")) * 2
-            + F.when(F.col("d") == -1, 1).otherwise(0),
-        ).alias("closing"),
+        F.sum("d").alias("day_delta"),
     )
     bounds = day_summary.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = bounds.select(
@@ -614,7 +617,7 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(day_summary, "day", "left")
         .withColumn(
             "carry_in",
-            F.coalesce(F.last("closing", ignorenulls=True).over(wcarry), F.lit(0)),
+            F.coalesce(F.sum("day_delta").over(wcarry), F.lit(0)).cast("long"),
         )
     )
     return carried.select(

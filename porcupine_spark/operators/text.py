@@ -536,13 +536,25 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(>=2 shared 5-grams with the benchmark set). Composes the check "
     "query's builder/oracle verbatim, so check and removal can never "
     "disagree; removal itself is one broadcast anti-join of the "
-    "corpus against the (tiny) flagged set.",
+    "corpus against the (tiny) flagged set. The REGISTERED query "
+    "measures the from-scratch (same-job) mode; at 100 TB run the "
+    "check once, materialize the flagged ids, and report via "
+    "decontaminate_from(docs, spark.read.parquet(flagged_path)) - "
+    "pytest-pinned equal.",
 )
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     flagged = contamination_check(spark, sf_dir).select("doc_id").distinct()
+    return decontaminate_from(docs, flagged)
+
+
+def decontaminate_from(docs: DataFrame, flagged: DataFrame) -> DataFrame:
+    """The removal/report body over a precomputed flagged-id artifact
+    (the examples/example_incremental.py pattern): one broadcast
+    anti-join + one aggregation — no re-run of the contamination scan
+    per report."""
     clean = docs.where(F.col("doc_id") >= 10).join(
-        F.broadcast(flagged), "doc_id", "left_anti"
+        F.broadcast(flagged.select("doc_id")), "doc_id", "left_anti"
     )
     return clean.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -165,8 +165,19 @@ def make_timeout_sessionizer(gap_ms: int):
     merge logic): this is the ESCAPE HATCH shape for session semantics
     the built-in cannot express (custom merge rules, per-key gaps,
     side outputs), same API as Flink's KeyedProcessFunction timers.
+
+    Gap semantics hold WITHIN a microbatch too: the handler sorts the
+    batch's timestamps, splits on intra-batch gaps > gap, and merges
+    the carried state as just another interval — so two bursts
+    separated by more than the gap become two sessions even when they
+    arrive in the same microbatch (or before the watermark fires the
+    timeout). All sessions but the time-latest close immediately; only
+    the open tail waits on the event-time timeout.
     """
-    import pandas as pd  # local: runs inside the Python worker
+    import numpy as np  # local: runs inside the Python worker
+    import pandas as pd
+
+    gap_us = gap_ms * 1000
 
     def sessionize(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -181,23 +192,47 @@ def make_timeout_sessionizer(gap_ms: int):
                 }
             )
             return
+        chunks = [
+            pdf["ts"].astype("int64") // 1000 for pdf in pdfs if len(pdf)  # ns -> us
+        ]
+        if not chunks:
+            return
+        us = np.sort(pd.concat(chunks).to_numpy())
+        # split the sorted batch on gaps > gap_us -> (start, end, count)
+        cuts = np.flatnonzero(np.diff(us) > gap_us)
+        seg_lo = np.concatenate(([0], cuts + 1))
+        seg_hi = np.concatenate((cuts, [len(us) - 1]))
+        segs = [
+            (int(us[lo]), int(us[hi]), int(hi - lo + 1))
+            for lo, hi in zip(seg_lo, seg_hi)
+        ]
         if state.exists:
-            start_us, end_us, n = state.get
-        else:
-            start_us, end_us, n = None, None, 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            lo, hi = int(us.min()), int(us.max())
-            start_us = lo if start_us is None else min(start_us, lo)
-            end_us = hi if end_us is None else max(end_us, hi)
-            n += len(pdf)
-        state.update((start_us, end_us, n))
+            segs.append(tuple(state.get))
+        # carried state is just another interval: start-sorted sweep
+        # merge (standard interval-gap union) handles late-arriving
+        # segments that precede it as well as ones extending it
+        segs.sort()
+        cur = list(segs[0])
+        closed = []
+        for s, e, k in segs[1:]:
+            if s <= cur[1] + gap_us:
+                cur[1] = max(cur[1], e)
+                cur[2] += k
+            else:
+                closed.append(tuple(cur))
+                cur = [s, e, k]
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [k for _, _, k in closed],
+                }
+            )
+        state.update((cur[0], cur[1], cur[2]))
         # fires once the EVENT-TIME watermark passes this instant
-        state.setTimeoutTimestamp(end_us // 1000 + gap_ms)
-        if False:
-            yield  # pragma: no cover — generator shape
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
     return sessionize
 
 

@@ -78,18 +78,28 @@ def test_decimal_tie_boundary_is_real(spark):
     assert got != want
 
 
+bigsigned = st.integers(min_value=-(10**30), max_value=10**30)
 bigpos = st.integers(min_value=1, max_value=10**30)
 
 
-@given(st.lists(st.tuples(bigpos, bigpos), min_size=1, max_size=8))
+def _trunc_div(p: int, q: int) -> int:
+    """Truncate-toward-zero division (Python's // floors)."""
+    r = abs(p) // abs(q)
+    return -r if (p < 0) != (q < 0) else r
+
+
+@given(st.lists(st.tuples(bigsigned, bigpos), min_size=1, max_size=8))
 @settings(max_examples=10, deadline=None)
 def test_integer_scaled_div_matches_duckdb(spark, pairs):
-    """The bm25/twap recipe: Spark's decimal `div` (truncate toward
-    zero) and DuckDB's HUGEINT `//` agree exactly for positive
-    operands WHILE THE QUOTIENT FITS int64 — the recipe's documented
-    domain (every use scales a bounded ratio, so quotients are ~1e12).
-    Outside it Spark WRAPS silently (next test)."""
-    pairs = [(p, q) for p, q in pairs if p // q < 2**63] or [(7, 2)]
+    """The bm25/twap/growth recipe: Spark's decimal `div` (truncate
+    toward zero) and DuckDB's HUGEINT `//` agree exactly — INCLUDING
+    for negative numerators (the revenue-decline path of
+    revenue_mom_growth: both engines truncate toward zero, NOT floor,
+    which Python's // does) — WHILE THE QUOTIENT FITS int64, the
+    recipe's documented domain (every use scales a bounded ratio, so
+    quotients are ~1e12). Outside it Spark WRAPS silently (next
+    test)."""
+    pairs = [(p, q) for p, q in pairs if abs(p) // q < 2**63] or [(-7, 2)]
     rows = [(str(p), str(q)) for p, q in pairs]
     sdf = spark.createDataFrame(rows, "p string, q string").selectExpr(
         "CAST(p AS DECIMAL(38,0)) div CAST(q AS DECIMAL(38,0)) AS d"
@@ -102,8 +112,28 @@ def test_integer_scaled_div_matches_duckdb(spark, pairs):
         ).fetchone()[0]
         for p, q in rows
     ]
-    py = [p // q for p, q in pairs]
+    py = [_trunc_div(p, q) for p, q in pairs]
     assert got == want == py
+
+
+def test_integer_scaled_div_negative_pinned(spark):
+    """Pinned negative-operand witnesses for the truncation direction:
+    -7 div 2 is -3 on both engines (trunc), not -4 (floor)."""
+    cases = [(-7, 2), (-1, 3), (-10**18 - 1, 7), (7, 2)]
+    rows = [(str(p), str(q)) for p, q in cases]
+    sdf = spark.createDataFrame(rows, "p string, q string").selectExpr(
+        "CAST(p AS DECIMAL(38,0)) div CAST(q AS DECIMAL(38,0)) AS d"
+    )
+    got = [r.d for r in sdf.collect()]
+    con = duckdb.connect()
+    want = [
+        con.sql(
+            f"SELECT CAST(CAST('{p}' AS HUGEINT) // CAST('{q}' AS HUGEINT) AS BIGINT)"
+        ).fetchone()[0]
+        for p, q in rows
+    ]
+    assert got == want == [_trunc_div(p, q) for p, q in cases]
+    assert got[0] == -3  # trunc, not floor's -4
 
 
 def test_integer_scaled_div_overflow_boundary(spark):

@@ -437,6 +437,54 @@ def test_event_time_timeout_sessionizer_closes_and_evicts(spark, tmp_path):
     assert r.n_events == 2
 
 
+def test_timeout_sessionizer_splits_intra_batch_gaps(spark, tmp_path):
+    """Gap semantics must hold WITHIN a microbatch: two bursts of the
+    same key separated by more than the gap, arriving in ONE batch,
+    are two sessions — the earlier closes immediately (no waiting on a
+    watermark that may never pass before more data extends the state),
+    the later stays open and closes by timeout."""
+    import pandas as pd
+
+    from porcupine_spark.streaming.stateful import stream_sessionize_with_timeout
+
+    src = tmp_path / "sess_split_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src / name)
+        )
+
+    # batch 1, ALL for user 1: burst A (00:00:00-00:00:05), then burst B
+    # 10 minutes later — far past the 60s gap, same microbatch
+    write_file("f1", [
+        (1, t0), (1, t0 + pd.Timedelta(seconds=5)),
+        (1, t0 + pd.Timedelta(minutes=10)),
+        (1, t0 + pd.Timedelta(minutes=10, seconds=3)),
+    ])
+    # batch 2: another key drives the watermark past burst B + gap
+    write_file("f2", [(2, t0 + pd.Timedelta(minutes=30))])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out, _ = stream_sessionize_with_timeout(spark, stream, gap_ms=60_000)
+    rows = sorted(out.filter("user_id = 1").collect(), key=lambda r: r.session_start)
+    assert len(rows) == 2  # a gap-merging sessionizer would emit 1
+    a, b = rows
+    assert a.session_start == t0.to_pydatetime()
+    assert a.session_end == (t0 + pd.Timedelta(seconds=5)).to_pydatetime()
+    assert a.n_events == 2
+    assert b.session_start == (t0 + pd.Timedelta(minutes=10)).to_pydatetime()
+    assert b.session_end == (t0 + pd.Timedelta(minutes=10, seconds=3)).to_pydatetime()
+    assert b.n_events == 2
+
+
 def test_streaming_observe_metrics_surface(spark, sf_dir):
     """df.observe on a stream surfaces per-batch metrics in query
     progress (the zero-cost pipeline-health hook: counts/sums ride the
