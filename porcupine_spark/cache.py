@@ -74,9 +74,27 @@ class CacheStore:
     Hadoop-FS URI (s3a://, file://, hdfs://) via the same FileSystem
     code path as the folder ops."""
 
-    def __init__(self, spark: SparkSession, store_dir: str, mirror_uri: str | None = None):
+    # Engine-level env config (funflow reads FUNFLOW_IDENTITY and its
+    # store/coordinator opts at startup, PTask/Internal.hs:245-262,291;
+    # names are ours, semantics funflow's): explicit constructor args
+    # always win, the env fills unset ones.
+    STORE_ENV = "PORCUPINE_SPARK_STORE"
+    MIRROR_ENV = "PORCUPINE_SPARK_MIRROR"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str | None = None,
+        mirror_uri: str | None = None,
+    ):
         self.spark = spark
+        store_dir = store_dir or os.environ.get(self.STORE_ENV)
+        if not store_dir:
+            raise ValueError(
+                f"CacheStore needs a store dir (arg or ${self.STORE_ENV})"
+            )
         self.store_dir = store_dir
+        mirror_uri = mirror_uri or os.environ.get(self.MIRROR_ENV)
         self.mirror_uri = mirror_uri.rstrip("/") if mirror_uri else None
         self.hits = 0
         self.misses = 0

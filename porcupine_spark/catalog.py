@@ -33,6 +33,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from porcupine_spark.accessors import accessor_for
 from porcupine_spark.serials import Serial, SerialSet, parquet_serial
 
 _VAR_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
@@ -315,13 +316,15 @@ class BoundCatalog:
                 continue
             for loc in locs:
                 serial = ds.serials.for_ext(loc.ext)  # raises if no serial for ext
-                if loc.is_http and serial.format not in ("json", "csv", "text"):
+                acc = accessor_for(loc.path)
+                if acc is not None and acc.formats is not None and serial.format not in acc.formats:
                     # resolveDataAccess fails ahead-of-time on an
                     # access/serial mismatch (PorcupineTree.hs:647-697);
-                    # an http body has no filesystem for columnar formats
+                    # e.g. an http body has no filesystem for columnar
+                    # formats (formats declared by the accessor itself)
                     raise ValueError(
-                        f"dataset {name!r}: http location {loc.path!r} needs a "
-                        f"json/csv/text serial, not {serial.format!r}"
+                        f"dataset {name!r}: {acc.scheme} location {loc.path!r} needs a "
+                        f"{'/'.join(sorted(acc.formats))} serial, not {serial.format!r}"
                     )
 
     def locations(self, name: str) -> list[Location] | None:
@@ -371,10 +374,13 @@ class BoundCatalog:
             serial = ds.serials.for_ext(loc.ext)
             path = self._splice(loc.path, variables)
             t0 = time.perf_counter()
-            if loc.is_http:
-                from porcupine_spark.sources.http import read_url_via_serial
-
-                dfs.append(read_url_via_serial(spark, path, serial, ds.schema))
+            acc = accessor_for(path)
+            if acc is not None:
+                if acc.read is None:
+                    raise ValueError(
+                        f"accessor {acc.scheme!r} is write-only; cannot read {path!r}"
+                    )
+                dfs.append(acc.read(spark, path, serial, ds.schema))
             else:
                 dfs.append(serial.read(spark, path, ds.schema))
             # clockVFileAccesses (VirtualFile.hs:400-401): per-access timing.
@@ -480,10 +486,13 @@ class BoundCatalog:
             serial = ds.serials.for_ext(loc.ext)
             path = self._splice(loc.path, variables)
             t0 = time.perf_counter()
-            if loc.is_http:
-                from porcupine_spark.sources.http import write_df_to_url
-
-                write_df_to_url(df, path, serial)
+            acc = accessor_for(path)
+            if acc is not None:
+                if acc.write is None:
+                    raise ValueError(
+                        f"accessor {acc.scheme!r} is read-only; cannot write {path!r}"
+                    )
+                acc.write(df, path, serial, mode)
             else:
                 serial.write(df, path, mode=mode)
             _access_log.info("Wrote '%s' in %.3fs", path, time.perf_counter() - t0)

@@ -17,6 +17,7 @@ append a layer), ``--var name=value``, ``-o dotted.path=value``.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import Any
 
@@ -59,6 +60,10 @@ def run_pipeline(
             "reference's VirtualTree)"
         )
     bound = catalog.bind(root, mappings, variables, data=data)
+    # env-var engine config (PTask/Internal.hs:245-262 reads funflow's
+    # store/coordinator opts from the environment): unset args fall
+    # back to PORCUPINE_SPARK_STORE / PORCUPINE_SPARK_MIRROR
+    cache_dir = cache_dir or os.environ.get(CacheStore.STORE_ENV)
     cache = CacheStore(spark, cache_dir, mirror_uri=cache_mirror) if cache_dir else None
     ctx = RunCtx(spark, bound, variables=dict(variables or {}), cache=cache)
     return task.run(ctx, input_)

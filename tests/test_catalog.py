@@ -399,7 +399,7 @@ def test_http_locations_in_catalog(spark, tmp_path):
         ]
         assert _json.loads(posted[0]) == {"a": 1, "b": 2}
         # ahead-of-time failure: parquet serial can't ride an http body
-        with pytest.raises(ValueError, match="json/csv/text"):
+        with pytest.raises(ValueError, match="csv/json/text"):
             Catalog([Dataset.source("p", SerialSet(parquet_serial()))]).bind(
                 str(tmp_path), {"p": f"http://127.0.0.1:{port}/p"}
             )
@@ -458,3 +458,60 @@ def test_yaml_kernel_roundtrip_property():
         assert back == recs
 
     run()
+
+
+def test_pluggable_accessor_registry(spark, tmp_path):
+    """Third-party storage backends plug in via register_accessor —
+    the LocationAccessor typeclass surface (Accessors.hs:82-131): a
+    toy in-memory scheme round-trips a catalog-bound dataset with NO
+    catalog edits, its declared format restriction fails ahead of
+    time like http's, and unregistering restores fall-through."""
+    from porcupine_spark.accessors import (
+        accessor_for,
+        register_accessor,
+        unregister_accessor,
+        scheme_of,
+    )
+    from porcupine_spark.catalog import Catalog, Dataset
+    from porcupine_spark.serials import SerialSet, json_serial, parquet_serial
+
+    assert scheme_of("mem://fixtures/users") == "mem"
+    assert scheme_of("/local/path.parquet") is None
+    assert scheme_of("s3a://bucket/key") == "s3a"
+
+    store = {}
+
+    def mem_read(spark_, path, serial, schema):
+        return spark_.createDataFrame(store[path], schema=schema)
+
+    def mem_write(df, path, serial, mode):
+        store[path] = [tuple(r) for r in df.collect()]
+
+    register_accessor(
+        "mem", read=mem_read, write=mem_write, formats=frozenset({"json"})
+    )
+    try:
+        cat = Catalog(
+            [Dataset("t", SerialSet(json_serial()), schema="a long, b string")]
+        )
+        bound = cat.bind(str(tmp_path), {"t": "mem://fixtures/t"})
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "a long, b string")
+        assert bound.write(df, "t") == ["mem://fixtures/t"]
+        assert store["mem://fixtures/t"] == [(1, "x"), (2, "y")]
+        back = bound.read(spark, "t")
+        assert sorted((r.a, r.b) for r in back.collect()) == [(1, "x"), (2, "y")]
+
+        # format restriction validates ahead-of-time, same as http's
+        with pytest.raises(ValueError, match="mem location"):
+            Catalog(
+                [Dataset("p", SerialSet(parquet_serial()))]
+            ).bind(str(tmp_path), {"p": "mem://fixtures/p"})
+
+        # http(s) itself is registered through this registry now
+        assert accessor_for("http://x/y.json") is not None
+        assert accessor_for("https://x/y.json").formats == frozenset(
+            {"json", "csv", "text"}
+        )
+    finally:
+        unregister_accessor("mem")
+    assert accessor_for("mem://fixtures/t") is None

@@ -326,3 +326,30 @@ def test_load_config_remote_uris(spark, tmp_path):
 
     with pytest.raises(ValueError):
         load_config_file("s3a://bucket/cfg.yaml")  # scheme'd URI needs a session
+
+
+def test_cache_store_env_var_defaults(spark, tmp_path, monkeypatch):
+    """Engine env config (funflow reads its store/coordinator opts
+    from the environment, PTask/Internal.hs:245-262,291): an unset
+    store/mirror falls back to PORCUPINE_SPARK_STORE /
+    PORCUPINE_SPARK_MIRROR; explicit args always win."""
+    env_store = tmp_path / "env_store"
+    env_mirror = f"file://{tmp_path}/env_mirror"
+    monkeypatch.setenv(CacheStore.STORE_ENV, str(env_store))
+    monkeypatch.setenv(CacheStore.MIRROR_ENV, env_mirror)
+
+    s = CacheStore(spark)
+    assert s.store_dir == str(env_store)
+    assert s.mirror_uri == env_mirror
+    s.cached("estep", {}, [], lambda: spark.createDataFrame([(5,)], "x long"))
+    assert (env_store / "estep".join([])) or any(env_store.iterdir())  # store used
+
+    # explicit args beat the env
+    s2 = CacheStore(spark, str(tmp_path / "explicit"), mirror_uri=None)
+    assert s2.store_dir == str(tmp_path / "explicit")
+    assert s2.mirror_uri == env_mirror  # mirror arg unset -> env fills it
+
+    monkeypatch.delenv(CacheStore.STORE_ENV)
+    monkeypatch.delenv(CacheStore.MIRROR_ENV)
+    with pytest.raises(ValueError, match="PORCUPINE_SPARK_STORE"):
+        CacheStore(spark)
