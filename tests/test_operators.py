@@ -807,3 +807,36 @@ def test_compositional_reports_from_materialized_artifact(spark, sf_dir, tmp_pat
     contamination_check(spark, sf_dir).select("doc_id").distinct().write.parquet(fpath)
     from_artifact = decontaminate_from(docs, spark.read.parquet(fpath))
     assert rows(from_artifact) == rows(decontaminate_corpus(spark, sf_dir))
+
+
+def test_dedup_cap_bounds_skewed_corpus_at_scale(spark):
+    """Adversarial scale check for the capped pair-generation ops: an
+    sf0.1-sized corpus (5000 docs) where 30% share one boilerplate
+    shingle. With the production cutoff (hot_df_cutoff(5000)=500 <
+    1500 hot docs) the hot shingle is dropped: candidate pairs stay
+    bounded by genuine overlaps and the job completes promptly; the
+    uncapped formulation would generate C(1500,2) ~ 1.1M pairs from
+    the boilerplate alone (the 100 TB failure mode, scaled down)."""
+    import time as _time
+
+    from porcupine_spark.operators.dedup import hot_df_cutoff, ngram_jaccard_pairs
+
+    n, hot_frac = 5000, 0.30
+    n_hot = int(n * hot_frac)
+    boiler = "all rights reserved contact us today"
+    rows = []
+    for i in range(n):
+        uniq = f"u{i}a u{i}b u{i}c u{i}d u{i}e"
+        rows.append((i, f"{boiler} {uniq}" if i < n_hot else uniq))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+
+    cutoff = hot_df_cutoff(n)
+    assert cutoff == 500 < n_hot  # the cap actually bites here
+
+    t0 = _time.perf_counter()
+    pairs = ngram_jaccard_pairs(docs, df_cutoff=cutoff).count()
+    wall = _time.perf_counter() - t0
+    # no doc pair shares any non-hot shingle -> zero candidate pairs;
+    # without the cutoff this would be ~1.1M boilerplate pairs
+    assert pairs == 0
+    assert wall < 60  # generous bound: the run must not go quadratic
