@@ -31,6 +31,7 @@ def asof_join(
     right_order: str,
     payload_cols: list[str],
     direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For every ``left`` row, attach one ``right`` payload with the
     same ``on`` key, chosen by ``direction`` (pandas merge_asof's
@@ -42,6 +43,11 @@ def asof_join(
       broken by smallest ``right_order``);
     - ``nearest``: whichever of the two is closer in time (exact tie ->
       backward). Timestamp or numeric ts columns.
+
+    ``tolerance_s`` (merge_asof's ``tolerance``): a match farther than
+    this many seconds (or ts units for numeric columns) from the left
+    timestamp is nulled out — applied AFTER the directional pick, as a
+    column expression over the same window output (no extra shuffle).
 
     Returns left columns + payloads (null when no right row qualifies).
     All three directions are the same join-free union + ONE
@@ -89,10 +95,35 @@ def asof_join(
         rt = agg(F.col("__rt"), ignorenulls=True).over(w).alias("__mt")
         return cols, rt
 
+    def as_num(col):
+        if isinstance(unioned.schema["__t"].dataType, (TimestampType, TimestampNTZType)):
+            return F.unix_micros(col)
+        return col.cast("double")
+
+    def tol_units() -> float:
+        if isinstance(unioned.schema["__t"].dataType, (TimestampType, TimestampNTZType)):
+            return tolerance_s * 1_000_000
+        return tolerance_s
+
+    def apply_tolerance(df: DataFrame) -> DataFrame:
+        """Null the payloads of rows whose matched right ts (__mt) is
+        farther than the tolerance from the left ts (__t)."""
+        within = F.col("__mt").isNotNull() & (
+            F.abs(as_num(F.col("__t")) - as_num(F.col("__mt"))) <= F.lit(tol_units())
+        )
+        return df.select(
+            *[F.col(c) for c in keep],
+            *[F.when(within, F.col(c)).alias(c) for c in payload_cols],
+        )
+
     if direction in ("backward", "forward"):
         w, agg = (wb, F.last) if direction == "backward" else (wf, F.first)
-        cols, _ = fill(w, agg)
-        filled = unioned.select(*[F.col(c) for c in keep], *cols)
+        cols, rt = fill(w, agg)
+        filled = unioned.select(*[F.col(c) for c in keep], F.col("__t"), *cols, rt)
+        if tolerance_s is not None:
+            filled = apply_tolerance(filled)
+        else:
+            filled = filled.drop("__t", "__mt")
         return filled.filter(F.col("__side") == 1).drop("__side")
     if direction != "nearest":
         raise ValueError(f"unknown direction {direction!r}")
@@ -108,12 +139,6 @@ def asof_join(
         frt.alias("__ft"),
     )
 
-    def as_num(col):
-        dt = dict(unioned.dtypes).get("__t")
-        if isinstance(unioned.schema["__t"].dataType, (TimestampType, TimestampNTZType)):
-            return F.unix_micros(col)
-        return col.cast("double")
-
     dist_b = as_num(F.col("__t")) - as_num(F.col("__bt"))
     dist_f = as_num(F.col("__ft")) - as_num(F.col("__t"))
     use_backward = F.col("__ft").isNull() | (
@@ -121,11 +146,17 @@ def asof_join(
     )
     picked = both.select(
         *[F.col(c) for c in keep],
+        F.col("__t"),
         *[
             F.when(use_backward, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
             for c in payload_cols
         ],
+        F.when(use_backward, F.col("__bt")).otherwise(F.col("__ft")).alias("__mt"),
     )
+    if tolerance_s is not None:
+        picked = apply_tolerance(picked)
+    else:
+        picked = picked.drop("__t", "__mt")
     return picked.filter(F.col("__side") == 1).drop("__side")
 
 
@@ -332,3 +363,58 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "purchase_id", "pts", "n_touches",
         credit.alias("credit_micro_per_touch"),
     )
+
+
+ASOF_TOL_S = 3600  # 1 hour attribution tolerance
+
+
+@query(
+    "asof_purchase_view_tolerance",
+    f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    ),
+    ranked AS (
+      SELECT p.event_id, v.view_id, v.view_value,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.view_id DESC) AS rn
+      FROM p JOIN v ON v.user_id = p.user_id
+                   AND v.ts <= p.ts
+                   AND v.ts >= p.ts - INTERVAL {ASOF_TOL_S} SECOND
+    )
+    SELECT p.event_id, p.user_id, r.view_id, r.view_value
+    FROM p LEFT JOIN (SELECT event_id, view_id, view_value FROM ranked WHERE rn = 1) r
+      ON r.event_id = p.event_id
+    """,
+    tags=("asof", "window"),
+    doc=f"Bounded-lookback as-of (merge_asof's tolerance, the missing "
+    f"fourth knob after the three directions): each purchase gets the "
+    f"latest at-or-before view ONLY if it is within {ASOF_TOL_S}s - "
+    f"stale matches null out, which is what attribution and "
+    f"feature-freshness joins actually need (an hours-old price tick "
+    f"is worse than no tick). The tolerance is a column predicate "
+    f"applied AFTER the same join-free union+window pick (no extra "
+    f"shuffle); the oracle bounds the correlated rank's range "
+    f"instead - two independent formulations.",
+)
+def asof_purchase_view_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_order="view_id",
+        payload_cols=["view_id", "view_value"],
+        tolerance_s=ASOF_TOL_S,
+    )
+    return out.select("event_id", "user_id", "view_id", "view_value")

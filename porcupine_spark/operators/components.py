@@ -229,3 +229,146 @@ _REG["dup_cluster_size_histogram"].oracle = f"""
     SELECT cluster_size, COUNT(*) AS n_clusters
     FROM sizes GROUP BY cluster_size
 """
+
+
+# --- integer-exact PageRank ------------------------------------------
+
+PR_SCALE = 10**12  # rank fixed-point scale
+PR_ITERS = 3  # fixed iteration count (unrolled verbatim in the oracle)
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def pagerank_scaled(spark: SparkSession, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Fixed-iteration PageRank with EXACT integer fixed-point
+    arithmetic (scale 1e12, truncating division — the repo's
+    integer-ratio recipe, so every iterate is bit-identical across
+    engines; ordinary float PageRank can't be exact-oracled because
+    the inflow sum order differs). ``edges`` is (src, dst) directed;
+    callers symmetrize if needed so no node dangles. Each iteration is
+    one join + one aggregate (the standard distributed PR shape: at
+    100 TB this is the same shuffle pattern GraphX/Pregel uses, with
+    rank state co-partitioned on node); the driver sees one scalar
+    (the node count) once."""
+    edges = edges.select("src", "dst").distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one scalar to the driver (like components' guard)
+    r0 = PR_SCALE // n
+    teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
+    r = nodes.withColumn("r", F.lit(r0).cast("decimal(38,0)"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select("dst", F.expr("r div d").alias("c"))
+        )
+        inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"CAST({PR_DAMP_NUM} AS DECIMAL(38,0))"
+                        f" * coalesce(s, CAST(0 AS DECIMAL(38,0))) div {PR_DAMP_DEN}"
+                    )
+                )
+                .cast("decimal(38,0)")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)  # truncate the per-round lineage
+        )
+    return r.select("node", F.col("r").cast("long").alias("rank_scaled"))
+
+
+def _pr_oracle_sql() -> str:
+    """Unrolled PR_ITERS-iteration oracle: recursive CTEs can't carry
+    an aggregate in the recursive term, so each iteration is its own
+    CTE applying the identical integer update rule."""
+    head = f"""
+    WITH pairs AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    edges AS (
+      SELECT concat('c:', ck) AS src, concat('s:', sk) AS dst FROM pairs
+      UNION ALL
+      SELECT concat('s:', sk), concat('c:', ck) FROM pairs
+    ),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM nodes),
+    consts AS (
+      SELECT CAST({PR_SCALE} AS HUGEINT) // n AS r0,
+             (CAST({PR_SCALE} AS HUGEINT) * {PR_DAMP_DEN - PR_DAMP_NUM} // {PR_DAMP_DEN}) // n AS t
+      FROM nc
+    ),
+    r0 AS (SELECT node, (SELECT r0 FROM consts) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f""",
+    r{k} AS (
+      SELECT n.node,
+             (SELECT t FROM consts)
+               + CAST({PR_DAMP_NUM} AS HUGEINT)
+                 * COALESCE(SUM(p.r // o.d), 0) // {PR_DAMP_DEN} AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r{k - 1} p ON p.node = e.src
+      LEFT JOIN outdeg o ON o.src = e.src
+      GROUP BY n.node
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r{PR_ITERS}"
+    )
+
+
+@query(
+    "pagerank_supplier_graph",
+    None,  # assigned below (unrolled-iteration SQL)
+    tags=("graph", "iterative"),
+    doc=f"PageRank over the customer-supplier trade graph (edges both "
+    f"directions per distinct (customer, supplier) lineitem "
+    f"relationship), {PR_ITERS} fixed iterations, damping "
+    f"{PR_DAMP_NUM}/{PR_DAMP_DEN}, EXACT integer fixed-point at scale "
+    f"1e12 - truncating-division arithmetic makes every iterate "
+    f"bit-identical across engines, so an ITERATIVE GRAPH ALGORITHM "
+    f"gets a full hash oracle (unrolled-CTE formulation) instead of "
+    f"the usual rows-only check. Per iteration: one co-partitioned "
+    f"join + one aggregate (the Pregel shuffle shape); lineage "
+    f"truncated per round via localCheckpoint like "
+    f"connected_components.",
+)
+def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.concat(F.lit("c:"), F.col("ck")).alias("src"),
+        F.concat(F.lit("s:"), F.col("sk")).alias("dst"),
+    ).unionByName(
+        pairs.select(
+            F.concat(F.lit("s:"), F.col("sk")).alias("src"),
+            F.concat(F.lit("c:"), F.col("ck")).alias("dst"),
+        )
+    )
+    return pagerank_scaled(spark, edges)
+
+
+from porcupine_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
+
+_REG2["pagerank_supplier_graph"].oracle = _pr_oracle_sql()

@@ -1100,3 +1100,65 @@ REGISTRY["dedup_savings_report"].oracle = f"""
                 // tot.total_chars AS BIGINT) AS saved_micro
     FROM tot CROSS JOIN k
 """.replace("{KEEP}", REGISTRY["dedup_keep_canonical"].oracle)
+
+
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH {SQL_SHINGLES},
+    src AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM shingles s JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM src GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+      FROM src a JOIN src b ON b.shingle = a.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, shared AS n_shared_shingles,
+           CAST(CAST(shared AS HUGEINT) * 1000000
+                // (sa.n + sb.n - shared) AS BIGINT) AS jaccard_micro
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    tags=("dedup", "monitoring", "corpus"),
+    doc="Pairwise SOURCE content overlap: shingle-set Jaccard between "
+    "every source pair (integer micro-units, truncating div) - the "
+    "crawl-dedup health matrix that tells you WHICH feeds duplicate "
+    "each other before you pay for doc-level pairing. Per-shingle "
+    "join fan-out is bounded by |sources| (source-distinct inverted "
+    "index), so the candidate space is |sources|^2 regardless of "
+    "corpus size - no hot-key cutoff needed, unlike the doc-level "
+    "ops. Spark joins 8-byte source-distinct shingle hashes; the "
+    "oracle's string formulation counts identically.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        hashed_shingle_arrays(docs.select(F.col("source").alias("doc_id"), "text"))
+        .select(F.col("doc_id").alias("source"), F.explode("arr").alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    jac = F.expr("CAST(shared AS DECIMAL(38,0)) * 1000000 div (na + nb - shared)")
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").alias("n_shared_shingles"),
+            jac.cast("long").alias("jaccard_micro"),
+        )
+    )

@@ -1113,3 +1113,108 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+@query(
+    "knn_label_accuracy",
+    None,  # late-bound below: composes cosine_topk's oracle verbatim
+    tags=("similarity", "ann", "evaluation"),
+    doc="k-NN label agreement for the broadcast query set: each query "
+    "vector's top-5 exact-cosine neighbors vote (majority label, ties "
+    "to the smaller label id - deterministic), compared to the "
+    "query's own label. THE standard embedding-quality eval (a space "
+    "where neighbors disagree with labels embeds semantics badly); "
+    "composes cosine_topk's verified builder AND oracle, so the "
+    "neighbor sets can never drift from the ANN op it evaluates. "
+    "Voting is |queries|x5 rows - one tiny aggregation past the "
+    "top-k.",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", widen=False)
+    topk = cosine_topk(spark, sf_dir)
+    lbl = emb.select("vec_id", "label")
+    votes = (
+        topk.join(lbl.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), F.col("n").alias("votes"))
+    )
+    truth = lbl.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            "votes",
+            (F.col("true_label") == F.col("predicted_label")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "label_confusion_pairs",
+    None,  # late-bound below: composes embedding_neardup_lsh's oracle
+    tags=("similarity", "lsh", "quality", "monitoring"),
+    doc="Cross-label near-duplicate summary: for every UNORDERED label "
+    "pair, how many LSH-verified near-dup vector pairs straddle it "
+    "and the tightest cosine seen - the mislabeling / class-overlap "
+    "signal (near-identical embeddings carrying different labels mean "
+    "label noise or genuinely confusable classes; both matter before "
+    "training on the labels). Composes embedding_neardup_lsh verbatim "
+    "(builder and oracle) and adds one |label-pairs|-row aggregation; "
+    "the heavy lifting stays on the sub-quadratic banded-LSH path.",
+)
+def label_confusion_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = embedding_neardup_lsh(spark, sf_dir)
+    lo = F.least("label_a", "label_b")
+    hi = F.greatest("label_a", "label_b")
+    return (
+        pairs.filter(F.col("label_a") != F.col("label_b"))
+        .select(lo.alias("label_lo"), hi.alias("label_hi"), "cosine")
+        .groupBy("label_lo", "label_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+from porcupine_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["knn_label_accuracy"].oracle = f"""
+    WITH topk AS ({_REG["cosine_topk"].oracle}),
+    votes AS (
+      SELECT t.query_id, e.label, COUNT(*) AS n
+      FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+      GROUP BY t.query_id, e.label
+    ),
+    pred AS (
+      SELECT query_id, label AS predicted_label, n AS votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY n DESC, label) AS rn
+      FROM votes
+    )
+    SELECT p.query_id, q.label AS true_label, p.predicted_label,
+           p.votes, q.label = p.predicted_label AS correct
+    FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+    WHERE p.rn = 1
+"""
+
+_REG["label_confusion_pairs"].oracle = f"""
+    WITH nd AS ({_REG["embedding_neardup_lsh"].oracle})
+    SELECT CAST(LEAST(label_a, label_b) AS INTEGER) AS label_lo,
+           CAST(GREATEST(label_a, label_b) AS INTEGER) AS label_hi,
+           COUNT(*) AS n_pairs,
+           MAX(cosine) AS max_cosine
+    FROM nd
+    WHERE label_a <> label_b
+    GROUP BY 1, 2
+"""

@@ -1,0 +1,115 @@
+"""Distinct-counting sketches with exact oracles.
+
+The reference has no sketch layer (its folds are exact; SURVEY §2.4),
+but a 100 TB curation pipeline lives on cardinality estimates —
+vocabulary sizes, per-source distinct tokens, join-key cardinalities
+for planning. The sketch of choice here is KMV (k-minimum values,
+Bar-Yossef et al. 2002): keep the k smallest hash values of the
+distinct set; the k-th smallest h_k estimates the cardinality as
+(k-1) * M / h_k for hashes uniform on [1, M). Unlike HyperLogLog,
+KMV's state and estimate are PURE integer/order statistics — both
+engines compute them bit-identically, so the estimator itself gets an
+exact oracle (the same verification posture as
+minhash_estimator_calibration).
+
+Scale posture: the production sketch keeps k values per group via
+partial aggregation (k smallest of a union of k-smallest sets —
+mergeable, one combine tree, no distinct shuffle). The REGISTERED
+query is the calibration report (estimate next to exact), which needs
+the exact side anyway; its window-over-distinct shape matches that
+requirement, not the sketch's production cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_table
+
+KMV_K = 64  # sketch size: relative error ~ 1/sqrt(k-2) ~ 13%
+KMV_M = 1 << 60  # hash domain: 60-bit md5 prefix (both engines exact)
+
+
+@query(
+    "kmv_distinct_estimate",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT source,
+                   UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    ranked AS (
+      SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_exact
+      FROM toks
+    )
+    SELECT source,
+           CAST(n_exact AS BIGINT) AS n_distinct_exact,
+           CAST(CASE WHEN n_exact < {KMV_K} THEN n_exact
+                     ELSE CAST({KMV_K - 1} AS HUGEINT) * {KMV_M} // h
+                END AS BIGINT) AS kmv_estimate,
+           CAST(CASE WHEN n_exact < {KMV_K} THEN 0
+                     ELSE ABS(CAST({KMV_K - 1} AS HUGEINT) * {KMV_M} // h - n_exact)
+                          * 1000000 // n_exact
+                END AS BIGINT) AS abs_err_micro
+    FROM ranked
+    WHERE rk = CASE WHEN n_exact < {KMV_K} THEN n_exact ELSE {KMV_K} END
+    """,
+    tags=("sketch", "monitoring", "corpus"),
+    doc=f"KMV distinct-token estimator calibration per source: the "
+    f"k-th smallest (k={KMV_K}) 60-bit token hash yields the "
+    f"cardinality estimate (k-1)*2^60 div h_k, reported next to the "
+    f"exact distinct count with the relative error in integer "
+    f"micro-units (truncating div - the repo's exact-ratio recipe). "
+    f"Order statistics + integer division are bit-identical across "
+    f"engines, so a SKETCH gets an exact oracle. Production keeps "
+    f"only the k minima per group (mergeable partial aggregate, no "
+    f"distinct shuffle); this calibration query pays the exact side "
+    f"deliberately - it exists to tell you whether k is sized right "
+    f"before trusting the sketch at 100 TB.",
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    wr = W.partitionBy("source").orderBy("h")
+    wc = W.partitionBy("source")
+    ranked = hashed.select(
+        "source",
+        "h",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    )
+    at_k = ranked.filter(
+        F.col("rk")
+        == F.when(F.col("n_exact") < KMV_K, F.col("n_exact")).otherwise(F.lit(KMV_K))
+    )
+    est = F.when(F.col("n_exact") < KMV_K, F.col("n_exact").cast("decimal(38,0)")).otherwise(
+        F.expr(f"CAST({KMV_K - 1} AS DECIMAL(38,0)) * {KMV_M} div h")
+    )
+    err = F.when(F.col("n_exact") < KMV_K, F.lit(0).cast("decimal(38,0)")).otherwise(
+        F.expr(
+            f"abs(CAST({KMV_K - 1} AS DECIMAL(38,0)) * {KMV_M} div h - n_exact)"
+            " * 1000000 div n_exact"
+        )
+    )
+    return at_k.select(
+        "source",
+        F.col("n_exact").alias("n_distinct_exact"),
+        est.cast("long").alias("kmv_estimate"),
+        err.cast("long").alias("abs_err_micro"),
+    )

@@ -62,6 +62,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         dedup,
         sessionize,
         similarity,
+        sketches,
         text,
         multimodal,
         quality,

@@ -1522,3 +1522,113 @@ def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rev_u").cast("double") / 1_000_000).alias("revenue"),
         growth.alias("growth_micro"),
     )
+
+
+@query(
+    "order_backlog_daily",
+    """
+    WITH closes AS (
+      SELECT l_orderkey AS o_orderkey,
+             date_trunc('day', MAX(l_shipdate)) AS close_day
+      FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+      SELECT date_trunc('day', o.o_orderdate) AS open_day, c.close_day
+      FROM orders o JOIN closes c ON c.o_orderkey = o.o_orderkey
+    ),
+    deltas AS (
+      SELECT open_day AS d, 1 AS dl FROM spans
+      UNION ALL
+      SELECT close_day AS d, -1 AS dl FROM spans
+    ),
+    day_sums AS (SELECT d, SUM(dl) AS net FROM deltas GROUP BY d),
+    spine AS (
+      SELECT UNNEST(generate_series(
+        (SELECT MIN(d) FROM day_sums),
+        (SELECT MAX(d) FROM day_sums),
+        INTERVAL 1 DAY)) AS d
+    )
+    SELECT CAST(s.d AS TIMESTAMP_NS) AS day,
+           CAST(COALESCE(SUM(ds.net) OVER (ORDER BY s.d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+             AS open_orders
+    FROM spine s LEFT JOIN day_sums ds ON ds.d = s.d
+    """,
+    tags=("timeseries", "interval"),
+    doc="Daily order backlog (orders placed but not yet fully shipped): "
+    "each order contributes +1 at its order day and -1 at the day its "
+    "LAST lineitem ships; end-of-day backlog is the tie-free prefix "
+    "sum of per-day delta totals over the gap-filled day spine - the "
+    "same interval-sweep shape as peak_concurrent_sessions, on the "
+    "relational side. The sweep moves 2 rows per order (never "
+    "lineitems), the spine is date-range-bounded, and the prefix "
+    "window runs over per-day TOTALS (|days| rows) so no ordering "
+    "ties exist by construction.",
+)
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    closes = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.date_trunc("day", F.max("l_shipdate")).alias("close_day")
+    )
+    spans = orders.select(
+        "o_orderkey", F.date_trunc("day", F.col("o_orderdate")).alias("open_day")
+    ).join(closes, "o_orderkey")
+    deltas = spans.select(F.col("open_day").alias("d"), F.lit(1).alias("dl")).unionByName(
+        spans.select(F.col("close_day").alias("d"), F.lit(-1).alias("dl"))
+    )
+    day_sums = deltas.groupBy("d").agg(F.sum("dl").alias("net"))
+    bounds = day_sums.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    wcum = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        spine.join(day_sums, "d", "left")
+        .select(
+            F.col("d").alias("day"),
+            F.coalesce(F.sum("net").over(wcum), F.lit(0)).cast("long").alias("open_orders"),
+        )
+    )
+
+
+@query(
+    "props_key_coverage",
+    """
+    WITH keys AS (
+      SELECT UNNEST(json_keys(props)) AS key FROM events WHERE props IS NOT NULL
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM events)
+    SELECT key,
+           COUNT(*) AS n_events,
+           CAST(CAST(COUNT(*) AS HUGEINT) * 1000000
+                // (SELECT n FROM tot) AS BIGINT) AS coverage_micro
+    FROM keys GROUP BY key
+    """,
+    tags=("json", "profiling"),
+    doc="Semi-structured SCHEMA-INFERENCE report: which keys appear in "
+    "the events.props JSON and in what fraction of events (integer "
+    "micro-units, truncating div) - the first question against any "
+    "raw JSON feed, and the report that decides which keys deserve "
+    "promotion to real columns. One from_json map pass + key-keyed "
+    "agg (map-side combined; key cardinality ~ schema size, tiny at "
+    "any event count); the total is the justified 1-row scalar.",
+)
+def props_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.filter(F.col("props").isNotNull()).select(
+        F.explode(F.map_keys(F.from_json("props", "map<string,string>"))).alias("key")
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_events",
+            F.expr("CAST(n_events AS DECIMAL(38,0)) * 1000000 div n")
+            .cast("long")
+            .alias("coverage_micro"),
+        )
+    )

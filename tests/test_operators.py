@@ -840,3 +840,32 @@ def test_dedup_cap_bounds_skewed_corpus_at_scale(spark):
     # without the cutoff this would be ~1.1M boilerplate pairs
     assert pairs == 0
     assert wall < 60  # generous bound: the run must not go quadratic
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof's tolerance: a directional match farther than the
+    tolerance nulls out; within-tolerance matches are unchanged; works
+    for nearest too."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 13:00:00")],
+        "user_id long, lts string",
+    ).select("user_id", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 100, 1.0)],
+        "user_id long, rts string, rid long, rv double",
+    ).select("user_id", F.col("rts").cast("timestamp").alias("rts"), "rid", "rv")
+
+    out = asof_join(
+        left, right, "user_id", "lts", "rts", "rid", ["rid", "rv"],
+        tolerance_s=3600,
+    )
+    rows = {str(r.lts): r.rid for r in out.collect()}
+    assert rows["2024-01-01 10:00:00"] == 100  # 30 min back: within 1h
+    assert rows["2024-01-01 13:00:00"] is None  # 3.5h back: nulled
+
+    near = asof_join(
+        left, right, "user_id", "lts", "rts", "rid", ["rid", "rv"],
+        direction="nearest", tolerance_s=3600,
+    )
+    nrows = {str(r.lts): r.rid for r in near.collect()}
+    assert nrows == {"2024-01-01 10:00:00": 100, "2024-01-01 13:00:00": None}

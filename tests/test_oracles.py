@@ -77,6 +77,11 @@ REPRESENTATIVE = [
     "decontaminate_corpus",  # removal half of contamination control
     "dup_cluster_size_histogram",  # composed recursive-oracle summary
     "source_novelty_rate",  # marginal-content metric
+    "knn_label_accuracy",  # k-NN embedding-quality eval (composed top-k)
+    "label_confusion_pairs",  # cross-label near-dup summary
+    "kmv_distinct_estimate",  # order-statistic sketch with exact oracle
+    "order_backlog_daily",  # relational interval sweep over day spine
+    "pagerank_supplier_graph",  # integer-exact iterative graph rank
 ]
 
 
