@@ -238,7 +238,12 @@ PR_ITERS = 3  # fixed iteration count (unrolled verbatim in the oracle)
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
-def pagerank_scaled(spark: SparkSession, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+def pagerank_scaled(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    edges_distinct: bool = False,
+) -> DataFrame:
     """Fixed-iteration PageRank with EXACT integer fixed-point
     arithmetic (scale 1e12, truncating division — the repo's
     integer-ratio recipe, so every iterate is bit-identical across
@@ -249,23 +254,36 @@ def pagerank_scaled(spark: SparkSession, edges: DataFrame, iters: int = PR_ITERS
     100 TB this is the same shuffle pattern GraphX/Pregel uses, with
     rank state co-partitioned on node); the driver sees one scalar
     (the node count) once."""
-    edges = edges.select("src", "dst").distinct()
+    edges = edges.select("src", "dst")
+    if not edges_distinct:  # callers that pre-dedup skip this shuffle
+        edges = edges.distinct()
+    # materialize the (possibly expensive) edge lineage ONCE — without
+    # this every iteration re-reads and re-distincts the base tables
+    # (measured 4x the whole query); degree and node tables then derive
+    # from the checkpointed rows so the base is never recomputed
+    edges = edges.localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # degree table is |nodes| rows: broadcast-attach it to the edges
+    # (cluster scale: co-partition edges and degrees on src instead)
+    ewd = edges.join(F.broadcast(outdeg), "src").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)  # reused every round + for n
     )
     n = nodes.count()  # one scalar to the driver (like components' guard)
     r0 = PR_SCALE // n
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
     r = nodes.withColumn("r", F.lit(r0).cast("decimal(38,0)"))
     for _ in range(iters):
-        contrib = (
-            edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select("dst", F.expr("r div d").alias("c"))
-        )
+        # rank state is |nodes| rows — broadcast it so the edge table is
+        # never shuffled per round (at cluster scale, swap the broadcast
+        # for rank/edge co-partitioning on src: same plan shape,
+        # hash-partitioned instead — the standard Pregel layout)
+        contrib = ewd.join(
+            F.broadcast(r.withColumnRenamed("node", "src")), "src"
+        ).select("dst", F.expr("r div d").alias("c"))
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         r = (
             nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
@@ -366,7 +384,8 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("c:"), F.col("ck")).alias("dst"),
         )
     )
-    return pagerank_scaled(spark, edges)
+    # pairs is already distinct and the two directions are disjoint
+    return pagerank_scaled(spark, edges, edges_distinct=True)
 
 
 from porcupine_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
