@@ -837,3 +837,78 @@ def source_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(CAST(novel_grams AS DECIMAL(38,0)) * 1000000) div distinct_grams"
         ).alias("novelty_micro"),
     )
+
+
+BPE_TOP_PAIRS = 20  # report the top-k merge candidates
+
+
+@query(
+    "bpe_merge_candidates",
+    f"""
+    WITH words AS (
+      SELECT tok AS word, COUNT(*) AS freq
+      FROM (SELECT {_SQL_TOKS} AS toks FROM documents),
+           LATERAL (SELECT UNNEST(toks) AS tok) u
+      WHERE tok <> ''
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT concat(word[i], word[i+1]) AS pair,
+             word[i] AS left_sym, word[i+1] AS right_sym,
+             CAST(SUM(freq) AS BIGINT) AS n_occurrences
+      FROM words,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(word) - 1)) AS i) g
+      GROUP BY 1, 2, 3
+    )
+    SELECT left_sym, right_sym, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, left_sym, right_sym)
+                AS BIGINT) AS rank
+    FROM pairs
+    ORDER BY n_occurrences DESC, left_sym, right_sym
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("text", "vocab", "tokenizer"),
+    doc=f"The BPE training inner loop, one round: count every adjacent "
+    f"character pair across the corpus weighted by word frequency and "
+    f"rank the top {BPE_TOP_PAIRS} merge candidates (the pair a BPE "
+    f"trainer would merge next). Pair generation runs on the "
+    f"WORD-FREQUENCY table, not raw text - the Zipf head collapses "
+    f"millions of token occurrences into one weighted row per distinct "
+    f"word before any per-character work, which is what makes "
+    f"tokenizer training feasible at corpus scale (the same trick "
+    f"real BPE trainers use). Deterministic lexical tiebreak; pure "
+    f"counting, exact on both engines.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import seq1
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != F.lit(""))
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.transform(
+                seq1(F.size(chars) - 1),
+                lambda i: F.struct(
+                    F.element_at(chars, i).alias("left_sym"),
+                    F.element_at(chars, i + 1).alias("right_sym"),
+                ),
+            )
+        ).alias("p"),
+    ).select("freq", "p.left_sym", "p.right_sym")
+    counts = pairs.groupBy("left_sym", "right_sym").agg(
+        F.sum("freq").alias("n_occurrences")
+    )
+    w = W.orderBy(F.desc("n_occurrences"), F.asc("left_sym"), F.asc("right_sym"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("left_sym", "right_sym", "n_occurrences", "rank")
+    )

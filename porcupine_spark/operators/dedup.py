@@ -238,8 +238,8 @@ MINHASH_B = [17, 29, 41, 53, 61, 71, 83, 97]
 MINHASH_MOD = (1 << 31) - 1
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh{k-1}): k min-hashes computed PER ROW with
+def minhash_signatures(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [keep...,] mh0..mh{k-1}): k min-hashes computed PER ROW with
     array_min over transform — minhash is per-doc embarrassingly
     parallel, so there is no explode, no groupBy, and NO SHUFFLE at
     all (measured 6.5x faster than the explode+agg formulation, and
@@ -252,8 +252,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         word_shingles(F.col("text")),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % F.lit(1 << 30),
     )
-    return docs.select("doc_id", h30.alias("h30")).select(
+    return docs.select("doc_id", *keep, h30.alias("h30")).select(
         "doc_id",
+        *keep,
         *[
             F.array_min(
                 F.transform(
@@ -670,11 +671,13 @@ def dup_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEW_BATCH_MOD = 5  # doc_id % 5 == 0 plays the "incoming batch"
 
 
-def _band_table(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) with the band signature packed into one long
-    (same packing as minhash_lsh_pairs — joins shuffle 8-byte keys)."""
+def _band_table(sigs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, [keep...,] band, sig) with the band signature packed into
+    one long (same packing as minhash_lsh_pairs — joins shuffle 8-byte
+    keys)."""
     return sigs.select(
         "doc_id",
+        *keep,
         F.posexplode(
             F.array(
                 *[

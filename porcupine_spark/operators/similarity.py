@@ -1218,3 +1218,85 @@ _REG["label_confusion_pairs"].oracle = f"""
     WHERE label_a <> label_b
     GROUP BY 1, 2
 """
+
+
+@query(
+    "embedding_quantization_error",
+    """
+    WITH dims AS (
+      SELECT i AS dim, MAX(ABS(CAST(embedding[i] AS DOUBLE))) AS s
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(embedding))) AS i) g
+      GROUP BY i
+    ),
+    elems AS (
+      SELECT e.vec_id, e.label, g.i AS dim,
+             CAST(e.embedding[g.i] AS DOUBLE) AS x
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(embedding))) AS i) g
+    ),
+    terms AS (
+      SELECT vec_id, label,
+             CAST(TRUNC(
+               CASE WHEN d.s = 0 THEN 0.0
+                    ELSE (x - TRUNC(x * 127 / d.s) * d.s / 127)
+                         * (x - TRUNC(x * 127 / d.s) * d.s / 127)
+               END * 1e18) AS BIGINT) AS t
+      FROM elems JOIN dims d USING (dim)
+    ),
+    per_vec AS (
+      SELECT vec_id, label, SUM(t) AS sq_err FROM terms GROUP BY vec_id, label
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(sq_err) AS BIGINT) AS total_sq_err_atto,
+           CAST(MAX(sq_err) AS BIGINT) AS max_vec_sq_err_atto
+    FROM per_vec GROUP BY label
+    """,
+    tags=("similarity", "quantization", "monitoring"),
+    doc="Symmetric int8 quantization error per label: per-dimension "
+    "max-abs scales, q = trunc(x*127/s), reconstruction squared error "
+    "summed per vector - the report that decides whether int8 (the "
+    "standard ANN-index compression, 4x memory and bandwidth) is safe "
+    "for this embedding space before rebuilding the index. Float "
+    "discipline: every per-element term is IEEE-deterministic (mul/"
+    "div/trunc correctly rounded; double->long cast == TRUNC; s=0 "
+    "dims guard to 0), then TRUNCATED to attounit integers (t*1e18 is "
+    "one IEEE multiply; truncation is convention-free, unlike a "
+    "double->decimal cast whose digit-18 tie rounding differs across "
+    "engines) and summed exactly - the error report itself is "
+    "bit-stable. Scales are a |dims|-key map-side-combined "
+    "aggregation; the element table joins the broadcast dim scales.",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
+    )
+    dims = elems.groupBy("dim0").agg(F.max(F.abs(F.col("x"))).alias("s"))
+    x, s = F.col("x"), F.col("s")
+    # q = trunc(x*127/s): double->long cast truncates toward zero in
+    # Spark, mirroring DuckDB's TRUNC(); |x*127/s| <= 127, no overflow
+    dq = (x * 127 / s).cast("long").cast("double") * s / 127
+    # attounit integer terms: t2*1e18 is one IEEE multiplication
+    # (identical bits both engines), the double->long cast truncates
+    # toward zero == DuckDB's TRUNC - no decimal rounding convention
+    # ever applies (a double->DECIMAL(38,18) cast hits digit-18 ties
+    # whose HALF_UP/HALF_EVEN handling differs across engines)
+    term = (
+        (F.when(s == 0, F.lit(0.0)).otherwise((x - dq) * (x - dq)) * F.lit(1e18))
+        .cast("long")
+    )
+    per_vec = (
+        elems.join(F.broadcast(dims), "dim0")
+        .select("vec_id", "label", term.alias("t"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t").alias("sq_err"))
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("sq_err").cast("long").alias("total_sq_err_atto"),
+        F.max("sq_err").cast("long").alias("max_vec_sq_err_atto"),
+    )

@@ -84,3 +84,78 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "weighted_value",
     )
+
+
+@query(
+    "stream_near_dedup",
+    None,  # late-bound below: the batch twin is incremental_dedup's oracle
+    tags=("streaming", "dedup"),
+    doc="STREAMING ingest dedup - incremental_dedup's topology on an "
+    "unbounded document stream: each arriving document (doc_id % 5 == "
+    "0 plays the incoming crawl) is flagged exact-dup (md5 digest "
+    "semi against the static corpus) and near-dup (minhash band "
+    "signatures semi against the corpus's precomputed band table). "
+    "Both corpus sides are bounded static DataFrames broadcast per "
+    "microbatch; the stream side computes digest + signatures with "
+    "PER-ROW stateless expressions (minhash_signatures: no explode, "
+    "no shuffle, no state), so the query keeps ZERO streaming state - "
+    "it scales with the corpus index size, not the stream length. "
+    "Oracle: composes incremental_dedup's verbatim (the batch twin "
+    "must agree row-for-row once the stream drains).",
+)
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.dedup import (
+        NEW_BATCH_MOD,
+        _band_table,
+        minhash_signatures,
+    )
+    from porcupine_spark.tables import load_docs_stream
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = ns
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(~(F.col("doc_id") % NEW_BATCH_MOD == 0))
+    base_h = base.select(F.md5(F.trim(F.col("text"))).alias("h")).distinct()
+    base_bands = _band_table(minhash_signatures(base)).select("band", "sig").distinct()
+
+    stream = load_docs_stream(spark, sf_dir).filter(
+        F.col("doc_id") % NEW_BATCH_MOD == 0
+    )
+    # ONE stream branch (a second branch off the same source would be a
+    # stream-stream self-join): the md5 digest rides the signature
+    # computation via `keep`, the band explode (N_BANDS rows per doc)
+    # left-joins both static indexes, and one per-doc aggregation folds
+    # the band hits back to a row per document
+    with_h = stream.withColumn("h", F.md5(F.trim(F.col("text"))))
+    bands = _band_table(minhash_signatures(with_h, keep=("h",)), keep=("h",))
+    hit = (
+        bands.join(
+            F.broadcast(base_h.withColumn("exact_hit", F.lit(True))), "h", "left"
+        ).join(
+            F.broadcast(base_bands.withColumn("near_hit", F.lit(True))),
+            ["band", "sig"],
+            "left",
+        )
+    )
+    flags = hit.groupBy("doc_id").agg(
+        F.max(F.coalesce("exact_hit", F.lit(False))).alias("exact_dup"),
+        F.max(F.coalesce("near_hit", F.lit(False))).alias("near_dup"),
+    )
+    name = f"sneardup_{uuid.uuid4().hex[:8]}"
+    q = (
+        flags.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("doc_id", "exact_dup", "near_dup")
+
+
+from porcupine_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["stream_near_dedup"].oracle = _REG["incremental_dedup"].oracle

@@ -224,3 +224,20 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL API surface)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def load_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-source stream (the incoming-crawl shape for
+    streaming dedup/curation). Same symlink-directory trick as
+    load_events_stream; documents need no timestamp conversion."""
+    ensure_session_confs(spark)
+    src = table_path(sf_dir, "documents")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"porcupine_docstream_{abs(hash(src)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(stream_dir)

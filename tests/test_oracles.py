@@ -82,6 +82,9 @@ REPRESENTATIVE = [
     "kmv_distinct_estimate",  # order-statistic sketch with exact oracle
     "order_backlog_daily",  # relational interval sweep over day spine
     "pagerank_supplier_graph",  # integer-exact iterative graph rank
+    "bpe_merge_candidates",  # BPE trainer inner loop on word-freq table
+    "stream_near_dedup",  # zero-state streaming ingest dedup
+    "embedding_quantization_error",  # int8 PQ-safety report, attounit-exact
 ]
 
 
