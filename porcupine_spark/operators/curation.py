@@ -80,9 +80,10 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags(load_table(spark, sf_dir, "documents"))
 
 
-def gopher_flags(docs: DataFrame) -> DataFrame:
+def gopher_flags(docs: DataFrame, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Gopher rule features + per-rule flags + combined keep gate for
-    any (doc_id, text) DataFrame."""
+    any (doc_id, text) DataFrame; ``keep_cols`` pass through (so a
+    single stream branch can carry grouping columns)."""
     norm = _norm(F.col("text"))
     toks = F.split(norm, " ")
     nw = F.size(toks)
@@ -104,6 +105,7 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     ok_stop = F.when(stop_count >= 2, 1).otherwise(0)
     flags = docs.select(
         "doc_id",
+        *keep_cols,
         nw.cast("long").alias("n_words"),
         mwl.alias("mean_word_len"),
         alpha_frac.alias("alpha_word_frac"),

@@ -159,3 +159,46 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from porcupine_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["stream_near_dedup"].oracle = _REG["incremental_dedup"].oracle
+
+
+@query(
+    "stream_quality_gate",
+    None,  # late-bound below: composes gopher_quality_filter's oracle
+    tags=("streaming", "curation"),
+    doc="STREAMING quality gate - the Gopher rule filter applied to an "
+    "unbounded document stream with a per-source pass-rate rollup: "
+    "the rules are per-row column expressions (zero streaming state "
+    "beyond the |sources|-key aggregate), so the gate runs at ingest "
+    "speed and the rollup is the live data-quality dashboard for an "
+    "arriving crawl. Composes gopher_quality_filter's builder "
+    "(gopher_flags on the stream, source riding the same branch) and "
+    "oracle verbatim - stream and batch can never disagree.",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.curation import gopher_flags
+    from porcupine_spark.tables import load_docs_stream
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    spark = ns
+    stream = load_docs_stream(spark, sf_dir)
+    flags = gopher_flags(stream, keep_cols=("source",))
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_keep"),
+    )
+    name = f"sqgate_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select("source", "n_docs", "n_keep")
+
+
+_REG["stream_quality_gate"].oracle = f"""
+    WITH f AS ({_REG["gopher_quality_filter"].oracle})
+    SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(f.keep) AS BIGINT) AS n_keep
+    FROM f JOIN documents d USING (doc_id)
+    GROUP BY d.source
+"""

@@ -85,6 +85,7 @@ REPRESENTATIVE = [
     "bpe_merge_candidates",  # BPE trainer inner loop on word-freq table
     "stream_near_dedup",  # zero-state streaming ingest dedup
     "embedding_quantization_error",  # int8 PQ-safety report, attounit-exact
+    "stream_quality_gate",  # streaming Gopher gate, per-source pass rates
 ]
 
 
