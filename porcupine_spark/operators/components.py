@@ -262,10 +262,13 @@ def pagerank_scaled(
     # (measured 4x the whole query); degree and node tables then derive
     # from the checkpointed rows so the base is never recomputed
     edges = edges.localCheckpoint(eager=True)
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # degree table is |nodes| rows: broadcast-attach it to the edges
-    # (cluster scale: co-partition edges and degrees on src instead)
-    ewd = edges.join(F.broadcast(outdeg), "src").localCheckpoint(eager=True)
+    # degree table is |nodes| rows — materialize it small instead of
+    # attaching it to a second |edges|-sized checkpoint; each round
+    # joins it to the rank state (|nodes| x |nodes|, tiny) and
+    # broadcasts the COMBINED (rank, degree) table into the edge scan
+    outdeg = (
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -277,13 +280,15 @@ def pagerank_scaled(
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
     r = nodes.withColumn("r", F.lit(r0).cast("decimal(38,0)"))
     for _ in range(iters):
-        # rank state is |nodes| rows — broadcast it so the edge table is
-        # never shuffled per round (at cluster scale, swap the broadcast
-        # for rank/edge co-partitioning on src: same plan shape,
+        # rank state is |nodes| rows — pre-divide by degree in a tiny
+        # nodes-sized join, then broadcast so the edge table is never
+        # shuffled per round (at cluster scale, swap the broadcast for
+        # rank/edge co-partitioning on src: same plan shape,
         # hash-partitioned instead — the standard Pregel layout)
-        contrib = ewd.join(
-            F.broadcast(r.withColumnRenamed("node", "src")), "src"
-        ).select("dst", F.expr("r div d").alias("c"))
+        rd = r.withColumnRenamed("node", "src").join(outdeg, "src").select(
+            "src", F.expr("r div d").alias("c")
+        )
+        contrib = edges.join(F.broadcast(rd), "src").select("dst", "c")
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         r = (
             nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")

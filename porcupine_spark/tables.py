@@ -212,7 +212,15 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     raw_schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    # recursiveFileLookup: a multi-file table (a directory of parts, the
+    # normal layout at scale) sits BEHIND the symlink; without it the
+    # file-source stream lists only the top level, sees a directory, and
+    # silently yields ZERO rows (caught by the 10x-scale re-measure)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
     return _convert_events(stream)
 
 
@@ -240,4 +248,10 @@ def load_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
     schema = spark.read.parquet(src).schema
-    return spark.readStream.schema(schema).parquet(stream_dir)
+    # recursiveFileLookup: see load_events_stream — required whenever the
+    # table is a directory of part files rather than a single file
+    return (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
