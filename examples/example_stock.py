@@ -88,23 +88,22 @@ def vegalite(df):
             )
         )
     )
-    spec = F.struct(
-        values.alias("values"),
-        F.lit(800).alias("width"),
-        F.lit(500).alias("height"),
-        F.lit("line").alias("mark"),
-    )
+    def channel(field: str, vtype: str):
+        return F.struct(F.lit(field).alias("field"), F.lit(vtype).alias("type"))
+
     return df.groupBy("company").agg(
         F.to_json(
             F.struct(
-                F.struct(spec["values"].alias("values")).alias("data"),
-                spec["width"].alias("width"),
-                spec["height"].alias("height"),
-                spec["mark"].alias("mark"),
-                F.lit(
-                    '{"x":{"field":"Date","type":"temporal"},'
-                    '"y":{"field":"Price","type":"quantitative"}}'
-                ).alias("encoding_json"),
+                F.struct(values.alias("values")).alias("data"),
+                F.lit(800).alias("width"),
+                F.lit(500).alias("height"),
+                F.lit("line").alias("mark"),
+                # a real nested encoding object (stockToVegaLite's
+                # position X/Y channels), not a double-encoded string
+                F.struct(
+                    channel("Date", "temporal").alias("x"),
+                    channel("Price", "quantitative").alias("y"),
+                ).alias("encoding"),
             )
         ).alias("spec")
     )

@@ -56,21 +56,23 @@ def register_accessor(
     write: WriteFn | None = None,
     formats=None,
 ) -> Accessor:
-    """Register (or replace) the accessor for ``scheme``. Matches the
-    reference's label-indexed accessor list: last registration for a
-    label wins (baseContexts <> userContexts ordering)."""
+    """Register (or replace) the accessor for ``scheme`` (normalized to
+    lowercase — lookups lowercase the URL head, so a mixed-case
+    registration must land on the same key). Matches the reference's
+    label-indexed accessor list: last registration for a label wins
+    (baseContexts <> userContexts ordering)."""
     acc = Accessor(
-        scheme=scheme,
+        scheme=scheme.lower(),
         read=read,
         write=write,
         formats=frozenset(formats) if formats is not None else None,
     )
-    _REGISTRY[scheme] = acc
+    _REGISTRY[acc.scheme] = acc
     return acc
 
 
 def unregister_accessor(scheme: str) -> None:
-    _REGISTRY.pop(scheme, None)
+    _REGISTRY.pop(scheme.lower(), None)
 
 
 def scheme_of(path: str) -> str | None:

@@ -67,10 +67,22 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     sel = [on, "__t", "__side", "__ord", *[c for c in lcols if c != on], *payload_cols]
     unioned = l.select(*sel).unionByName(r.select(*sel))
-    # right-row timestamp, null on left rows: rides the same fill as the
-    # payloads so `nearest` can compare actual match distances
+    # ONE struct per right row carrying every payload AND the right-row
+    # timestamp, null on left rows. Filling the struct (not each column
+    # separately) guarantees every output value comes from THE matched
+    # row — per-column ignorenulls fill would source a payload from an
+    # OLDER right row whenever the matched row's value is NULL, mixing
+    # rows (and making the tolerance check compare against a timestamp
+    # that didn't supply the payload). The struct is non-null for every
+    # right row even when its fields are null, so ignorenulls walks to
+    # the newest/oldest right ROW, exactly like the oracle's
+    # correlated-rank formulation.
     unioned = unioned.withColumn(
-        "__rt", F.when(F.col("__side") == 0, F.col("__t"))
+        "__p",
+        F.when(
+            F.col("__side") == 0,
+            F.struct(*payload_cols, F.col("__t").alias("__mt")),
+        ),
     )
     keep = [on, "__side", *[c for c in lcols if c != on]]
 
@@ -91,9 +103,7 @@ def asof_join(
     )
 
     def fill(w, agg):
-        cols = [agg(F.col(c), ignorenulls=True).over(w).alias(f"{c}") for c in payload_cols]
-        rt = agg(F.col("__rt"), ignorenulls=True).over(w).alias("__mt")
-        return cols, rt
+        return agg(F.col("__p"), ignorenulls=True).over(w)
 
     def as_num(col):
         if isinstance(unioned.schema["__t"].dataType, (TimestampType, TimestampNTZType)):
@@ -116,10 +126,19 @@ def asof_join(
             *[F.when(within, F.col(c)).alias(c) for c in payload_cols],
         )
 
+    def unpack(df: DataFrame, m) -> DataFrame:
+        """Project the matched-row struct ``m`` back into payload
+        columns (+ __t/__mt for the tolerance check)."""
+        return df.select(
+            *[F.col(c) for c in keep],
+            F.col("__t"),
+            *[m[c].alias(c) for c in payload_cols],
+            m["__mt"].alias("__mt"),
+        )
+
     if direction in ("backward", "forward"):
         w, agg = (wb, F.last) if direction == "backward" else (wf, F.first)
-        cols, rt = fill(w, agg)
-        filled = unioned.select(*[F.col(c) for c in keep], F.col("__t"), *cols, rt)
+        filled = unpack(unioned.withColumn("__m", fill(w, agg)), F.col("__m"))
         if tolerance_s is not None:
             filled = apply_tolerance(filled)
         else:
@@ -128,30 +147,18 @@ def asof_join(
     if direction != "nearest":
         raise ValueError(f"unknown direction {direction!r}")
 
-    bcols, brt = fill(wb, F.last)
-    fcols, frt = fill(wf, F.first)
-    both = unioned.select(
-        *[F.col(c) for c in keep],
-        F.col("__t"),
-        *[c.alias(f"__b_{payload_cols[i]}") for i, c in enumerate(bcols)],
-        brt.alias("__bt"),
-        *[c.alias(f"__f_{payload_cols[i]}") for i, c in enumerate(fcols)],
-        frt.alias("__ft"),
+    both = unioned.withColumn("__bm", fill(wb, F.last)).withColumn(
+        "__fm", fill(wf, F.first)
     )
-
-    dist_b = as_num(F.col("__t")) - as_num(F.col("__bt"))
-    dist_f = as_num(F.col("__ft")) - as_num(F.col("__t"))
-    use_backward = F.col("__ft").isNull() | (
-        F.col("__bt").isNotNull() & (dist_b <= dist_f)
-    )
-    picked = both.select(
-        *[F.col(c) for c in keep],
-        F.col("__t"),
-        *[
-            F.when(use_backward, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
-            for c in payload_cols
-        ],
-        F.when(use_backward, F.col("__bt")).otherwise(F.col("__ft")).alias("__mt"),
+    bt, ft = F.col("__bm")["__mt"], F.col("__fm")["__mt"]
+    dist_b = as_num(F.col("__t")) - as_num(bt)
+    dist_f = as_num(ft) - as_num(F.col("__t"))
+    use_backward = ft.isNull() | (bt.isNotNull() & (dist_b <= dist_f))
+    picked = unpack(
+        both.withColumn(
+            "__m", F.when(use_backward, F.col("__bm")).otherwise(F.col("__fm"))
+        ),
+        F.col("__m"),
     )
     if tolerance_s is not None:
         picked = apply_tolerance(picked)

@@ -139,17 +139,32 @@ SQL_HOT_DF_CUTOFF = (
     f"{HOT_DF_CAP}))"
 )
 
-# one count() per (session, corpus dir) — the cutoff scalar is a parquet
-# metadata count, but re-running it per query build is still one job
-# each; every dedup builder shares this memo instead
-_N_DOCS_CACHE: dict[tuple[int, str], int] = {}
+# one count() per (application, corpus dir) — the cutoff scalar is a
+# parquet metadata count, but re-running it per query build is still
+# one job each; every dedup builder shares this memo instead. Keyed by
+# applicationId (stable, never reused within a process — id() of a
+# stopped context can be reused by a new allocation). A pipeline that
+# REWRITES the documents table mid-session must call
+# invalidate_corpus_counts() (or pass df_cutoff explicitly) — a stale
+# count near the cutoff boundary would diverge from the oracle's live
+# (SELECT COUNT(*) FROM documents).
+_N_DOCS_CACHE: dict[tuple[str, str], int] = {}
 
 
 def corpus_n_docs(spark: SparkSession, sf_dir: str) -> int:
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _N_DOCS_CACHE:
         _N_DOCS_CACHE[key] = load_table(spark, sf_dir, "documents").count()
     return _N_DOCS_CACHE[key]
+
+
+def invalidate_corpus_counts(sf_dir: str | None = None) -> None:
+    """Drop memoized corpus counts (all of them, or one dir's)."""
+    if sf_dir is None:
+        _N_DOCS_CACHE.clear()
+    else:
+        for k in [k for k in _N_DOCS_CACHE if k[1] == sf_dir]:
+            del _N_DOCS_CACHE[k]
 
 
 def ngram_jaccard_pairs(

@@ -1249,7 +1249,7 @@ _REG["label_confusion_pairs"].oracle = f"""
     )
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(SUM(sq_err) AS BIGINT) AS total_sq_err_atto,
+           CAST(SUM(sq_err) // 1000000 AS BIGINT) AS total_sq_err_pico,
            CAST(MAX(sq_err) AS BIGINT) AS max_vec_sq_err_atto
     FROM per_vec GROUP BY label
     """,
@@ -1285,9 +1285,14 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # toward zero == DuckDB's TRUNC - no decimal rounding convention
     # ever applies (a double->DECIMAL(38,18) cast hits digit-18 ties
     # whose HALF_UP/HALF_EVEN handling differs across engines)
+    # attounit terms overflow int64 once a label holds ~10^3 more
+    # vectors than the test corpus (Spark long sums wrap SILENTLY,
+    # non-ANSI, while the oracle's HUGEINT stays exact) — accumulate
+    # in decimal(38,0), the repo's exact-sum convention
     term = (
         (F.when(s == 0, F.lit(0.0)).otherwise((x - dq) * (x - dq)) * F.lit(1e18))
         .cast("long")
+        .cast("decimal(38,0)")
     )
     per_vec = (
         elems.join(F.broadcast(dims), "dim0")
@@ -1295,8 +1300,16 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.sum("t").alias("sq_err"))
     )
+    # accumulate in decimal(38,0) (never wraps); REPORT the total in
+    # picounits so the output column is a plain int64 on both engines
+    # (a >18-digit decimal surfaces as float in the oracle's pandas
+    # bridge, and int64 attounit totals would wrap at ~10^3 more
+    # vectors per label). Per-vector max stays attounit (bounded by
+    # dims * (s/127)^2 * 1e18, far inside int64).
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("sq_err").cast("long").alias("total_sq_err_atto"),
+        F.expr("CAST(sum(sq_err) div 1000000 AS DECIMAL(38,0))")
+        .cast("long")
+        .alias("total_sq_err_pico"),
         F.max("sq_err").cast("long").alias("max_vec_sq_err_atto"),
     )

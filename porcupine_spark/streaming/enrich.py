@@ -98,13 +98,17 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Both corpus sides are bounded static DataFrames broadcast per "
     "microbatch; the stream side computes digest + signatures with "
     "PER-ROW stateless expressions (minhash_signatures: no explode, "
-    "no shuffle, no state), so the query keeps ZERO streaming state - "
-    "it scales with the corpus index size, not the stream length. "
+    "no shuffle), each band is its OWN COLUMN joined to its own "
+    "broadcast index (no band explode -> no per-doc re-aggregation), "
+    "and the sink runs in APPEND mode - the query keeps ZERO "
+    "streaming state and emits each doc's flags exactly once, so it "
+    "scales with the corpus index size, not the stream length. "
     "Oracle: composes incremental_dedup's verbatim (the batch twin "
     "must agree row-for-row once the stream drains).",
 )
 def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.operators.dedup import (
+        N_BANDS,
         NEW_BATCH_MOD,
         _band_table,
         minhash_signatures,
@@ -117,34 +121,47 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(~(F.col("doc_id") % NEW_BATCH_MOD == 0))
     base_h = base.select(F.md5(F.trim(F.col("text"))).alias("h")).distinct()
-    base_bands = _band_table(minhash_signatures(base)).select("band", "sig").distinct()
+    base_bands = _band_table(minhash_signatures(base))
 
     stream = load_docs_stream(spark, sf_dir).filter(
         F.col("doc_id") % NEW_BATCH_MOD == 0
     )
     # ONE stream branch (a second branch off the same source would be a
-    # stream-stream self-join): the md5 digest rides the signature
-    # computation via `keep`, the band explode (N_BANDS rows per doc)
-    # left-joins both static indexes, and one per-doc aggregation folds
-    # the band hits back to a row per document
-    with_h = stream.withColumn("h", F.md5(F.trim(F.col("text"))))
-    bands = _band_table(minhash_signatures(with_h, keep=("h",)), keep=("h",))
-    hit = (
-        bands.join(
-            F.broadcast(base_h.withColumn("exact_hit", F.lit(True))), "h", "left"
-        ).join(
-            F.broadcast(base_bands.withColumn("near_hit", F.lit(True))),
-            ["band", "sig"],
-            "left",
-        )
+    # stream-stream self-join). Band signatures stay COLUMNS (sig0..3),
+    # one per band, each left-joined to that band's broadcast index —
+    # no explode means no per-doc fold afterwards, which is what lets
+    # the sink run append-mode with zero state.
+    sigs = minhash_signatures(
+        stream.withColumn("h", F.md5(F.trim(F.col("text")))), keep=("h",)
     )
-    flags = hit.groupBy("doc_id").agg(
-        F.max(F.coalesce("exact_hit", F.lit(False))).alias("exact_dup"),
-        F.max(F.coalesce("near_hit", F.lit(False))).alias("near_dup"),
+    enriched = sigs.select(
+        "doc_id",
+        "h",
+        *[
+            (F.col(f"mh{2 * b}") * F.lit(1 << 31) + F.col(f"mh{2 * b + 1}")).alias(
+                f"sig{b}"
+            )
+            for b in range(N_BANDS)
+        ],
+    ).join(F.broadcast(base_h.withColumn("exact_hit", F.lit(True))), "h", "left")
+    for b in range(N_BANDS):
+        idx = (
+            base_bands.filter(F.col("band") == b)
+            .select(F.col("sig").alias(f"sig{b}"))
+            .distinct()
+            .withColumn(f"hit{b}", F.lit(True))
+        )
+        enriched = enriched.join(F.broadcast(idx), f"sig{b}", "left")
+    flags = enriched.select(
+        "doc_id",
+        F.coalesce("exact_hit", F.lit(False)).alias("exact_dup"),
+        F.coalesce(
+            *[F.col(f"hit{b}") for b in range(N_BANDS)], F.lit(False)
+        ).alias("near_dup"),
     )
     name = f"sneardup_{uuid.uuid4().hex[:8]}"
     q = (
-        flags.writeStream.outputMode("complete")
+        flags.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
         .start()

@@ -151,46 +151,71 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_OUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, n_events bigint"
 )
-SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n bigint"
+# state = the key's OPEN sessions (plural: bursts already separated by
+# more than the gap but not yet watermark-confirmed each stay open
+# individually until the watermark passes their end + gap)
+SESSION_STATE_SCHEMA = "starts array<bigint>, ends array<bigint>, ns array<bigint>"
 
 
 def make_timeout_sessionizer(gap_ms: int):
-    """A GroupState sessionizer that closes a session by EVENT-TIME
-    TIMEOUT: when the watermark passes last_event + gap, the state
-    times out, the closed session is emitted, and the key's state is
-    freed — the eviction contract that keeps an unbounded keyspace's
-    state bounded (idle keys cost nothing after one gap).
+    """A GroupState sessionizer that closes a session by WATERMARK
+    PASSAGE: a session [start, end] is emitted (and its state freed)
+    exactly when the event-time watermark passes end + gap — at that
+    point any event that could still extend it (ts <= end + gap) is
+    below the watermark and would be dropped as late, so closing is
+    safe. The eviction contract keeps an unbounded keyspace's state
+    bounded (idle keys cost nothing after one gap).
+
+    Gap semantics hold WITHIN a microbatch too: the handler sorts the
+    batch's timestamps, splits on intra-batch gaps > gap, and merges
+    the carried open sessions as intervals — two bursts more than a
+    gap apart become two sessions even when they arrive together. But
+    a split session is NOT emitted eagerly on batch arrival: it waits
+    in state until the watermark confirms it (late events above the
+    watermark arriving in later batches can still merge into it;
+    eager emission would have produced split/overlapping duplicates).
 
     Contrast with streaming/windows.py's ``session_window`` (built-in
     merge logic): this is the ESCAPE HATCH shape for session semantics
     the built-in cannot express (custom merge rules, per-key gaps,
     side outputs), same API as Flink's KeyedProcessFunction timers.
-
-    Gap semantics hold WITHIN a microbatch too: the handler sorts the
-    batch's timestamps, splits on intra-batch gaps > gap, and merges
-    the carried state as just another interval — so two bursts
-    separated by more than the gap become two sessions even when they
-    arrive in the same microbatch (or before the watermark fires the
-    timeout). All sessions but the time-latest close immediately; only
-    the open tail waits on the event-time timeout.
     """
     import numpy as np  # local: runs inside the Python worker
     import pandas as pd
 
     gap_us = gap_ms * 1000
 
+    def emit(key, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                "n_events": [int(k) for _, _, k in sessions],
+            }
+        )
+
+    def split_by_watermark(sessions, state: GroupState):
+        """Emit the watermark-confirmed prefix; keep the rest open."""
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = [s for s in sessions if s[1] // 1000 + gap_ms <= wm_ms]
+        kept = [s for s in sessions if s[1] // 1000 + gap_ms > wm_ms]
+        if kept:
+            state.update(
+                ([s for s, _, _ in kept], [e for _, e, _ in kept], [k for _, _, k in kept])
+            )
+            # re-check when the watermark passes the EARLIEST open end
+            state.setTimeoutTimestamp(min(e for _, e, _ in kept) // 1000 + gap_ms)
+        else:
+            state.remove()
+        return closed
+
     def sessionize(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            start_us, end_us, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
-                }
-            )
+            starts, ends, ns = state.get
+            closed = split_by_watermark(list(zip(starts, ends, ns)), state)
+            if closed:
+                yield emit(key, closed)
             return
         chunks = [
             pdf["ts"].astype("int64") // 1000 for pdf in pdfs if len(pdf)  # ns -> us
@@ -207,32 +232,23 @@ def make_timeout_sessionizer(gap_ms: int):
             for lo, hi in zip(seg_lo, seg_hi)
         ]
         if state.exists:
-            segs.append(tuple(state.get))
-        # carried state is just another interval: start-sorted sweep
-        # merge (standard interval-gap union) handles late-arriving
-        # segments that precede it as well as ones extending it
+            starts, ends, ns = state.get
+            segs.extend(zip(starts, ends, ns))
+        # carried open sessions are just more intervals: start-sorted
+        # sweep merge (standard interval-gap union) handles late
+        # segments preceding them as well as ones extending them
         segs.sort()
-        cur = list(segs[0])
-        closed = []
+        merged = [list(segs[0])]
         for s, e, k in segs[1:]:
+            cur = merged[-1]
             if s <= cur[1] + gap_us:
                 cur[1] = max(cur[1], e)
                 cur[2] += k
             else:
-                closed.append(tuple(cur))
-                cur = [s, e, k]
+                merged.append([s, e, k])
+        closed = split_by_watermark([tuple(m) for m in merged], state)
         if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]] * len(closed),
-                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
-                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
-                    "n_events": [k for _, _, k in closed],
-                }
-            )
-        state.update((cur[0], cur[1], cur[2]))
-        # fires once the EVENT-TIME watermark passes this instant
-        state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+            yield emit(key, closed)
     return sessionize
 
 

@@ -342,7 +342,7 @@ def test_cache_store_env_var_defaults(spark, tmp_path, monkeypatch):
     assert s.store_dir == str(env_store)
     assert s.mirror_uri == env_mirror
     s.cached("estep", {}, [], lambda: spark.createDataFrame([(5,)], "x long"))
-    assert (env_store / "estep".join([])) or any(env_store.iterdir())  # store used
+    assert any(env_store.iterdir())  # the env-configured store was written
 
     # explicit args beat the env
     s2 = CacheStore(spark, str(tmp_path / "explicit"), mirror_uri=None)

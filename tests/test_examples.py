@@ -234,3 +234,7 @@ def test_example_stock_http_sliding_mean(spark, tmp_path):
         assert spec["mark"] == "line"
         assert len(spec["data"]["values"]) == 30
         assert set(spec["data"]["values"][0]) == {"Date", "Price"}
+        # the encoding must be a REAL nested object with both channels
+        # (a renderer rejects a double-encoded string / missing key)
+        assert spec["encoding"]["x"] == {"field": "Date", "type": "temporal"}
+        assert spec["encoding"]["y"] == {"field": "Price", "type": "quantitative"}

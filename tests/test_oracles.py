@@ -86,6 +86,9 @@ REPRESENTATIVE = [
     "stream_near_dedup",  # zero-state streaming ingest dedup
     "embedding_quantization_error",  # int8 PQ-safety report, attounit-exact
     "stream_quality_gate",  # streaming Gopher gate, per-source pass rates
+    "asof_purchase_view_tolerance",  # merge_asof tolerance knob
+    "source_overlap_matrix",  # crawl-overlap shingle-Jaccard matrix
+    "props_key_coverage",  # JSON schema-inference report
 ]
 
 

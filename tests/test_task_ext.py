@@ -440,9 +440,9 @@ def test_event_time_timeout_sessionizer_closes_and_evicts(spark, tmp_path):
 def test_timeout_sessionizer_splits_intra_batch_gaps(spark, tmp_path):
     """Gap semantics must hold WITHIN a microbatch: two bursts of the
     same key separated by more than the gap, arriving in ONE batch,
-    are two sessions — the earlier closes immediately (no waiting on a
-    watermark that may never pass before more data extends the state),
-    the later stays open and closes by timeout."""
+    are two sessions. Each emits only once the WATERMARK passes its
+    end + gap (eager emission would split sessions that a late but
+    above-watermark event should still merge into)."""
     import pandas as pd
 
     from porcupine_spark.streaming.stateful import stream_sessionize_with_timeout
@@ -465,8 +465,11 @@ def test_timeout_sessionizer_splits_intra_batch_gaps(spark, tmp_path):
         (1, t0 + pd.Timedelta(minutes=10)),
         (1, t0 + pd.Timedelta(minutes=10, seconds=3)),
     ])
-    # batch 2: another key drives the watermark past burst B + gap
+    # batch 2 raises the watermark to 10:03 (batch 1's max): burst A is
+    # confirmed closed; burst B (needs wm > 11:03) stays open. batch 3
+    # raises it to 30:00, closing burst B too.
     write_file("f2", [(2, t0 + pd.Timedelta(minutes=30))])
+    write_file("f3", [(2, t0 + pd.Timedelta(minutes=35))])
 
     stream = (
         spark.readStream.schema("user_id long, ts timestamp")
@@ -580,3 +583,83 @@ def test_watermark_drops_late_rows_with_accounting(spark, tmp_path):
     # only batch 0's single on-time row
     rows = {(r["window"].start.minute, r.n) for r in ns.table(name).collect()}
     assert (0, 1) in rows
+
+
+def test_doc_stream_reads_multi_file_tables(spark, tmp_path):
+    """The file-source stream loaders must read tables that are
+    DIRECTORIES of part files (the normal layout at scale) - without
+    recursiveFileLookup the stream lists only the symlink dir's top
+    level, sees a directory, and silently processes ZERO rows (the
+    10x-scale measurement bug)."""
+    from porcupine_spark.tables import load_docs_stream
+    import uuid as _uuid
+
+    sf_dir = tmp_path / "sf_multi"
+    sf_dir.mkdir()
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "src", 6) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # a directory of MULTIPLE part files, like any real-scale table
+    docs.repartition(4).write.parquet(str(sf_dir / "documents.parquet"))
+
+    stream = load_docs_stream(spark, str(sf_dir))
+    name = f"mfstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy().count().writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.table(name).collect()[0][0] == 100
+
+
+def test_timeout_sessionizer_merges_late_above_watermark_event(spark, tmp_path):
+    """An out-of-order event arriving in a LATER microbatch (but above
+    the watermark) must merge into the open session it belongs to —
+    the reason split sessions wait for watermark confirmation instead
+    of emitting eagerly on batch arrival (eager emission would have
+    produced overlapping duplicate sessions)."""
+    import pandas as pd
+
+    from porcupine_spark.streaming.stateful import stream_sessionize_with_timeout
+
+    src = tmp_path / "sess_late_src"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+            str(src / name)
+        )
+
+    # batch 1: two bursts > gap apart -> two open intervals in state
+    write_file("f1", [(1, t0), (1, t0 + pd.Timedelta(minutes=10))])
+    # batch 2: an out-of-order event 30s after burst A's start — above
+    # the 30-minute-delayed watermark, so it must MERGE into burst A
+    write_file("f2", [(1, t0 + pd.Timedelta(seconds=30))])
+    # batch 3: push the watermark past both sessions' end + gap
+    write_file("f3", [(2, t0 + pd.Timedelta(hours=2))])
+    write_file("f4", [(2, t0 + pd.Timedelta(hours=3))])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    out, _ = stream_sessionize_with_timeout(
+        spark, stream, gap_ms=60_000, watermark="30 minutes"
+    )
+    rows = sorted(out.filter("user_id = 1").collect(), key=lambda r: r.session_start)
+    assert len(rows) == 2
+    a, b = rows
+    # burst A absorbed the late event: [10:00:00, 10:00:30], 2 events
+    assert a.session_start == t0.to_pydatetime()
+    assert a.session_end == (t0 + pd.Timedelta(seconds=30)).to_pydatetime()
+    assert a.n_events == 2
+    assert b.session_start == (t0 + pd.Timedelta(minutes=10)).to_pydatetime()
+    assert b.n_events == 1
