@@ -575,3 +575,44 @@ _REG["decontaminate_corpus"].oracle = f"""
       AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
     GROUP BY d.source
 """
+
+
+@query(
+    "lang_agreement_matrix",
+    None,  # late-bound below: composes lang_id's oracle verbatim
+    tags=("text", "evaluation", "monitoring"),
+    doc="Language-ID agreement matrix: labeled language x heuristic "
+    "prediction with counts and the mean confidence per cell (exact "
+    "integer micro-units) - the calibration report you read before "
+    "trusting EITHER the upstream labels or the classifier for "
+    "filtering decisions (a hot off-diagonal cell means label noise "
+    "or a systematically confused register). Composes lang_id's "
+    "verified builder and oracle; the matrix is a "
+    "|labels|x|predictions| aggregation past the per-row scoring.",
+)
+def lang_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = lang_id(spark, sf_dir)
+    return (
+        preds.groupBy("lang_label", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # trunc (double->long cast == DuckDB TRUNC) not a decimal
+            # cast: rounding at the micro digit is convention-dependent
+            F.expr(
+                "CAST(sum(CAST(CAST(confidence * 1000000 AS BIGINT) AS DECIMAL(38,0)))"
+                " div count(1) AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("mean_confidence_micro"),
+        )
+    )
+
+
+_REG["lang_agreement_matrix"].oracle = f"""
+    WITH p AS ({_REG["lang_id"].oracle})
+    SELECT lang_label, lang_pred,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(TRUNC(confidence * 1000000) AS HUGEINT))
+                // COUNT(*) AS BIGINT) AS mean_confidence_micro
+    FROM p GROUP BY lang_label, lang_pred
+"""

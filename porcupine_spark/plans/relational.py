@@ -1632,3 +1632,65 @@ def props_key_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_micro"),
         )
     )
+
+
+SKEW_BUCKETS = 32  # diagnostic bucket count (stands in for shuffle partitions)
+
+
+@query(
+    "shuffle_skew_report",
+    f"""
+    WITH b AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {SKEW_BUCKETS} AS BIGINT) AS bucket
+      FROM orders
+    ),
+    counts AS (SELECT bucket, COUNT(*) AS n_rows FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(n_rows) AS t, MAX(n_rows) AS mx FROM counts)
+    SELECT bucket, n_rows,
+           CAST(CAST(n_rows AS HUGEINT) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS share_micro,
+           CAST(CAST(n_rows AS HUGEINT) * {SKEW_BUCKETS} * 1000000
+                // (SELECT t FROM tot) AS BIGINT) AS balance_micro
+    FROM counts
+    """,
+    tags=("profiling", "skew"),
+    doc=f"Pre-flight shuffle-skew diagnosis: hash orders.o_custkey into "
+    f"{SKEW_BUCKETS} buckets (an md5-derived stand-in for the shuffle "
+    f"partitioner, identical on both engines) and report each bucket's "
+    f"row share plus its balance factor (1e6 = perfectly even; a "
+    f"bucket at 3e6 holds 3x its fair share and will straggle). THE "
+    f"question to ask BEFORE a big join/agg ships to the cluster - a "
+    f"hot key shows up here as a hot bucket, telling you to salt or "
+    f"let AQE split before burning executor hours. One map-side-"
+    f"combined aggregation; output is {SKEW_BUCKETS} rows at any "
+    f"data size.",
+)
+def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SKEW_BUCKETS
+    )
+    counts = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").alias("t"), F.max("n_rows").alias("mx")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_rows",
+            F.expr("CAST(n_rows AS DECIMAL(38,0)) * 1000000 div t")
+            .cast("long")
+            .alias("share_micro"),
+            F.expr(
+                f"CAST(n_rows AS DECIMAL(38,0)) * {SKEW_BUCKETS} * 1000000 div t"
+            )
+            .cast("long")
+            .alias("balance_micro"),
+        )
+    )

@@ -89,6 +89,8 @@ REPRESENTATIVE = [
     "asof_purchase_view_tolerance",  # merge_asof tolerance knob
     "source_overlap_matrix",  # crawl-overlap shingle-Jaccard matrix
     "props_key_coverage",  # JSON schema-inference report
+    "lang_agreement_matrix",  # label-vs-classifier calibration matrix
+    "shuffle_skew_report",  # pre-flight hot-bucket diagnosis
 ]
 
 
