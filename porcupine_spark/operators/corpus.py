@@ -853,12 +853,11 @@ BPE_TOP_PAIRS = 20  # report the top-k merge candidates
       GROUP BY tok
     ),
     pairs AS (
-      SELECT concat(word[i], word[i+1]) AS pair,
-             word[i] AS left_sym, word[i+1] AS right_sym,
+      SELECT word[i] AS left_sym, word[i+1] AS right_sym,
              CAST(SUM(freq) AS BIGINT) AS n_occurrences
       FROM words,
            LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(word) - 1)) AS i) g
-      GROUP BY 1, 2, 3
+      GROUP BY 1, 2
     )
     SELECT left_sym, right_sym, n_occurrences,
            CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, left_sym, right_sym)

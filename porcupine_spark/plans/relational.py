@@ -1646,7 +1646,7 @@ SKEW_BUCKETS = 32  # diagnostic bucket count (stands in for shuffle partitions)
       FROM orders
     ),
     counts AS (SELECT bucket, COUNT(*) AS n_rows FROM b GROUP BY bucket),
-    tot AS (SELECT SUM(n_rows) AS t, MAX(n_rows) AS mx FROM counts)
+    tot AS (SELECT SUM(n_rows) AS t FROM counts)
     SELECT bucket, n_rows,
            CAST(CAST(n_rows AS HUGEINT) * 1000000 // (SELECT t FROM tot) AS BIGINT)
              AS share_micro,
@@ -1676,9 +1676,7 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = o.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    tot = counts.agg(
-        F.sum("n_rows").alias("t"), F.max("n_rows").alias("mx")
-    )
+    tot = counts.agg(F.sum("n_rows").alias("t"))
     return (
         counts.crossJoin(F.broadcast(tot))
         .select(

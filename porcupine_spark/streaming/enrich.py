@@ -120,8 +120,15 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = ns
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(~(F.col("doc_id") % NEW_BATCH_MOD == 0))
-    base_h = base.select(F.md5(F.trim(F.col("text"))).alias("h")).distinct()
-    base_bands = _band_table(minhash_signatures(base))
+    # materialize the static corpus indexes ONCE — lazy, each of the
+    # 4 per-band join subtrees (plus the exact-hash side) would
+    # re-run the whole corpus minhash pipeline per microbatch
+    base_h = (
+        base.select(F.md5(F.trim(F.col("text"))).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base_bands = _band_table(minhash_signatures(base)).localCheckpoint(eager=True)
 
     stream = load_docs_stream(spark, sf_dir).filter(
         F.col("doc_id") % NEW_BATCH_MOD == 0

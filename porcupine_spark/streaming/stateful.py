@@ -196,16 +196,24 @@ def make_timeout_sessionizer(gap_ms: int):
         )
 
     def split_by_watermark(sessions, state: GroupState):
-        """Emit the watermark-confirmed prefix; keep the rest open."""
-        wm_ms = state.getCurrentWatermarkMs()
-        closed = [s for s in sessions if s[1] // 1000 + gap_ms <= wm_ms]
-        kept = [s for s in sessions if s[1] // 1000 + gap_ms > wm_ms]
+        """Emit the watermark-confirmed prefix; keep the rest open.
+
+        The close test is STRICT in microseconds (end + gap < wm):
+        Spark keeps rows with ts >= watermark, so an event at exactly
+        end + gap can still arrive and must merge — a floor-to-ms or
+        inclusive comparison would close up to 999us early and emit a
+        session a mergeable event then duplicates."""
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [s for s in sessions if s[1] + gap_us < wm_us]
+        kept = [s for s in sessions if s[1] + gap_us >= wm_us]
         if kept:
             state.update(
                 ([s for s, _, _ in kept], [e for _, e, _ in kept], [k for _, _, k in kept])
             )
-            # re-check when the watermark passes the EARLIEST open end
-            state.setTimeoutTimestamp(min(e for _, e, _ in kept) // 1000 + gap_ms)
+            # re-check when the watermark passes the EARLIEST open
+            # end + gap — CEIL to ms so firing implies strictly past
+            min_end = min(e for _, e, _ in kept)
+            state.setTimeoutTimestamp((min_end + gap_us + 999) // 1000)
         else:
             state.remove()
         return closed

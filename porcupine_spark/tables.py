@@ -197,31 +197,47 @@ def load_table(
     return df
 
 
-def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a file-source stream (raw schema, then the same ns->us
-    conversion as the batch loader). The file source requires a
-    *directory*; the test table is a single file, so expose it through
-    a symlink dir (no data copied, /root/testdata untouched)."""
+def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """A test table as a file-source stream. The file source requires a
+    *directory*; tables may be single files, so expose them through a
+    symlink dir (no data copied, the source dir untouched).
+
+    recursiveFileLookup: a multi-file table (a directory of parts, the
+    normal layout at scale) sits BEHIND the symlink; without it the
+    file-source stream lists only the top level, sees a directory, and
+    silently yields ZERO rows (caught by the 10x-scale re-measure)."""
     ensure_session_confs(spark)
-    src = table_path(sf_dir, "events")
+    src = table_path(sf_dir, table)
     stream_dir = os.path.join(
-        tempfile.gettempdir(), f"porcupine_stream_{abs(hash(src)) % 10**8}"
+        tempfile.gettempdir(), f"porcupine_stream_{table}_{abs(hash(src)) % 10**8}"
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
+    link = os.path.join(stream_dir, f"{table}.parquet")
+    # lexists, not exists: exists() FOLLOWS the link, so a stale link to
+    # a deleted/recreated table would look absent and symlink() would
+    # raise FileExistsError — replace broken links instead
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
         os.symlink(src, link)
-    raw_schema = spark.read.parquet(src).schema
-    # recursiveFileLookup: a multi-file table (a directory of parts, the
-    # normal layout at scale) sits BEHIND the symlink; without it the
-    # file-source stream lists only the top level, sees a directory, and
-    # silently yields ZERO rows (caught by the 10x-scale re-measure)
-    stream = (
-        spark.readStream.schema(raw_schema)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
         .parquet(stream_dir)
     )
-    return _convert_events(stream)
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream (raw schema, then the same ns->us
+    conversion as the batch loader)."""
+    return _convert_events(_stream_source(spark, sf_dir, "events"))
+
+
+def load_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a file-source stream (the incoming-crawl shape for
+    streaming dedup/curation); no timestamp conversion needed."""
+    return _stream_source(spark, sf_dir, "documents")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -232,26 +248,3 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL API surface)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-
-
-def load_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents as a file-source stream (the incoming-crawl shape for
-    streaming dedup/curation). Same symlink-directory trick as
-    load_events_stream; documents need no timestamp conversion."""
-    ensure_session_confs(spark)
-    src = table_path(sf_dir, "documents")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"porcupine_docstream_{abs(hash(src)) % 10**8}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-    schema = spark.read.parquet(src).schema
-    # recursiveFileLookup: see load_events_stream — required whenever the
-    # table is a directory of part files rather than a single file
-    return (
-        spark.readStream.schema(schema)
-        .option("recursiveFileLookup", "true")
-        .parquet(stream_dir)
-    )
