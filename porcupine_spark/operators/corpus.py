@@ -911,3 +911,90 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BPE_TOP_PAIRS)
         .select("left_sym", "right_sym", "n_occurrences", "rank")
     )
+
+
+SPAN_LEN = 3  # masked span length (tokens)
+SPAN_RATE_PCT = 15  # corruption budget: % of tokens masked
+
+
+@query(
+    "span_corruption_plan",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS nt,
+             len(toks) * {SPAN_RATE_PCT} // 100 // {SPAN_LEN} AS n_spans
+      FROM t WHERE len(toks) >= {SPAN_LEN}
+    ),
+    spans AS (
+      SELECT doc_id, k AS span_id,
+             CAST(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(k AS VARCHAR))), 1, 15))
+                  AS BIGINT) % (nt - {SPAN_LEN} + 1) + 1 AS BIGINT) AS start_pos,
+             toks
+      FROM sized, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, n_spans)) AS k)
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id, start_pos,
+           CAST({SPAN_LEN} AS BIGINT) AS span_len,
+           concat_ws(' ', toks[start_pos], toks[start_pos + 1], toks[start_pos + 2])
+             AS masked_text
+    FROM spans
+    """,
+    tags=("corpus", "curation", "augmentation"),
+    doc=f"Span-corruption PLAN (the T5/UL2 denoising-objective prep): "
+    f"for every document, deterministically sample "
+    f"floor(tokens*{SPAN_RATE_PCT}%/{SPAN_LEN}) spans of {SPAN_LEN} "
+    f"tokens to mask, with hash-seeded positions "
+    f"(md5(doc_id:k) mod positions) so the plan is REPRODUCIBLE "
+    f"across runs/engines with no RNG state - the property a "
+    f"restartable 100 TB preprocessing job needs (overlapping spans "
+    f"permitted, as in the original objective's independent "
+    f"sampling). Emits (doc, span, start, masked text); per-row "
+    f"column expressions + one explode, zero shuffles.",
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import seq1
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    sized = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= SPAN_LEN
+    )
+    nt = F.size("toks")
+    n_spans = F.expr(f"size(toks) * {SPAN_RATE_PCT} div 100 div {SPAN_LEN}")
+    h = lambda k: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), k.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    spans = sized.select(
+        "doc_id",
+        "toks",
+        nt.alias("nt"),
+        F.explode(seq1(n_spans)).alias("span_id"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.col("span_id").cast("long").alias("span_id"),
+        (h(F.col("span_id")) % (F.col("nt") - (SPAN_LEN - 1)) + 1).alias("start_pos"),
+    )
+    return spans.select(
+        "doc_id",
+        "span_id",
+        "start_pos",
+        F.lit(SPAN_LEN).cast("long").alias("span_len"),
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at("toks", (F.col("start_pos") + i).cast("int"))
+                for i in range(SPAN_LEN)
+            ],
+        ).alias("masked_text"),
+    )

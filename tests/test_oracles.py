@@ -91,6 +91,7 @@ REPRESENTATIVE = [
     "props_key_coverage",  # JSON schema-inference report
     "lang_agreement_matrix",  # label-vs-classifier calibration matrix
     "shuffle_skew_report",  # pre-flight hot-bucket diagnosis
+    "span_corruption_plan",  # hash-seeded T5-style masking plan
 ]
 
 
