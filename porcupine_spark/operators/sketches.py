@@ -113,3 +113,75 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("long").alias("kmv_estimate"),
         err.cast("long").alias("abs_err_micro"),
     )
+
+
+MG_CAPACITY = 2000  # Misra-Gries counters per partition
+
+
+def mg_summarize(counts: dict, cap: int) -> dict:
+    """Reduce a counter dict to ``cap`` entries by the Misra-Gries /
+    mergeable-summaries rule (Agarwal et al. 2012): subtract the
+    (cap+1)-th largest count from everything, drop non-positives.
+    Underestimates each survivor by at most (input mass)/(cap+1)."""
+    if len(counts) <= cap:
+        return counts
+    m = sorted(counts.values(), reverse=True)[cap]
+    return {t: c - m for t, c in counts.items() if c - m > 0}
+
+
+@query(
+    "frequent_tokens_mg",
+    rf"""
+    WITH toks AS (
+      SELECT tok FROM (SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks FROM documents),
+           LATERAL (SELECT UNNEST(toks) AS tok)
+      WHERE tok <> ''
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, COUNT(*) AS n_occurrences
+    FROM toks
+    GROUP BY tok
+    HAVING COUNT(*) * {MG_CAPACITY + 1} > (SELECT n FROM tot)
+    """,
+    tags=("sketch", "corpus", "vocab"),
+    doc=f"All tokens above frequency N/{MG_CAPACITY + 1}, found WITHOUT "
+    f"a full-vocabulary shuffle: each partition keeps a "
+    f"{MG_CAPACITY}-counter Misra-Gries summary (mergeable-summaries "
+    f"guarantee: any token with global count > N/(cap+1) survives in "
+    f"at least one partition's candidate set), the tiny candidate "
+    f"union is broadcast back, and only candidates are exactly "
+    f"recounted and thresholded - so the OUTPUT is exact and "
+    f"partition-independent while the shuffle moves candidate tokens "
+    f"only (bounded by partitions x cap), not the vocabulary. The "
+    f"100 TB heavy-hitters pattern: sketch to find, recount to "
+    f"verify. Oracle = the same threshold over full counts, which "
+    f"the MG completeness guarantee makes identical.",
+)
+def frequent_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+
+    def mg_partition(it):
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in it:
+            for t, c in pdf["tok"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            counts = mg_summarize(counts, MG_CAPACITY)
+        yield pd.DataFrame({"tok": list(counts.keys())})
+
+    candidates = toks.mapInPandas(mg_partition, schema="tok string").distinct()
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * (MG_CAPACITY + 1) > F.col("n"))
+        .select("tok", "n_occurrences")
+    )

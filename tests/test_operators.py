@@ -219,6 +219,42 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.05
 
 
+def test_mg_summarize_completeness_guarantee():
+    """Misra-Gries summary keeps every token whose true count exceeds
+    mass/(cap+1), even across merges of per-partition summaries — the
+    property frequent_tokens_mg's exactness rests on."""
+    import random
+
+    from porcupine_spark.operators.sketches import mg_summarize
+
+    rng = random.Random(7)
+    cap = 10
+    # skewed stream: 3 heavy tokens + a long tail, split into 4 "partitions"
+    stream = ["hot_a"] * 400 + ["hot_b"] * 250 + ["hot_c"] * 120
+    stream += [f"tail{i}" for i in range(600) for _ in (0,)]
+    rng.shuffle(stream)
+    parts = [stream[i::4] for i in range(4)]
+
+    merged: dict = {}
+    for p in parts:
+        counts: dict = {}
+        for t in p:
+            counts[t] = counts.get(t, 0) + 1
+        counts = mg_summarize(counts, cap)
+        for t, c in counts.items():
+            merged[t] = merged.get(t, 0) + c
+    merged = mg_summarize(merged, cap)
+
+    n = len(stream)
+    true = {}
+    for t in stream:
+        true[t] = true.get(t, 0) + 1
+    for t, c in true.items():
+        if c * (cap + 1) > n:
+            assert t in merged, f"heavy hitter {t} ({c}/{n}) lost by MG summary"
+    assert len(merged) <= cap
+
+
 def test_http_source_end_to_end_with_local_server(spark):
     """The full HTTP-source path against a real local server: parallel
     fetch -> JSON decode -> DataFrame (the porcupine-http example-Poke

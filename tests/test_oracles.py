@@ -92,6 +92,7 @@ REPRESENTATIVE = [
     "lang_agreement_matrix",  # label-vs-classifier calibration matrix
     "shuffle_skew_report",  # pre-flight hot-bucket diagnosis
     "span_corruption_plan",  # hash-seeded T5-style masking plan
+    "frequent_tokens_mg",  # Misra-Gries heavy hitters, sketch-then-verify
 ]
 
 
