@@ -65,6 +65,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         sketches,
         text,
         multimodal,
+        orderstats,
         quality,
         upsert,
     )

@@ -219,6 +219,53 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.05
 
 
+def test_rows_at_ranks_matches_direct_sort(spark):
+    """The two-pass order-statistic kernel equals direct sort-based
+    rank selection for every rank, under adversarial binnings: all
+    rows in one bin, one row per bin, and heavy duplicate values
+    straddling bin boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from porcupine_spark.operators.orderstats import rows_at_ranks
+
+    rng = random.Random(13)
+    rows = []
+    for g in ("a", "b"):
+        vals = [rng.randrange(0, 200) for _ in range(97)]
+        vals += [64] * 20 + [63] * 5  # duplicates pinned at a bin edge
+        for i, v in enumerate(vals):
+            rows.append((g, v, i))
+    df = spark.createDataFrame(rows, "k string, v long, tb long")
+
+    for bin_expr in ("CAST(0 AS LONG)", "v", "v div 64"):
+        prepared = df.select(
+            "k",
+            F.col("v").alias("_v"),
+            F.col("tb").alias("_tb"),
+            F.expr(bin_expr).alias("_bin"),
+        )
+        n = df.filter(F.col("k") == "a").count()
+        want_ranks = [1, 2, n // 2, n - 1, n]
+        targets = spark.createDataFrame(
+            [(g, f"r{r}", r) for g in ("a", "b") for r in want_ranks],
+            "k string, q string, r long",
+        )
+        got = {
+            (r.k, r.q): r._v
+            for r in rows_at_ranks(prepared, ["k"], targets).collect()
+        }
+        direct = {}
+        for g in ("a", "b"):
+            ordered = sorted(
+                [(v, tb) for k, v, tb in rows if k == g]
+            )
+            for r in want_ranks:
+                direct[(g, f"r{r}")] = ordered[r - 1][0]
+        assert got == direct, f"bin_expr={bin_expr}"
+
+
 def test_mg_summarize_completeness_guarantee():
     """Misra-Gries summary keeps every token whose true count exceeds
     mass/(cap+1), even across merges of per-partition summaries — the

@@ -93,6 +93,8 @@ REPRESENTATIVE = [
     "shuffle_skew_report",  # pre-flight hot-bucket diagnosis
     "span_corruption_plan",  # hash-seeded T5-style masking plan
     "frequent_tokens_mg",  # Misra-Gries heavy hitters, sketch-then-verify
+    "exact_quantiles_two_pass",  # sort-free exact order statistics
+    "range_partition_plan",  # deterministic TeraSort boundary planner
 ]
 
 
