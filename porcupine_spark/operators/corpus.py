@@ -998,3 +998,176 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).alias("masked_text"),
     )
+
+
+BUDGET_MILLI = 300  # token budget = 0.3 epochs of the full corpus
+CAP_MILLI = 400  # per-source repetition ceiling, 0.4 epochs: weight
+# heterogeneity can concentrate repetition on in-target sources, but
+# only up to 4/3 of the corpus-average epoch rate - past that the
+# surplus water-falls to the remaining sources.
+
+
+@query(
+    "token_budget_waterfill",
+    f"""
+    WITH t AS (
+      SELECT source, lang, len({_SQL_TOKS}) AS nt FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             GREATEST(1, CAST(SUM(CASE WHEN lang = 'en' THEN nt ELSE 0 END)
+                              AS BIGINT)) AS w
+      FROM t GROUP BY source
+    ),
+    g AS (
+      SELECT SUM(n_tokens) AS tot,
+             CAST(SUM(w) AS BIGINT) AS wtot,
+             {BUDGET_MILLI} * SUM(n_tokens) // 1000 AS b
+      FROM per_src
+    ),
+    base AS (
+      SELECT source, n_tokens, w,
+             {CAP_MILLI} * n_tokens // 1000 AS cap,
+             g.b, g.wtot
+      FROM per_src, g
+    ),
+    keyed AS (
+      SELECT *, CAST(cap AS HUGEINT) * 1000000 // w AS rkey FROM base
+    ),
+    cum AS (
+      SELECT *,
+             COALESCE(SUM(cap) OVER (ORDER BY rkey, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap_prev,
+             COALESCE(SUM(w) OVER (ORDER BY rkey, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw_prev
+      FROM keyed
+    ),
+    tested AS (
+      SELECT *,
+             CASE WHEN CAST(b - cumcap_prev AS HUGEINT) * w
+                       >= CAST(cap AS HUGEINT) * (wtot - cumw_prev)
+                  THEN 1 ELSE 0 END AS tflag
+      FROM cum
+    ),
+    pfx AS (
+      SELECT *, MIN(tflag) OVER (ORDER BY rkey, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      FROM tested
+    ),
+    sums AS (
+      SELECT *,
+             SUM(CASE WHEN capped = 1 THEN cap ELSE 0 END) OVER () AS capsum,
+             SUM(CASE WHEN capped = 1 THEN w ELSE 0 END) OVER () AS wsum
+      FROM pfx
+    ),
+    alloc AS (
+      SELECT source, n_tokens, w, wtot, capped,
+             CASE WHEN capped = 1 THEN CAST(cap AS HUGEINT)
+                  ELSE CAST(b - capsum AS HUGEINT) * w // (wtot - wsum)
+             END AS a
+      FROM sums
+    )
+    SELECT source, n_tokens,
+           CAST(CAST(w AS HUGEINT) * 1000000 // wtot AS BIGINT) AS weight_micro,
+           CAST(a AS BIGINT) AS allocated_tokens,
+           CAST(a * 1000000 // n_tokens AS BIGINT) AS epochs_micro,
+           CAST(capped AS BIGINT) AS capped
+    FROM alloc
+    """,
+    tags=("mixing", "planning", "corpus"),
+    doc=f"Token-budget water-filling: allocate a {BUDGET_MILLI}-milli-"
+    f"epoch training budget across sources proportionally to "
+    f"TARGET-LANGUAGE (en) token mass - the quality-weighted mixing "
+    f"rule - with each source capped at the corpus-average epoch "
+    f"rate, so upweighting redistributes repetition toward in-target "
+    f"sources but never past {CAP_MILLI} milli-epochs: the "
+    f"LLaMA-style data-mixing planner. The classic iterative "
+    f"water-fill collapses to ONE window pass: sources sorted by "
+    f"cap/weight, the capped set is a PREFIX of that order (standard "
+    f"exchange argument), found by a running-min over an integer "
+    f"cross-multiplied test - no loop, no driver logic, and every "
+    f"quantity is integer/decimal so the plan is bit-identical across "
+    f"engines. Per-source table is |sources| rows: the unpartitioned "
+    f"windows run on the bounded aggregate, never the corpus.",
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            "lang",
+            F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("nt").alias("n_tokens"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.sum(F.when(F.col("lang") == "en", F.col("nt")).otherwise(0)),
+            ).alias("w"),
+        )
+    )
+    g = per_src.agg(
+        F.sum("w").alias("wtot"),
+        F.expr(f"{BUDGET_MILLI} * SUM(n_tokens) div 1000").alias("b"),
+    )
+    base = per_src.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_tokens",
+        "w",
+        "wtot",
+        "b",
+        F.expr(f"{CAP_MILLI} * n_tokens div 1000").alias("cap"),
+    )
+    keyed = base.withColumn(
+        "rkey", F.expr("CAST(cap AS DECIMAL(38,0)) * 1000000 div w")
+    )
+    wo = W.orderBy("rkey", "source")
+    prev = wo.rowsBetween(W.unboundedPreceding, -1)
+    cum = keyed.select(
+        "*",
+        F.coalesce(F.sum("cap").over(prev), F.lit(0).cast("long")).alias(
+            "cumcap_prev"
+        ),
+        F.coalesce(F.sum("w").over(prev), F.lit(0).cast("long")).alias("cumw_prev"),
+    )
+    tested = cum.withColumn(
+        "tflag",
+        F.expr(
+            "CASE WHEN CAST(b - cumcap_prev AS DECIMAL(38,0)) * w"
+            " >= CAST(cap AS DECIMAL(38,0)) * (wtot - cumw_prev)"
+            " THEN 1 ELSE 0 END"
+        ),
+    )
+    pfx = tested.withColumn(
+        "capped", F.min("tflag").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    full = W.orderBy("rkey", "source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    sums = pfx.select(
+        "*",
+        F.sum(F.when(F.col("capped") == 1, F.col("cap")).otherwise(0))
+        .over(full)
+        .alias("capsum"),
+        F.sum(F.when(F.col("capped") == 1, F.col("w")).otherwise(0))
+        .over(full)
+        .alias("wsum"),
+    )
+    alloc = sums.withColumn(
+        "a",
+        F.expr(
+            "CASE WHEN capped = 1 THEN CAST(cap AS DECIMAL(38,0))"
+            " ELSE CAST(b - capsum AS DECIMAL(38,0)) * w div (wtot - wsum) END"
+        ),
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(w AS DECIMAL(38,0)) * 1000000 div wtot")
+        .cast("long")
+        .alias("weight_micro"),
+        F.col("a").cast("long").alias("allocated_tokens"),
+        F.expr("a * 1000000 div n_tokens").cast("long").alias("epochs_micro"),
+        F.col("capped").cast("long").alias("capped"),
+    )

@@ -219,6 +219,74 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.05
 
 
+def test_waterfill_matches_iterative_reference(spark, tmp_path):
+    """The one-window-pass water-filling (capped set = prefix in
+    cap/weight order) equals the classic iterative algorithm, on a
+    corpus skewed enough that the cap genuinely binds: a tiny all-en
+    source (hugely upweighted), a large zero-en source (weight floor),
+    and mid sources."""
+    from fractions import Fraction
+
+    from porcupine_spark.operators.corpus import (
+        BUDGET_MILLI,
+        CAP_MILLI,
+        token_budget_waterfill,
+    )
+
+    spec = [  # (source, n_en_tokens, n_other_tokens)
+        ("tiny_en", 40, 0),
+        ("big_raw", 0, 4000),
+        ("mid_a", 300, 700),
+        ("mid_b", 150, 850),
+        ("half", 500, 500),
+    ]
+    rows = []
+    did = 0
+    for src, n_en, n_ot in spec:
+        for lang, n in (("en", n_en), ("de", n_ot)):
+            if n:
+                rows.append((did, "w " * n, lang, src, n))
+                did += 1
+    import pandas as pd
+
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r.source: (r.allocated_tokens, r.capped)
+        for r in token_budget_waterfill(spark, str(tmp_path)).collect()
+    }
+
+    # iterative reference: exact-fraction lambda, repeat until stable
+    toks = {s: en + ot for s, en, ot in spec}
+    w = {s: max(1, en) for s, en, ot in spec}
+    cap = {s: CAP_MILLI * toks[s] // 1000 for s in toks}
+    budget = BUDGET_MILLI * sum(toks.values()) // 1000
+    capped: set = set()
+    while True:
+        rem_b = budget - sum(cap[s] for s in capped)
+        rem_w = sum(w[s] for s in toks if s not in capped)
+        newly = {
+            s
+            for s in toks
+            if s not in capped and Fraction(rem_b * w[s], rem_w) >= cap[s]
+        }
+        if not newly:
+            break
+        capped |= newly
+    rem_b = budget - sum(cap[s] for s in capped)
+    rem_w = sum(w[s] for s in toks if s not in capped)
+    want = {
+        s: ((cap[s], 1) if s in capped else (rem_b * w[s] // rem_w, 0))
+        for s in toks
+    }
+    assert got == want
+    assert 0 < sum(1 for a, c in want.values() if c) < len(spec), (
+        "fixture must exercise both branches"
+    )
+
+
 def test_rows_at_ranks_matches_direct_sort(spark):
     """The two-pass order-statistic kernel equals direct sort-based
     rank selection for every rank, under adversarial binnings: all

@@ -95,6 +95,7 @@ REPRESENTATIVE = [
     "frequent_tokens_mg",  # Misra-Gries heavy hitters, sketch-then-verify
     "exact_quantiles_two_pass",  # sort-free exact order statistics
     "range_partition_plan",  # deterministic TeraSort boundary planner
+    "token_budget_waterfill",  # one-pass integer water-filling mixer
 ]
 
 
