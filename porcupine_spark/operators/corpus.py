@@ -1007,10 +1007,10 @@ CAP_MILLI = 400  # per-source repetition ceiling, 0.4 epochs: weight
 # surplus water-falls to the remaining sources.
 
 
-@query(
-    "token_budget_waterfill",
-    f"""
-    WITH t AS (
+# Shared CTE chain: the full water-fill computation up to the `alloc`
+# relation. epoch_expansion_plan composes these verbatim, so the
+# manifest can never drift from the planner.
+_WATERFILL_CTES = f"""t AS (
       SELECT source, lang, len({_SQL_TOKS}) AS nt FROM documents
     ),
     per_src AS (
@@ -1066,7 +1066,13 @@ CAP_MILLI = 400  # per-source repetition ceiling, 0.4 epochs: weight
                   ELSE CAST(b - capsum AS HUGEINT) * w // (wtot - wsum)
              END AS a
       FROM sums
-    )
+    )"""
+
+
+@query(
+    "token_budget_waterfill",
+    f"""
+    WITH {_WATERFILL_CTES}
     SELECT source, n_tokens,
            CAST(CAST(w AS HUGEINT) * 1000000 // wtot AS BIGINT) AS weight_micro,
            CAST(a AS BIGINT) AS allocated_tokens,
@@ -1170,4 +1176,93 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").cast("long").alias("allocated_tokens"),
         F.expr("a * 1000000 div n_tokens").cast("long").alias("epochs_micro"),
         F.col("capped").cast("long").alias("capped"),
+    )
+
+
+@query(
+    "epoch_expansion_plan",
+    f"""
+    WITH {_WATERFILL_CTES},
+    wf AS (
+      SELECT source, n_tokens AS src_tokens, CAST(a AS BIGINT) AS allocated
+      FROM alloc
+    ),
+    d AS (
+      SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS doc_tokens,
+             CAST(concat('0x', substr(md5(concat('rep:', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) AS h
+      FROM documents
+    ),
+    j AS (
+      SELECT d.*, wf.allocated // wf.src_tokens AS base_epochs,
+             wf.allocated - (wf.allocated // wf.src_tokens) * wf.src_tokens AS rem
+      FROM d JOIN wf USING (source)
+    ),
+    c AS (
+      SELECT *, COALESCE(SUM(doc_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM j
+    )
+    SELECT doc_id, source, doc_tokens,
+           CAST(base_epochs + CASE WHEN cum_prev < rem THEN 1 ELSE 0 END AS BIGINT)
+             AS n_repeats
+    FROM c
+    """,
+    tags=("mixing", "planning", "corpus"),
+    doc="Materialize the water-fill into a training MANIFEST: per-doc "
+    "repeat counts whose per-source token mass meets the planner's "
+    "allocation to within one document. Every doc gets the whole-epoch "
+    "floor; the fractional remainder goes to a salted-hash-ordered "
+    "prefix (per-source exclusive running token sum - the "
+    "pack_sequences shape, one shuffle by source), so the selection "
+    "is deterministic across engines, runs and cluster sizes, and "
+    "re-planning with a changed budget moves the FEWEST possible "
+    "docs. The oracle composes the water-fill's CTEs verbatim: the "
+    "manifest can never drift from the planner it claims to "
+    "implement.",
+)
+def epoch_expansion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wf = token_budget_waterfill(spark, sf_dir).select(
+        "source",
+        F.col("n_tokens").alias("src_tokens"),
+        "allocated_tokens",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("doc_tokens"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rep:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    j = (
+        d.join(F.broadcast(wf), "source")
+        .withColumn("base_epochs", F.expr("allocated_tokens div src_tokens"))
+        .withColumn("rem", F.expr("allocated_tokens - base_epochs * src_tokens"))
+    )
+    wprev = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = j.withColumn(
+        "cum_prev", F.coalesce(F.sum("doc_tokens").over(wprev), F.lit(0).cast("long"))
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "doc_tokens",
+        (
+            F.col("base_epochs")
+            + F.when(F.col("cum_prev") < F.col("rem"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_repeats"),
     )

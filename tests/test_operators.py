@@ -287,6 +287,33 @@ def test_waterfill_matches_iterative_reference(spark, tmp_path):
     )
 
 
+def test_epoch_expansion_meets_allocation_within_one_doc(spark, sf_dir):
+    """The materialized manifest's per-source token mass equals the
+    water-fill allocation to within one document (the boundary doc of
+    the fractional prefix), and repeat counts only ever take the two
+    adjacent values floor/floor+1."""
+    from porcupine_spark.operators.corpus import (
+        epoch_expansion_plan,
+        token_budget_waterfill,
+    )
+
+    plan = {
+        r.source: r.allocated_tokens
+        for r in token_budget_waterfill(spark, sf_dir).collect()
+    }
+    rows = epoch_expansion_plan(spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        got, reps, maxdoc = by_src.setdefault(r.source, [0, set(), 0])
+        by_src[r.source][0] = got + r.n_repeats * r.doc_tokens
+        reps.add(r.n_repeats)
+        by_src[r.source][2] = max(maxdoc, r.doc_tokens)
+    assert set(by_src) == set(plan)
+    for src, (got, reps, maxdoc) in by_src.items():
+        assert abs(got - plan[src]) < maxdoc, (src, got, plan[src])
+        assert len(reps) <= 2 and max(reps) - min(reps) <= 1, (src, reps)
+
+
 def test_rows_at_ranks_matches_direct_sort(spark):
     """The two-pass order-statistic kernel equals direct sort-based
     rank selection for every rank, under adversarial binnings: all

@@ -96,6 +96,7 @@ REPRESENTATIVE = [
     "exact_quantiles_two_pass",  # sort-free exact order statistics
     "range_partition_plan",  # deterministic TeraSort boundary planner
     "token_budget_waterfill",  # one-pass integer water-filling mixer
+    "epoch_expansion_plan",  # per-doc manifest composing the water-fill
 ]
 
 
