@@ -1179,10 +1179,9 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "epoch_expansion_plan",
-    f"""
-    WITH {_WATERFILL_CTES},
+# The expansion manifest as a composable CTE chain (extends the
+# water-fill chain); training_shard_manifest composes it verbatim.
+_EXPANSION_CTES = f"""{_WATERFILL_CTES},
     wf AS (
       SELECT source, n_tokens AS src_tokens, CAST(a AS BIGINT) AS allocated
       FROM alloc
@@ -1202,11 +1201,20 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, COALESCE(SUM(doc_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
       FROM j
-    )
-    SELECT doc_id, source, doc_tokens,
-           CAST(base_epochs + CASE WHEN cum_prev < rem THEN 1 ELSE 0 END AS BIGINT)
-             AS n_repeats
-    FROM c
+    ),
+    manifest AS (
+      SELECT doc_id, source, doc_tokens,
+             CAST(base_epochs + CASE WHEN cum_prev < rem THEN 1 ELSE 0 END AS BIGINT)
+               AS n_repeats
+      FROM c
+    )"""
+
+
+@query(
+    "epoch_expansion_plan",
+    f"""
+    WITH {_EXPANSION_CTES}
+    SELECT doc_id, source, doc_tokens, n_repeats FROM manifest
     """,
     tags=("mixing", "planning", "corpus"),
     doc="Materialize the water-fill into a training MANIFEST: per-doc "
@@ -1265,4 +1273,100 @@ def epoch_expansion_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("n_repeats"),
+    )
+
+
+N_SHARDS = 64  # training output shards
+
+
+@query(
+    "training_shard_manifest",
+    f"""
+    WITH {_EXPANSION_CTES},
+    inst AS (
+      SELECT m.doc_id, m.doc_tokens, i.g AS rep
+      FROM manifest m, LATERAL (
+        SELECT UNNEST(GENERATE_SERIES(1, m.n_repeats)) AS g
+      ) i
+    ),
+    sh AS (
+      SELECT CAST(CAST(concat('0x', substr(md5(concat('shard:',
+                    CAST(doc_id AS VARCHAR), ':', CAST(rep AS VARCHAR))), 1, 8))
+                  AS BIGINT) % {N_SHARDS} AS BIGINT) AS shard,
+             doc_tokens
+      FROM inst
+    ),
+    counts AS (
+      SELECT shard, COUNT(*) AS n_instances,
+             CAST(SUM(doc_tokens) AS BIGINT) AS n_tokens
+      FROM sh GROUP BY shard
+    ),
+    tott AS (SELECT CAST(SUM(doc_tokens) AS HUGEINT) AS t FROM sh)
+    SELECT sp.range AS shard,
+           COALESCE(n_instances, 0) AS n_instances,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           CAST(CAST(COALESCE(n_tokens, 0) AS HUGEINT) * {N_SHARDS} * 1000000
+                // (SELECT t FROM tott) AS BIGINT) AS balance_micro
+    FROM range(0, {N_SHARDS}) sp LEFT JOIN counts ON counts.shard = sp.range
+    """,
+    tags=("mixing", "planning", "corpus"),
+    doc=f"The mixing trilogy's last step: plan (water-fill) -> manifest "
+    f"(per-doc repeats) -> SHARDS. Each repeat instance lands in one "
+    f"of {N_SHARDS} output shards by a salted hash of (doc, repeat) - "
+    f"a deterministic global shuffle, so the training order is "
+    f"reproducible across engines, runs and cluster sizes and a "
+    f"restarted job rewrites byte-identical shards. Report verifies "
+    f"what the writer needs to know BEFORE writing 100 TB: per-shard "
+    f"instance and token counts and the balance factor (1e6 = even; "
+    f"empty shards visible). Repeats of one doc land in DIFFERENT "
+    f"shards (the repeat index is in the salt), so epochs of a "
+    f"repeated doc spread across the training order instead of "
+    f"clumping.",
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    manifest = epoch_expansion_plan(spark, sf_dir)
+    inst = manifest.filter(F.col("n_repeats") > 0).select(
+        "doc_id",
+        "doc_tokens",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_repeats"))).alias("rep"),
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("shard:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % N_SHARDS
+    )
+    sh = inst.select(shard.alias("shard"), "doc_tokens")
+    counts = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_instances"),
+        F.sum("doc_tokens").alias("n_tokens"),
+    )
+    tott = sh.agg(F.sum("doc_tokens").alias("t"))
+    spine = spark.range(N_SHARDS).select(F.col("id").alias("shard"))
+    return (
+        spine.join(counts, "shard", "left")
+        .withColumn("n_instances", F.coalesce("n_instances", F.lit(0).cast("long")))
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(tott))
+        .select(
+            "shard",
+            "n_instances",
+            "n_tokens",
+            F.expr(f"CAST(n_tokens AS DECIMAL(38,0)) * {N_SHARDS} * 1000000 div t")
+            .cast("long")
+            .alias("balance_micro"),
+        )
     )

@@ -97,6 +97,7 @@ REPRESENTATIVE = [
     "range_partition_plan",  # deterministic TeraSort boundary planner
     "token_budget_waterfill",  # one-pass integer water-filling mixer
     "epoch_expansion_plan",  # per-doc manifest composing the water-fill
+    "training_shard_manifest",  # deterministic shard assignment + balance
 ]
 
 
