@@ -396,3 +396,64 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 from porcupine_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
 
 _REG2["pagerank_supplier_graph"].oracle = _pr_oracle_sql()
+
+
+@query(
+    "dedup_keep_best_quality",
+    None,  # late-bound: composes dedup_clusters' and quality_score's oracles
+    tags=("dedup", "graph", "quality"),
+    doc="Quality-aware canonical selection: within every near-dup "
+    "cluster keep the HIGHEST-quality member (heuristic quality score, "
+    "doc_id tiebreak) instead of dedup_keep_canonical's keep-first "
+    "policy - the curation-grade dedup, since boilerplate-heavy copies "
+    "often have smaller ids than the clean original. One row_number "
+    "window over cluster members (cluster table is LSH output, orders "
+    "of magnitude smaller than the corpus) and one broadcast anti-join "
+    "of the corpus against the dropped set. Oracle composes the "
+    "clustering's recursive CTE and the quality score's SQL verbatim, "
+    "so policy, cluster definition, and score can never drift apart.",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.text import quality_score
+    from porcupine_spark.tables import load_table
+    from pyspark.sql import Window as W
+
+    clusters = dedup_clusters(spark, sf_dir)
+    q = quality_score(spark, sf_dir).select(
+        F.col("doc_id").alias("node"), "quality"
+    )
+    member = clusters.join(q, "node")
+    wq = W.partitionBy("component").orderBy(
+        F.desc("quality"), F.asc("node")
+    )
+    dropped = (
+        member.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
+from porcupine_spark.operators import text as _text  # noqa: E402,F401  (registers quality_score before composition)
+
+_REG2["dedup_keep_best_quality"].oracle = f"""
+    WITH clus AS ({_REG2["dedup_clusters"].oracle}),
+    q AS (SELECT doc_id, quality FROM ({_REG2["quality_score"].oracle})),
+    member AS (
+      SELECT c.node, c.component, q.quality
+      FROM clus c JOIN q ON q.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT node, component,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY quality DESC, node) AS rn
+      FROM member
+    ),
+    dropped AS (SELECT node FROM ranked WHERE rn > 1)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM dropped)
+"""

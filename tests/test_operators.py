@@ -287,6 +287,35 @@ def test_waterfill_matches_iterative_reference(spark, tmp_path):
     )
 
 
+def test_keep_best_quality_differs_from_keep_first(spark, tmp_path):
+    """On a planted cluster where the LOWEST-id member is the worst
+    copy, dedup_keep_best_quality keeps the high-quality member that
+    keep-first policy would have dropped."""
+    import pandas as pd
+
+    from porcupine_spark.operators.components import dedup_keep_best_quality
+
+    # docs 0 and 1 share most 3-grams (near-dups); doc 0 is degraded
+    # with symbol noise (quality tanks via the alpha-ratio term).
+    # docs 2+ are unrelated singletons keeping the corpus honest.
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight") * 3
+    noisy = base + " @@@@ #### $$$$ %%%% ^^^^ &&&& **** @@@@ ####" * 4
+    rows = [
+        (0, noisy, "en", "srcA", len(noisy)),
+        (1, base + " extra tail words here", "en", "srcA", len(base)),
+        (2, "completely different text about spark plans " * 6, "en", "srcB", 260),
+        (3, "another unrelated document body entirely here " * 6, "en", "srcB", 270),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    kept = {r.doc_id for r in dedup_keep_best_quality(spark, str(tmp_path)).collect()}
+    assert 1 in kept and 0 not in kept, kept  # best member wins, not first
+    assert {2, 3} <= kept  # singletons untouched
+
+
 def test_epoch_expansion_meets_allocation_within_one_doc(spark, sf_dir):
     """The materialized manifest's per-source token mass equals the
     water-fill allocation to within one document (the boundary doc of

@@ -98,6 +98,7 @@ REPRESENTATIVE = [
     "token_budget_waterfill",  # one-pass integer water-filling mixer
     "epoch_expansion_plan",  # per-doc manifest composing the water-fill
     "training_shard_manifest",  # deterministic shard assignment + balance
+    "dedup_keep_best_quality",  # quality-aware canonical selection
 ]
 
 
