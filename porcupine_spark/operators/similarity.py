@@ -1313,3 +1313,104 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_sq_err_pico"),
         F.max("sq_err").cast("long").alias("max_vec_sq_err_atto"),
     )
+
+
+OUTLIER_Z = 3  # one-sided z threshold on dist^2 within the label
+
+
+@query(
+    "embedding_outlier_flags",
+    f"""
+    WITH elems AS (
+      SELECT e.vec_id, e.label, g.i AS dim,
+             CAST(TRUNC(CAST(e.embedding[g.i] AS DOUBLE) * 1e6) AS BIGINT) AS s
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(embedding))) AS i) g
+    ),
+    cent AS (
+      SELECT label, dim, CAST(SUM(s) AS BIGINT) // COUNT(*) AS c
+      FROM elems GROUP BY label, dim
+    ),
+    per_vec AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM((e.s - c.c) * (e.s - c.c)) AS BIGINT) AS dist_sq_pico
+      FROM elems e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+      GROUP BY e.vec_id, e.label
+    ),
+    down AS (
+      SELECT vec_id, label, dist_sq_pico,
+             CAST(dist_sq_pico // 1000000 AS HUGEINT) AS d
+      FROM per_vec
+    ),
+    lab AS (
+      SELECT label, COUNT(*) AS n, SUM(d) AS s, SUM(d * d) AS sxx
+      FROM down GROUP BY label
+    )
+    SELECT v.vec_id, v.label, v.dist_sq_pico,
+           CAST(v.d * l.n * 1000000 // l.s AS BIGINT) AS vs_mean_micro
+    FROM down v JOIN lab l USING (label)
+    WHERE l.n * v.d > l.s
+      AND (l.n * v.d - l.s) * (l.n * v.d - l.s)
+          > {OUTLIER_Z * OUTLIER_Z} * (l.n * l.sxx - l.s * l.s)
+    """,
+    tags=("similarity", "quality", "monitoring"),
+    doc=f"Embedding-space outliers: vectors whose squared distance to "
+    f"their label centroid sits more than {OUTLIER_Z} sigma above the "
+    f"label mean (one-sided) - the mislabeled/mis-embedded/noise-doc "
+    f"detector run before centroids are trusted for IVF or SemDeDup. "
+    f"Exactness recipe: elements truncate to micro-integers (double->"
+    f"long cast == TRUNC, convention-free), centroids are truncating "
+    f"integer division, distances are integer sums, and the z test is "
+    f"the repo's zero-float form - n*d > s and (n*d - s)^2 > "
+    f"{OUTLIER_Z * OUTLIER_Z}*(n*sxx - s^2) on per-label integer "
+    f"moments, no mean, no stddev, no sqrt anywhere (widths hold for "
+    f"d < 1e8, n < 1e10; rescale past that). Shape: one (label,dim)-"
+    f"keyed map-side-combined aggregation (centroid table is |labels|"
+    f"x|dims| rows, broadcast back), one per-vector aggregation - two "
+    f"bounded shuffles, no vector ever compared to another vector.",
+)
+def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        (F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("s"),
+    )
+    cent = elems.groupBy("label", "dim").agg(
+        F.expr("CAST(SUM(s) AS BIGINT) div COUNT(*)").alias("c")
+    )
+    per_vec = (
+        elems.join(F.broadcast(cent), ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            ((F.col("s") - F.col("c")) * (F.col("s") - F.col("c"))).alias("t"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("t").cast("decimal(38,0)")).cast("long").alias("dist_sq_pico"))
+    )
+    down = per_vec.withColumn(
+        "d", F.expr("CAST(dist_sq_pico div 1000000 AS DECIMAL(38,0))")
+    )
+    lab = down.groupBy("label").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("d").alias("s"),
+        F.sum(F.expr("d * d").cast("decimal(38,0)")).alias("sxx"),
+    )
+    j = down.join(F.broadcast(lab), "label")
+    return j.filter(
+        F.expr(
+            "n * d > s AND (n * d - s) * (n * d - s)"
+            f" > {OUTLIER_Z * OUTLIER_Z} * (n * sxx - s * s)"
+        )
+    ).select(
+        "vec_id",
+        "label",
+        "dist_sq_pico",
+        F.expr("d * n * 1000000 div s").cast("long").alias("vs_mean_micro"),
+    )

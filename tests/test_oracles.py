@@ -99,6 +99,7 @@ REPRESENTATIVE = [
     "epoch_expansion_plan",  # per-doc manifest composing the water-fill
     "training_shard_manifest",  # deterministic shard assignment + balance
     "dedup_keep_best_quality",  # quality-aware canonical selection
+    "embedding_outlier_flags",  # integer z-test centroid-distance outliers
 ]
 
 
