@@ -330,3 +330,51 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     assert len(j.collect()) == 200_000
     final = j._jdf.queryExecution().executedPlan().toString()
     assert final.count("skew=true") >= 1, final
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime Bloom-filter join pruning (InjectRuntimeFilter):
+    with a selective dim-side predicate on a shuffle join, the fact
+    side gets a might_contain(bloom) pre-filter so non-matching rows
+    die before the exchange — the at-scale feature that turns a
+    100 TB fact shuffle into a filtered one. Asserted: the filter is
+    injected, and the result is identical with it off."""
+    from pyspark.sql import functions as F
+
+    from porcupine_spark.tables import load_table
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in keys}
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        j = build()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan
+        with_bloom = {(r.o_orderpriority, r.n) for r in j.collect()}
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        without = {(r.o_orderpriority, r.n) for r in build().collect()}
+        assert with_bloom == without and with_bloom
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
