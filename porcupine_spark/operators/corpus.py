@@ -882,7 +882,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.functions import seq1
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    toks = tokens(F.col("text"))
     words = (
         docs.select(F.explode(toks).alias("word"))
         .filter(F.col("word") != "")
@@ -957,7 +957,7 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.functions import seq1
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    toks = tokens(F.col("text"))
     sized = docs.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= SPAN_LEN
     )
@@ -1032,7 +1032,12 @@ _WATERFILL_CTES = f"""t AS (
       FROM per_src, g
     ),
     keyed AS (
-      SELECT *, CAST(cap AS HUGEINT) * 1000000 // w AS rkey FROM base
+      SELECT b1.*,
+             (SELECT COUNT(*) FROM base b2
+              WHERE CAST(b2.cap AS HUGEINT) * b1.w < CAST(b1.cap AS HUGEINT) * b2.w
+                 OR (CAST(b2.cap AS HUGEINT) * b1.w = CAST(b1.cap AS HUGEINT) * b2.w
+                     AND b2.source < b1.source)) AS rkey
+      FROM base b1
     ),
     cum AS (
       SELECT *,
@@ -1088,10 +1093,13 @@ _WATERFILL_CTES = f"""t AS (
     f"rate, so upweighting redistributes repetition toward in-target "
     f"sources but never past {CAP_MILLI} milli-epochs: the "
     f"LLaMA-style data-mixing planner. The classic iterative "
-    f"water-fill collapses to ONE window pass: sources sorted by "
-    f"cap/weight, the capped set is a PREFIX of that order (standard "
-    f"exchange argument), found by a running-min over an integer "
-    f"cross-multiplied test - no loop, no driver logic, and every "
+    f"water-fill collapses to ONE window pass: sources sorted by the "
+    f"EXACT cap/weight ratio (ranked via integer cross-multiplied "
+    f"comparisons on the |sources|-row table, so no quantized sort "
+    f"key can misorder near-ties), the capped set is a PREFIX of "
+    f"that order (standard exchange argument), found by a running-min "
+    f"over an integer cross-multiplied test - no loop, no driver "
+    f"logic, and every "
     f"quantity is integer/decimal so the plan is bit-identical across "
     f"engines. Per-source table is |sources| rows: the unpartitioned "
     f"windows run on the bounded aggregate, never the corpus.",
@@ -1125,8 +1133,25 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.expr(f"{CAP_MILLI} * n_tokens div 1000").alias("cap"),
     )
-    keyed = base.withColumn(
-        "rkey", F.expr("CAST(cap AS DECIMAL(38,0)) * 1000000 div w")
+    # Exact cap/weight ordering: a quantized scalar key (cap*1e6 div w)
+    # can tie two sources whose true ratios differ, mis-ordering them and
+    # breaking the capped-set-is-a-prefix exchange argument. Rank by
+    # integer cross-multiplication instead — exact, and the nested-loop
+    # join runs on the |sources|-row aggregate, never the corpus.
+    rhs = base.select(
+        F.col("source").alias("s2"),
+        F.col("cap").alias("cap2"),
+        F.col("w").alias("w2"),
+    )
+    before = F.expr(
+        "CAST(cap2 AS DECIMAL(38,0)) * w < CAST(cap AS DECIMAL(38,0)) * w2"
+        " OR (CAST(cap2 AS DECIMAL(38,0)) * w = CAST(cap AS DECIMAL(38,0)) * w2"
+        " AND s2 < source)"
+    )
+    keyed = (
+        base.join(F.broadcast(rhs), before, "left")
+        .groupBy("source", "n_tokens", "w", "wtot", "b", "cap")
+        .agg(F.count("s2").alias("rkey"))
     )
     wo = W.orderBy("rkey", "source")
     prev = wo.rowsBetween(W.unboundedPreceding, -1)
@@ -1354,13 +1379,19 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_instances"),
         F.sum("doc_tokens").alias("n_tokens"),
     )
-    tott = sh.agg(F.sum("doc_tokens").alias("t"))
     spine = spark.range(N_SHARDS).select(F.col("id").alias("shard"))
+    # Grand total as an unpartitioned window over the 64-row joined spine:
+    # the expansion pipeline is evaluated ONCE (a second agg over `sh`
+    # would re-run the whole waterfill->explode subtree — Spark shares no
+    # lineage between sibling actions).
+    wall = W.partitionBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
     return (
         spine.join(counts, "shard", "left")
         .withColumn("n_instances", F.coalesce("n_instances", F.lit(0).cast("long")))
         .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0).cast("long")))
-        .crossJoin(F.broadcast(tott))
+        .withColumn("t", F.sum("n_tokens").over(wall).cast("decimal(38,0)"))
         .select(
             "shard",
             "n_instances",

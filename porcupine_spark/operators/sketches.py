@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from porcupine_spark.operators.text import tokens
 from porcupine_spark.plans.registry import query
 from porcupine_spark.tables import load_table
 
@@ -79,7 +80,7 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source",
         F.explode(
-            F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+            tokens(F.col("text"))
         ).alias("tok"),
     ).filter(F.col("tok") != "")
     hashed = toks.select(
@@ -150,7 +151,9 @@ def mg_summarize(counts: dict, cap: int) -> dict:
     f"guarantee: any token with global count > N/(cap+1) survives in "
     f"at least one partition's candidate set), the tiny candidate "
     f"union is broadcast back, and only candidates are exactly "
-    f"recounted and thresholded - so the OUTPUT is exact and "
+    f"recounted and thresholded (the grand total N rides the sketch "
+    f"pass as per-partition mass, so the corpus is scanned exactly "
+    f"twice: sketch + recount) - so the OUTPUT is exact and "
     f"partition-independent while the shuffle moves candidate tokens "
     f"only (bounded by partitions x cap), not the vocabulary. The "
     f"100 TB heavy-hitters pattern: sketch to find, recount to "
@@ -161,22 +164,38 @@ def frequent_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(
-            F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+            tokens(F.col("text"))
         ).alias("tok")
     ).filter(F.col("tok") != "")
 
     def mg_partition(it):
         import pandas as pd
 
+        # One extra sentinel row (tok=NULL) carries the partition's total
+        # token mass, so the grand total N rides along with the sketch pass
+        # instead of costing a third full corpus scan. A real token can
+        # never be NULL (explode of a split array yields strings).
         counts: dict = {}
+        mass = 0
         for pdf in it:
+            mass += len(pdf)
             for t, c in pdf["tok"].value_counts().items():
                 counts[t] = counts.get(t, 0) + int(c)
             counts = mg_summarize(counts, MG_CAPACITY)
-        yield pd.DataFrame({"tok": list(counts.keys())})
+        yield pd.DataFrame(
+            {
+                "tok": list(counts.keys()) + [None],
+                "mass": [0] * len(counts) + [mass],
+            }
+        )
 
-    candidates = toks.mapInPandas(mg_partition, schema="tok string").distinct()
-    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    # Bounded by partitions x (cap+1) rows; localCheckpoint materializes it
+    # once so candidates and the total don't each re-run the corpus scan.
+    summary = toks.mapInPandas(
+        mg_partition, schema="tok string, mass long"
+    ).localCheckpoint()
+    candidates = summary.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    total = summary.filter(F.col("tok").isNull()).agg(F.sum("mass").alias("n"))
     return (
         toks.join(F.broadcast(candidates), "tok", "left_semi")
         .groupBy("tok")

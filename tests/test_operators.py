@@ -219,27 +219,10 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.05
 
 
-def test_waterfill_matches_iterative_reference(spark, tmp_path):
-    """The one-window-pass water-filling (capped set = prefix in
-    cap/weight order) equals the classic iterative algorithm, on a
-    corpus skewed enough that the cap genuinely binds: a tiny all-en
-    source (hugely upweighted), a large zero-en source (weight floor),
-    and mid sources."""
-    from fractions import Fraction
+def _write_waterfill_corpus(tmp_path, spec):
+    """spec: [(source, n_en_tokens, n_other_tokens)] -> documents.parquet."""
+    import pandas as pd
 
-    from porcupine_spark.operators.corpus import (
-        BUDGET_MILLI,
-        CAP_MILLI,
-        token_budget_waterfill,
-    )
-
-    spec = [  # (source, n_en_tokens, n_other_tokens)
-        ("tiny_en", 40, 0),
-        ("big_raw", 0, 4000),
-        ("mid_a", 300, 700),
-        ("mid_b", 150, 850),
-        ("half", 500, 500),
-    ]
     rows = []
     did = 0
     for src, n_en, n_ot in spec:
@@ -247,18 +230,19 @@ def test_waterfill_matches_iterative_reference(spark, tmp_path):
             if n:
                 rows.append((did, "w " * n, lang, src, n))
                 did += 1
-    import pandas as pd
-
     pd.DataFrame(
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     ).to_parquet(tmp_path / "documents.parquet")
 
-    got = {
-        r.source: (r.allocated_tokens, r.capped)
-        for r in token_budget_waterfill(spark, str(tmp_path)).collect()
-    }
 
-    # iterative reference: exact-fraction lambda, repeat until stable
+def _iterative_waterfill(spec):
+    """Classic iterative water-fill with exact-fraction lambda:
+    the ground truth for the one-window-pass implementation.
+    Returns {source: (allocated_tokens, capped)}."""
+    from fractions import Fraction
+
+    from porcupine_spark.operators.corpus import BUDGET_MILLI, CAP_MILLI
+
     toks = {s: en + ot for s, en, ot in spec}
     w = {s: max(1, en) for s, en, ot in spec}
     cap = {s: CAP_MILLI * toks[s] // 1000 for s in toks}
@@ -277,13 +261,70 @@ def test_waterfill_matches_iterative_reference(spark, tmp_path):
         capped |= newly
     rem_b = budget - sum(cap[s] for s in capped)
     rem_w = sum(w[s] for s in toks if s not in capped)
-    want = {
+    return {
         s: ((cap[s], 1) if s in capped else (rem_b * w[s] // rem_w, 0))
         for s in toks
     }
+
+
+def test_waterfill_matches_iterative_reference(spark, tmp_path):
+    """The one-window-pass water-filling (capped set = prefix in
+    cap/weight order) equals the classic iterative algorithm, on a
+    corpus skewed enough that the cap genuinely binds: a tiny all-en
+    source (hugely upweighted), a large zero-en source (weight floor),
+    and mid sources."""
+    from porcupine_spark.operators.corpus import token_budget_waterfill
+
+    spec = [  # (source, n_en_tokens, n_other_tokens)
+        ("tiny_en", 40, 0),
+        ("big_raw", 0, 4000),
+        ("mid_a", 300, 700),
+        ("mid_b", 150, 850),
+        ("half", 500, 500),
+    ]
+    _write_waterfill_corpus(tmp_path, spec)
+    got = {
+        r.source: (r.allocated_tokens, r.capped)
+        for r in token_budget_waterfill(spark, str(tmp_path)).collect()
+    }
+    want = _iterative_waterfill(spec)
     assert got == want
     assert 0 < sum(1 for a, c in want.values() if c) < len(spec), (
         "fixture must exercise both branches"
+    )
+
+
+def test_waterfill_near_tie_ratio_ordering(spark, tmp_path):
+    """Two sources whose cap/weight ratios differ by LESS than 1e-6 —
+    a micro-quantized sort key (cap*1e6 div w) ties them and, with the
+    alphabetical tie-break, orders them AGAINST true-ratio order; the
+    exact cross-multiplied rank must still produce the iterative
+    reference's capped set (here: the flat-ratio source capped, the
+    infinitesimally steeper one not)."""
+    from porcupine_spark.operators.corpus import CAP_MILLI, token_budget_waterfill
+
+    # zz_flat: ratio exactly 0.4; aa_steep: 0.4000004 (steeper, but the
+    # 1e-6-quantized key ties both at 400000 and 'aa' sorts first);
+    # big_raw: weight-floor source tuned so the water level lands
+    # BETWEEN the two near-tied ratios (0.4 < lambda < 0.4000004).
+    spec = [
+        ("zz_flat", 1_000_000, 0),
+        ("aa_steep", 999_999, 1),
+        ("big_raw", 0, 666_667),
+    ]
+    # fixture validity: the old quantized keys really do tie
+    for s, en, ot in spec[:2]:
+        n = en + ot
+        assert (CAP_MILLI * n // 1000) * 1_000_000 // max(1, en) == 400_000
+    _write_waterfill_corpus(tmp_path, spec)
+    got = {
+        r.source: (r.allocated_tokens, r.capped)
+        for r in token_budget_waterfill(spark, str(tmp_path)).collect()
+    }
+    want = _iterative_waterfill(spec)
+    assert got == want
+    assert want["zz_flat"][1] == 1 and want["aa_steep"][1] == 0, (
+        "fixture must place the water level between the near-tied ratios"
     )
 
 
