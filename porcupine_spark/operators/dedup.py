@@ -1180,3 +1180,131 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.cast("long").alias("jaccard_micro"),
         )
     )
+
+
+BENCH_MAX_ID = 10  # doc_id < 10 stands in for the eval/benchmark set
+FUZZY_DECON_NUM, FUZZY_DECON_DEN = 1, 4  # flag pairs with jaccard >= 1/4
+
+
+@query(
+    "fuzzy_decontamination",
+    f"""
+    WITH {_sql_side_ctes("bench", f"doc_id < {BENCH_MAX_ID}")},
+    {_sql_side_ctes("corp", f"doc_id >= {BENCH_MAX_ID}")},
+    cand AS (
+      SELECT DISTINCT cb.doc_id AS doc_id, bb.doc_id AS bench_id
+      FROM bands_corp cb JOIN bands_bench bb
+        ON bb.band = cb.band AND bb.sig = cb.sig
+    ),
+    sizes_c AS (SELECT doc_id, COUNT(*) AS n FROM shingles_corp GROUP BY doc_id),
+    sizes_b AS (SELECT doc_id, COUNT(*) AS n FROM shingles_bench GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id, c.bench_id, COUNT(*) AS i
+      FROM cand c
+      JOIN shingles_corp sc ON sc.doc_id = c.doc_id
+      JOIN shingles_bench sb ON sb.doc_id = c.bench_id AND sb.shingle = sc.shingle
+      GROUP BY c.doc_id, c.bench_id
+    )
+    SELECT c.doc_id, c.bench_id,
+           COALESCE(i.i, 0) AS n_shared,
+           CAST(COALESCE(i.i, 0) AS DOUBLE) / (zc.n + zb.n - COALESCE(i.i, 0))
+             AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.bench_id = c.bench_id
+    JOIN sizes_c zc ON zc.doc_id = c.doc_id
+    JOIN sizes_b zb ON zb.doc_id = c.bench_id
+    WHERE COALESCE(i.i, 0) * {FUZZY_DECON_DEN}
+          >= (zc.n + zb.n - COALESCE(i.i, 0)) * {FUZZY_DECON_NUM}
+    """,
+    tags=("dedup", "contamination", "lsh"),
+    doc=f"FUZZY benchmark decontamination: contamination_check's exact "
+    f"shared-5-gram test misses paraphrased or lightly-edited eval "
+    f"leakage, so this flags corpus docs whose 3-shingle Jaccard with "
+    f"any benchmark doc (ids < {BENCH_MAX_ID}) reaches "
+    f"{FUZZY_DECON_NUM}/{FUZZY_DECON_DEN} - candidates come from "
+    f"minhash band collisions between the corpus band table and the "
+    f"TINY broadcast benchmark band table (never corpus x bench "
+    f"shingle pairing), then exact Jaccard verification on the "
+    f"candidates only, gated by the cross-multiplied integer test "
+    f"before the one IEEE division. At 100 TB: per-row signatures "
+    f"(zero shuffle), one broadcast-join over the band table, "
+    f"candidate-sized verify - the decontamination pattern scaled "
+    f"corpora actually run before training.",
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < BENCH_MAX_ID)
+    corp = docs.filter(F.col("doc_id") >= BENCH_MAX_ID)
+
+    bench_bands = _band_table(minhash_signatures(bench)).select(
+        F.col("doc_id").alias("bench_id"), "band", "sig"
+    )
+    corp_bands = _band_table(minhash_signatures(corp))
+    cand = (
+        corp_bands.join(F.broadcast(bench_bands), ["band", "sig"])
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+
+    arrays = hashed_shingle_arrays(docs)
+    ac = arrays.select("doc_id", F.col("arr").alias("arr_c"))
+    ab = arrays.select(F.col("doc_id").alias("bench_id"), F.col("arr").alias("arr_b"))
+    paired = cand.join(ac, "doc_id").join(F.broadcast(ab), "bench_id")
+    i = F.size(F.array_intersect("arr_c", "arr_b"))
+    union = F.size("arr_c") + F.size("arr_b") - i
+    return (
+        paired.select("doc_id", "bench_id", i.alias("n_shared"), union.alias("u"))
+        .filter(F.col("n_shared") * FUZZY_DECON_DEN >= F.col("u") * FUZZY_DECON_NUM)
+        .select(
+            "doc_id",
+            "bench_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            (F.col("n_shared").cast("double") / F.col("u")).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "lsh_bucket_audit",
+    f"""
+    WITH {SQL_SHINGLES},
+    sigs AS (
+      SELECT doc_id,
+           {_sql_minhash_exprs()}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {_sql_bands()}
+    ),
+    buckets AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig)
+    SELECT band, c AS bucket_size, COUNT(*) AS n_buckets,
+           CAST(c * (c - 1) // 2 * COUNT(*) AS BIGINT) AS pairs_contributed
+    FROM buckets GROUP BY band, c
+    """,
+    tags=("dedup", "lsh", "monitoring"),
+    doc="Pre-flight audit of the LSH band buckets: per band, the bucket-"
+    "size histogram and how many candidate pairs each size class "
+    "contributes (c*(c-1)/2 per bucket). THIS is the number that "
+    "decides whether the minhash self-join is safe to run at 100 TB - "
+    "a single boilerplate-heavy bucket of size c contributes c^2/2 "
+    "pairs, and this report finds it for the cost of one groupBy on "
+    "the band table (no pairs are generated). The shuffle_skew_report "
+    "pattern applied to the dedup join's OWN key space; run it before "
+    "dedup_minhash_lsh the way EXPLAIN is run before a query.",
+)
+def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = _band_table(minhash_signatures(docs))
+    buckets = b.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        buckets.groupBy("band", "c")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "band",
+            F.col("c").alias("bucket_size"),
+            "n_buckets",
+            F.expr("c * (c - 1) div 2 * n_buckets").cast("long").alias(
+                "pairs_contributed"
+            ),
+        )
+    )

@@ -1146,3 +1146,30 @@ def test_asof_join_null_payload_comes_from_matched_row(spark):
         left, right, "user_id", "lts", "rts", "rid", ["rid", "rv"], tolerance_s=3600
     ).collect()
     assert tol[0].rid == 2 and tol[0].rv is None
+
+
+def test_fuzzy_decontamination_flags_planted_paraphrase(spark, tmp_path):
+    """A corpus doc that lightly edits a benchmark doc (tail swapped,
+    ~90% shingle overlap) must be flagged with its bench source; an
+    unrelated corpus doc must not appear."""
+    import pandas as pd
+
+    from porcupine_spark.operators.dedup import fuzzy_decontamination
+
+    bench = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon") * 2
+    leaked = bench + " phi chi psi omega extra closing words appended"
+    other = "entirely different subject matter about spark physical plans " * 5
+    rows = [
+        (0, bench, "en", "eval", len(bench)),
+        (20, leaked, "en", "web", len(leaked)),
+        (21, other, "en", "web", len(other)),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {(r.doc_id, r.bench_id): r.jaccard
+           for r in fuzzy_decontamination(spark, str(tmp_path)).collect()}
+    assert (20, 0) in got and got[(20, 0)] > 0.5, got
+    assert all(d != 21 for d, _ in got), got

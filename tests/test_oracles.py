@@ -100,6 +100,8 @@ REPRESENTATIVE = [
     "training_shard_manifest",  # deterministic shard assignment + balance
     "dedup_keep_best_quality",  # quality-aware canonical selection
     "embedding_outlier_flags",  # integer z-test centroid-distance outliers
+    "fuzzy_decontamination",  # minhash-LSH eval-leak detection
+    "lsh_bucket_audit",  # band-bucket histogram, dedup-join pre-flight
 ]
 
 
