@@ -1414,3 +1414,139 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_sq_pico",
         F.expr("d * n * 1000000 div s").cast("long").alias("vs_mean_micro"),
     )
+
+
+@query(
+    "label_centroid_separation",
+    """
+    WITH elems AS (
+      SELECT e.vec_id, e.label, g.i AS dim,
+             CAST(TRUNC(CAST(e.embedding[g.i] AS DOUBLE) * 1e6) AS BIGINT) AS s
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(embedding))) AS i) g
+    ),
+    cent AS (
+      SELECT label, dim, CAST(SUM(s) AS BIGINT) // COUNT(*) AS c
+      FROM elems GROUP BY label, dim
+    ),
+    per_vec AS (
+      SELECT e.vec_id, e.label,
+             CAST(SUM((e.s - c.c) * (e.s - c.c)) AS BIGINT) AS dsp
+      FROM elems e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+      GROUP BY e.vec_id, e.label
+    ),
+    within AS (
+      SELECT label, COUNT(*) AS n_vecs,
+             CAST(CAST(SUM(dsp) AS HUGEINT) // COUNT(*) AS BIGINT) AS w
+      FROM per_vec GROUP BY label
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_sq_pico
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT p.label_a, p.label_b, p.dist_sq_pico,
+           wa.n_vecs AS n_vecs_a, wb.n_vecs AS n_vecs_b,
+           CASE WHEN wa.w + wb.w = 0 THEN NULL
+                ELSE CAST(CAST(p.dist_sq_pico AS HUGEINT) * 1000000
+                          // (wa.w + wb.w) AS BIGINT)
+           END AS separation_micro
+    FROM pairs p
+    JOIN within wa ON wa.label = p.label_a
+    JOIN within wb ON wb.label = p.label_b
+    """,
+    tags=("similarity", "quality", "monitoring"),
+    doc="Class-separation matrix for the embedding space: squared "
+    "distance between every pair of label centroids, normalized by the "
+    "sum of the two labels' mean within-class spreads (a Fisher-"
+    "criterion shape, in integer micro-units) - separation_micro well "
+    "above 1e6 means the classes are linearly distinguishable; near or "
+    "below it means neighbors will disagree with labels (the "
+    "knn_label_accuracy failure mode, diagnosed WITHOUT generating a "
+    "single vector pair). Same exactness recipe as "
+    "embedding_outlier_flags: micro-truncated elements, truncating-"
+    "division centroids, integer sums, one cross-multiplied ratio. "
+    "Shape at 100 TB: two map-side-combined aggregations over the "
+    "element table; the pairwise step runs on the |labels|x|dims| "
+    "centroid table only, so the matrix costs O(labels^2 * dims) "
+    "AFTER reduction - never touches vectors pairwise.",
+)
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        (F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("s"),
+    )
+    # |labels| x |dims| rows; materialize once so the per-vec join and
+    # BOTH sides of the pairwise step don't each re-run the element
+    # aggregation over the full embeddings table.
+    cent = (
+        elems.groupBy("label", "dim")
+        .agg(F.expr("CAST(SUM(s) AS BIGINT) div COUNT(*)").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    per_vec = (
+        elems.join(F.broadcast(cent), ["label", "dim"])
+        .select(
+            "vec_id",
+            "label",
+            ((F.col("s") - F.col("c")) * (F.col("s") - F.col("c"))).alias("t"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("t").cast("decimal(38,0)")).alias("dsp"))
+    )
+    within = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr("CAST(SUM(dsp) div COUNT(*) AS DECIMAL(38,0))").alias("w"),
+    )
+    ca = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("c_a"))
+    cb = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("c_b"))
+    pairs = (
+        ca.join(F.broadcast(cb), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            ((F.col("c_a") - F.col("c_b")) * (F.col("c_a") - F.col("c_b"))).alias("t"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("t").cast("decimal(38,0)")).cast("long").alias("dist_sq_pico"))
+    )
+    wa = within.select(
+        F.col("label").alias("label_a"),
+        F.col("n_vecs").alias("n_vecs_a"),
+        F.col("w").alias("w_a"),
+    )
+    wb = within.select(
+        F.col("label").alias("label_b"),
+        F.col("n_vecs").alias("n_vecs_b"),
+        F.col("w").alias("w_b"),
+    )
+    return (
+        pairs.join(F.broadcast(wa), "label_a")
+        .join(F.broadcast(wb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            "dist_sq_pico",
+            "n_vecs_a",
+            "n_vecs_b",
+            F.when(
+                (F.col("w_a") + F.col("w_b")) == 0, F.lit(None).cast("long")
+            )
+            .otherwise(
+                F.expr(
+                    "CAST(dist_sq_pico AS DECIMAL(38,0)) * 1000000"
+                    " div (w_a + w_b)"
+                ).cast("long")
+            )
+            .alias("separation_micro"),
+        )
+    )

@@ -102,6 +102,7 @@ REPRESENTATIVE = [
     "embedding_outlier_flags",  # integer z-test centroid-distance outliers
     "fuzzy_decontamination",  # minhash-LSH eval-leak detection
     "lsh_bucket_audit",  # band-bucket histogram, dedup-join pre-flight
+    "label_centroid_separation",  # Fisher-style class-separation matrix
 ]
 
 
