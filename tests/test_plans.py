@@ -378,3 +378,48 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """Dynamic partition pruning: a selective filter on the DIM side of
+    a join injects a dynamicpruning subquery into the partitioned fact
+    scan's PartitionFilters, so only the dim-matching partitions are
+    read at all — on a date/tenant-partitioned 100 TB fact table this
+    is the difference between scanning 2 partitions and scanning 500.
+    Asserted: the pruning expression lands in PartitionFilters, and
+    the result is identical with DPP disabled."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 10_000).selectExpr("id % 20 AS pk", "id AS v")
+    fact.write.partitionBy("pk").parquet(f"{tmp_path}/fact")
+    dim = spark.createDataFrame(
+        [(3, "keep"), (7, "keep"), (11, "drop")], "pk long, tag string"
+    )
+
+    def build():
+        f2 = spark.read.parquet(f"{tmp_path}/fact")
+        return (
+            f2.join(dim.filter("tag = 'keep'"), "pk")
+            .groupBy("pk")
+            .agg(F.sum("v").alias("s"))
+        )
+
+    j = build()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dynamicpruning" in m.group(1), plan[:800]
+    with_dpp = {(r.pk, r.s) for r in j.collect()}
+
+    key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "false")
+        without = {(r.pk, r.s) for r in build().collect()}
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    assert with_dpp == without and len(with_dpp) == 2
