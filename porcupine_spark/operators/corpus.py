@@ -17,7 +17,7 @@ LLM-corpus operators this engine adds as first-class citizens.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from porcupine_spark.operators.text import tokens
@@ -261,6 +261,30 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The canonical hash-split rule (md5(doc_id) mod 100, 90/5/5) — shared
+# by dataset_split_assign and dedup.cross_split_leakage so the audit can
+# never disagree with the assignment it audits.
+SQL_SPLIT_CTE = """sp AS (
+      SELECT doc_id,
+             CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 100 AS h
+        FROM documents)
+    )"""
+
+
+def split_col() -> Column:
+    """train/val/test split of a documents row (Spark twin of
+    SQL_SPLIT_CTE)."""
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+
+
 @query(
     "dataset_split_assign",
     """
@@ -288,12 +312,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
-        "int"
-    ) % 100
-    split = (
-        F.when(h < 90, "train").when(h < 95, "val").otherwise("test").alias("split")
-    )
+    split = split_col().alias("split")
     return (
         docs.select(split, "n_chars")
         .groupBy("split")

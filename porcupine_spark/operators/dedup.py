@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from porcupine_spark.functions import seq1, word_ngrams
+from porcupine_spark.operators.corpus import SQL_SPLIT_CTE, split_col
 from porcupine_spark.plans.registry import REGISTRY, query
 from porcupine_spark.tables import load_table
 
@@ -1307,4 +1308,42 @@ def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pairs_contributed"
             ),
         )
+    )
+
+
+@query(
+    "cross_split_leakage",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES},
+    {SQL_SPLIT_CTE}
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+           p.jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    WHERE p.jaccard >= {DEDUP_CANON_T} AND sa.split <> sb.split
+    """,
+    tags=("dedup", "contamination", "evaluation"),
+    doc=f"Train/eval split-leakage audit: verified near-duplicate pairs "
+    f"(jaccard >= {DEDUP_CANON_T}, the keep-canonical threshold) that "
+    f"STRADDLE the canonical train/val/test hash split — the document "
+    f"the model trains on is the document it is evaluated on, the "
+    f"leak random splitting of a near-duplicated corpus is all but "
+    f"guaranteed to create. Composes minhash_lsh_pairs' machinery AND "
+    f"corpus.split_col / SQL_SPLIT_CTE verbatim, so the audit can "
+    f"drift from neither the dedup op nor the split rule it checks. "
+    f"Cost at 100 TB = the LSH pass plus two broadcast lookups of the "
+    f"hash split (computed per row, no split table to join).",
+)
+def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
+    sp = docs.select("doc_id", split_col().alias("split"))
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )

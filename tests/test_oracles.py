@@ -103,6 +103,7 @@ REPRESENTATIVE = [
     "fuzzy_decontamination",  # minhash-LSH eval-leak detection
     "lsh_bucket_audit",  # band-bucket histogram, dedup-join pre-flight
     "label_centroid_separation",  # Fisher-style class-separation matrix
+    "cross_split_leakage",  # near-dups straddling the train/val/test split
 ]
 
 
