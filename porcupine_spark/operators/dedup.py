@@ -1347,3 +1347,62 @@ def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
+
+
+PREFIX_K = 30  # tokens of leading context that define a "same opening"
+PREFIX_MIN = 10  # ignore docs too short for a meaningful prefix
+
+
+@query(
+    "prefix_dup_clusters",
+    f"""
+    WITH t AS (
+      SELECT doc_id, md5(trim(text)) AS full_h,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, full_h,
+             md5(array_to_string(toks[1:{PREFIX_K}], ' ')) AS prefix_h
+      FROM t WHERE len(toks) >= {PREFIX_MIN}
+    )
+    SELECT prefix_h, COUNT(*) AS n_docs,
+           COUNT(DISTINCT full_h) AS n_distinct_bodies,
+           MIN(doc_id) AS keep_id
+    FROM keyed
+    GROUP BY prefix_h
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("dedup",),
+    doc=f"Truncation/pagination duplicate detection: cluster documents "
+    f"by the md5 of their first {PREFIX_K} tokens (docs under "
+    f"{PREFIX_MIN} tokens ignored). Crawls produce families that "
+    f"share an opening but diverge later - truncated fetches, "
+    f"paginated articles, re-crawls with appended boilerplate; "
+    f"whole-text hashing calls them unique and shingle Jaccard "
+    f"dilutes with body length, but the shared prefix nails them. "
+    f"n_distinct_bodies > 1 separates true truncation families from "
+    f"plain exact-dup clusters. One shuffle on the 32-hex prefix "
+    f"digest - never the text bytes - so at 100 TB it costs the same "
+    f"as dedup_exact.",
+)
+def prefix_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.trim(F.col("text"))).alias("full_h"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, PREFIX_K))).alias("prefix_h"),
+        F.size(toks).alias("n"),
+    ).filter(F.col("n") >= PREFIX_MIN)
+    return (
+        keyed.groupBy("prefix_h")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("full_h").alias("n_distinct_bodies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

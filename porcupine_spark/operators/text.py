@@ -616,3 +616,81 @@ _REG["lang_agreement_matrix"].oracle = f"""
                 // COUNT(*) AS BIGINT) AS mean_confidence_micro
     FROM p GROUP BY lang_label, lang_pred
 """
+
+
+TRIM_PCT = 5  # winsorize 5% per tail
+
+
+@query(
+    "winsorized_length_stats",
+    f"""
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    b AS (
+      SELECT source, MAX(n) AS n,
+             MAX(CASE WHEN rn = n * {TRIM_PCT} // 100 + 1 THEN n_chars END) AS p_lo,
+             MAX(CASE WHEN rn = n - n * {TRIM_PCT} // 100 THEN n_chars END) AS p_hi
+      FROM r GROUP BY source
+    )
+    SELECT r.source, b.n AS n_docs, b.p_lo AS p05_chars, b.p_hi AS p95_chars,
+           CAST(CAST(SUM(r.n_chars) AS HUGEINT) * 1000000 // b.n AS BIGINT)
+             AS raw_mean_micro,
+           CAST(CAST(SUM(LEAST(GREATEST(r.n_chars, b.p_lo), b.p_hi)) AS HUGEINT)
+                * 1000000 // b.n AS BIGINT) AS winsorized_mean_micro
+    FROM r JOIN b ON b.source = r.source
+    GROUP BY r.source, b.n, b.p_lo, b.p_hi
+    """,
+    tags=("text", "quality", "monitoring"),
+    doc=f"Robust per-source length profile: exact {TRIM_PCT}/{100 - TRIM_PCT}"
+    f" order-statistic bounds (rank {TRIM_PCT}% trimmed symmetrically, "
+    f"doc_id tiebreak - deterministic, no interpolation convention to "
+    f"disagree on) and the winsorized mean next to the raw mean, both "
+    f"as integer micro-units via truncating division. A handful of "
+    f"10 MB outlier docs drags a raw length mean enough to mis-tune "
+    f"chunking and packing budgets; the winsorized mean doesn't move. "
+    f"Shape: ONE shuffle on source for the rank window (range-"
+    f"partitioned sort within source at scale), a |sources|-row bounds "
+    f"table joined back broadcast, one aggregation.",
+)
+def winsorized_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = W.partitionBy("source")
+    r = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    k = F.expr(f"n * {TRIM_PCT} div 100")
+    b = r.groupBy("source").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("n_chars"))).alias("p_lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("n_chars"))).alias("p_hi"),
+    )
+    clamped = F.least(F.greatest(F.col("n_chars"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        r.join(F.broadcast(b.select("source", "n", "p_lo", "p_hi")), ["source", "n"])
+        .groupBy("source", "n", "p_lo", "p_hi")
+        .agg(
+            F.expr("CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) * 1000000 div n"
+                   " AS DECIMAL(38,0))").cast("long").alias("raw_mean_micro"),
+            F.sum(clamped.cast("decimal(38,0)")).alias("wsum"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("p_lo").alias("p05_chars"),
+            F.col("p_hi").alias("p95_chars"),
+            "raw_mean_micro",
+            F.expr("CAST(wsum * 1000000 div n AS DECIMAL(38,0))")
+            .cast("long")
+            .alias("winsorized_mean_micro"),
+        )
+    )

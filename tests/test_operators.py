@@ -1173,3 +1173,21 @@ def test_fuzzy_decontamination_flags_planted_paraphrase(spark, tmp_path):
            for r in fuzzy_decontamination(spark, str(tmp_path)).collect()}
     assert (20, 0) in got and got[(20, 0)] > 0.5, got
     assert all(d != 21 for d, _ in got), got
+
+
+def test_winsorized_mean_resists_planted_outlier(spark, tmp_path):
+    """One absurd outlier doc moves the raw mean far more than the
+    winsorized mean (the reason robust stats tune packing budgets)."""
+    import pandas as pd
+
+    from porcupine_spark.operators.text import winsorized_length_stats
+
+    rows = [(i, "w " * 50, "en", "src", 100) for i in range(30)]
+    rows.append((99, "w " * 50, "en", "src", 1_000_000))  # planted outlier
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    r = winsorized_length_stats(spark, str(tmp_path)).collect()[0]
+    assert r.n_docs == 31
+    assert r.winsorized_mean_micro == 100 * 1_000_000  # clamp kills the outlier
+    assert r.raw_mean_micro > 30 * 1_000_000  # raw mean dragged >300x

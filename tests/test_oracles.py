@@ -104,6 +104,8 @@ REPRESENTATIVE = [
     "lsh_bucket_audit",  # band-bucket histogram, dedup-join pre-flight
     "label_centroid_separation",  # Fisher-style class-separation matrix
     "cross_split_leakage",  # near-dups straddling the train/val/test split
+    "prefix_dup_clusters",  # truncation-family dedup on prefix digests
+    "winsorized_length_stats",  # robust per-source length profile
 ]
 
 
