@@ -1420,3 +1420,172 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance_micro"),
         )
     )
+
+
+GROWTH_OCTILES = (1, 2, 4, 8)  # corpus prefixes: 1/8, 1/4, 1/2, all
+
+
+@query(
+    "vocab_growth_curve",
+    f"""
+    WITH fd AS (
+      SELECT tok, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, UNNEST({{toks}}) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ),
+    m AS (SELECT MAX(doc_id) AS mx FROM documents),
+    grid AS (
+      SELECT f, (SELECT mx FROM m) * f // 8 AS cutoff
+      FROM (VALUES (1), (2), (4), (8)) t(f)
+    ),
+    nd AS (
+      SELECT g.f, g.cutoff, COUNT(*) AS n_docs_prefix
+      FROM grid g JOIN documents d ON d.doc_id <= g.cutoff
+      GROUP BY g.f, g.cutoff
+    ),
+    vs AS (
+      SELECT g.f, COUNT(CASE WHEN fd.first_doc <= g.cutoff THEN 1 END) AS vocab_size
+      FROM grid g, fd GROUP BY g.f
+    )
+    SELECT nd.f AS octile, nd.cutoff AS max_doc_id, nd.n_docs_prefix, vs.vocab_size
+    FROM nd JOIN vs ON vs.f = nd.f
+    """.replace(
+        "{toks}", "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+    ),
+    tags=("corpus", "vocab", "monitoring"),
+    doc="Heaps-law vocabulary growth: distinct-token count after the "
+    "first 1/8, 1/4, 1/2 and all of the corpus (doc_id = ingest "
+    "order). A tokenizer/vocab budget sized on a sample extrapolates "
+    "along exactly this curve, and a kink in it means an ingest batch "
+    "changed the token distribution. Computed WITHOUT re-scanning per "
+    "prefix: one groupBy(token) records each token's FIRST document, "
+    "then the 4-row cutoff grid does conditional counts over the "
+    "vocab table - the corpus is tokenized once no matter how many "
+    "curve points are reported.",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fd = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    m = docs.agg(F.max("doc_id").alias("mx"))
+    grid = (
+        spark.createDataFrame([(f,) for f in GROWTH_OCTILES], "f int")
+        .crossJoin(F.broadcast(m))
+        .select("f", F.expr("mx * f div 8").alias("cutoff"))
+    )
+    nd = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(grid))
+        .filter(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("f", "cutoff")
+        .agg(F.count(F.lit(1)).alias("n_docs_prefix"))
+    )
+    vs = (
+        fd.crossJoin(F.broadcast(grid.select("f", F.col("cutoff").alias("cut2"))))
+        .groupBy("f")
+        .agg(
+            F.count(F.when(F.col("first_doc") <= F.col("cut2"), 1)).alias(
+                "vocab_size"
+            )
+        )
+    )
+    return nd.join(vs, "f").select(
+        F.col("f").alias("octile"),
+        F.col("cutoff").alias("max_doc_id"),
+        "n_docs_prefix",
+        "vocab_size",
+    )
+
+
+PPS_K = 25  # target sample size
+PPS_BUCKETS = 64  # prefix-sum buckets (sized ~sqrt(N) in production)
+
+
+@query(
+    "pps_systematic_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents WHERE n_chars > 0
+    ),
+    c AS (
+      SELECT doc_id, wt,
+             COALESCE(SUM(wt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cs,
+             SUM(wt) OVER () AS tot
+      FROM w
+    ),
+    p AS (
+      SELECT doc_id, wt, cs, GREATEST(1, tot // {PPS_K}) AS step FROM c
+    )
+    SELECT doc_id, wt AS weight,
+           CAST((cs + step - 1) // step AS BIGINT) AS first_pick,
+           CAST((cs + wt + step - 1) // step - (cs + step - 1) // step AS BIGINT)
+             AS n_picks
+    FROM p
+    WHERE (cs + wt + step - 1) // step > (cs + step - 1) // step
+    """,
+    tags=("sampling", "corpus"),
+    doc=f"Probability-proportional-to-size SYSTEMATIC sampling: lay the "
+    f"documents end to end by character mass (doc_id order), drop "
+    f"{PPS_K} equally-spaced grid points on the total, keep every doc "
+    f"whose interval contains a point - each doc selected with "
+    f"probability proportional to its size, count deterministic to "
+    f"within one, no RNG, reproducible across engines and cluster "
+    f"sizes (docs longer than the stride get n_picks > 1, exactly as "
+    f"PPS prescribes). The global running sum is computed as a "
+    f"DISTRIBUTED TWO-PHASE PREFIX: partition-parallel cumsum inside "
+    f"{PPS_BUCKETS} doc_id ranges plus an exclusive offset scan over "
+    f"the {PPS_BUCKETS}-row bucket-total table - the oracle's "
+    f"single-partition window is exactly what this shape avoids at "
+    f"100 TB, and the results are identical by construction.",
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id", F.col("n_chars").cast("long").alias("wt")
+    )
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    bucketed = w.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        "wt",
+        F.expr(f"doc_id div (mx div {PPS_BUCKETS} + 1)").alias("bkt"),
+    )
+    # phase 1: exclusive cumsum WITHIN each bucket (partition-parallel)
+    wb = (
+        W.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    inner = bucketed.withColumn(
+        "cumb", F.coalesce(F.sum("wt").over(wb), F.lit(0).cast("long"))
+    )
+    # phase 2: exclusive offsets over the bounded bucket-total table
+    bt = bucketed.groupBy("bkt").agg(F.sum("wt").alias("bsum"))
+    wo = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    wf = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offs = bt.select(
+        "bkt",
+        F.coalesce(F.sum("bsum").over(wo), F.lit(0).cast("long")).alias("boff"),
+        F.sum("bsum").over(wf).alias("tot"),
+    ).withColumn("step", F.expr(f"GREATEST(1, tot div {PPS_K})"))
+    j = inner.join(F.broadcast(offs), "bkt").select(
+        "doc_id",
+        "wt",
+        (F.col("boff") + F.col("cumb")).alias("cs"),
+        "step",
+    )
+    first = F.expr("(cs + step - 1) div step")
+    last = F.expr("(cs + wt + step - 1) div step")
+    return (
+        j.select(
+            "doc_id",
+            F.col("wt").alias("weight"),
+            first.cast("long").alias("first_pick"),
+            (last - first).cast("long").alias("n_picks"),
+        )
+        .filter(F.col("n_picks") > 0)
+    )

@@ -1191,3 +1191,22 @@ def test_winsorized_mean_resists_planted_outlier(spark, tmp_path):
     assert r.n_docs == 31
     assert r.winsorized_mean_micro == 100 * 1_000_000  # clamp kills the outlier
     assert r.raw_mean_micro > 30 * 1_000_000  # raw mean dragged >300x
+
+
+def test_pps_sample_proportional_on_skewed_corpus(spark, tmp_path):
+    """A doc holding ~half the corpus mass must receive ~half the grid
+    picks; total picks equals ceil(total/step) exactly (deterministic
+    to within one of the target)."""
+    import pandas as pd
+
+    from porcupine_spark.operators.corpus import PPS_K, pps_systematic_sample
+
+    rows = [(i, "x", "en", "src", 100) for i in range(50)]  # 5000 mass
+    rows.append((50, "x", "en", "src", 5000))  # one doc = half the corpus
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {r.doc_id: r.n_picks for r in pps_systematic_sample(spark, str(tmp_path)).collect()}
+    total, step = 10_000, max(1, 10_000 // PPS_K)
+    assert sum(out.values()) == (total + step - 1) // step
+    assert out.get(50, 0) >= PPS_K // 2 - 1  # big doc gets ~half the picks

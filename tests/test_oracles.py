@@ -106,6 +106,8 @@ REPRESENTATIVE = [
     "cross_split_leakage",  # near-dups straddling the train/val/test split
     "prefix_dup_clusters",  # truncation-family dedup on prefix digests
     "winsorized_length_stats",  # robust per-source length profile
+    "vocab_growth_curve",  # Heaps-law vocab growth, one tokenize pass
+    "pps_systematic_sample",  # deterministic PPS via two-phase prefix sum
 ]
 
 
