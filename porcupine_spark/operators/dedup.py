@@ -1406,3 +1406,133 @@ def prefix_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "neardup_edit_distance",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES}
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(da.text, db.text) AS edit_dist,
+           CAST(CAST(levenshtein(da.text, db.text) AS HUGEINT) * 1000000
+                // GREATEST(length(da.text), length(db.text)) AS BIGINT)
+             AS rel_edit_micro
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE p.jaccard >= {DEDUP_CANON_T}
+    """,
+    tags=("dedup", "lsh"),
+    doc=f"Character-level profile of the verified near-duplicate pairs: "
+    f"exact Levenshtein distance and its length-relative form (integer "
+    f"micro-units, truncating division) for every pair at jaccard >= "
+    f"{DEDUP_CANON_T}. Shingle Jaccard says WHETHER two docs overlap; "
+    f"edit distance says HOW they differ - a handful of substituted "
+    f"words (small distance: re-crawl, typo fix) warrants keep-one, "
+    f"while a large distance at high Jaccard means block-level "
+    f"rearrangement worth human eyes. The O(len^2) distance runs on "
+    f"CANDIDATE-SIZED input only (the LSH pass bounds it), never on "
+    f"the corpus; both engines implement the same classic DP, "
+    f"property-probed for parity.",
+)
+def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_dist"),
+            F.expr(
+                "CAST(CAST(levenshtein(text_a, text_b) AS DECIMAL(38,0)) * 1000000"
+                " div GREATEST(length(text_a), length(text_b)) AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("rel_edit_micro"),
+        )
+    )
+
+
+@query(
+    "cross_source_dup_matrix",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES},
+    verified AS (
+      SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+      WHERE p.jaccard >= {DEDUP_CANON_T}
+    ),
+    m AS (
+      SELECT LEAST(src_a, src_b) AS source_lo, GREATEST(src_a, src_b) AS source_hi,
+             COUNT(*) AS n_pairs
+      FROM verified GROUP BY LEAST(src_a, src_b), GREATEST(src_a, src_b)
+    ),
+    sz AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n FROM documents GROUP BY source)
+    SELECT m.source_lo, m.source_hi, m.n_pairs,
+           CAST(CASE WHEN m.source_lo = m.source_hi
+                     THEN sa.n * (sa.n - 1) // 2 ELSE sa.n * sb.n END AS BIGINT)
+             AS n_possible,
+           CAST(CAST(m.n_pairs AS HUGEINT) * 1000000000
+                // CASE WHEN m.source_lo = m.source_hi
+                        THEN sa.n * (sa.n - 1) // 2 ELSE sa.n * sb.n END AS BIGINT)
+             AS dup_rate_ppb
+    FROM m
+    JOIN sz sa ON sa.source = m.source_lo
+    JOIN sz sb ON sb.source = m.source_hi
+    """,
+    tags=("dedup", "lsh", "monitoring"),
+    doc=f"WHO duplicates WHOM: verified near-dup pairs (jaccard >= "
+    f"{DEDUP_CANON_T}) aggregated into a source x source matrix with "
+    f"the duplication rate in parts-per-billion of each pair's "
+    f"possible-pair space (same-source diagonal uses n*(n-1)/2). "
+    f"An off-diagonal hot cell is a mirror site / syndicated feed / "
+    f"scraper - the crawl-planning signal that says WHICH source to "
+    f"stop fetching, which per-pair dedup output alone doesn't "
+    f"surface. Cost: the LSH pass plus two digest-keyed lookups and "
+    f"a |sources|^2-bounded aggregation.",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    m = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    sz = docs.groupBy("source").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    za = sz.select(F.col("source").alias("source_lo"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("source_hi"), F.col("n").alias("nb"))
+    possible = F.expr(
+        "CASE WHEN source_lo = source_hi THEN na * (na - 1) div 2 ELSE na * nb END"
+    )
+    return (
+        m.join(F.broadcast(za), "source_lo")
+        .join(F.broadcast(zb), "source_hi")
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            possible.cast("long").alias("n_possible"),
+            F.expr(
+                "CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000000 div"
+                " (CASE WHEN source_lo = source_hi THEN na * (na - 1) div 2"
+                " ELSE na * nb END) AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("dup_rate_ppb"),
+        )
+    )

@@ -108,6 +108,8 @@ REPRESENTATIVE = [
     "winsorized_length_stats",  # robust per-source length profile
     "vocab_growth_curve",  # Heaps-law vocab growth, one tokenize pass
     "pps_systematic_sample",  # deterministic PPS via two-phase prefix sum
+    "neardup_edit_distance",  # Levenshtein profile of verified dup pairs
+    "cross_source_dup_matrix",  # who-duplicates-whom source matrix
 ]
 
 
