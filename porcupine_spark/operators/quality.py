@@ -215,3 +215,76 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("monetary").alias("min_monetary"),
         F.max("monetary").alias("max_monetary"),
     )
+
+
+# log10(1+1/d) in parts-per-million; the nine values sum to exactly 1e6
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+_BENFORD_SQL_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in enumerate(BENFORD_PPM, start=1)
+)
+
+
+@query(
+    "order_value_benford",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT digit, COUNT(*) AS n_orders FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT SUM(n_orders) AS t FROM counts),
+    expected(digit, benford_ppm) AS (VALUES {_BENFORD_SQL_VALUES})
+    SELECT e.digit,
+           COALESCE(c.n_orders, 0) AS n_orders,
+           CAST(COALESCE(c.n_orders, 0) * 1000000 // (SELECT t FROM tot) AS BIGINT)
+             AS observed_ppm,
+           CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+           CAST(COALESCE(c.n_orders, 0) * 1000000 // (SELECT t FROM tot)
+                - e.benford_ppm AS BIGINT) AS delta_ppm
+    FROM expected e LEFT JOIN counts c ON c.digit = e.digit
+    """,
+    tags=("quality", "monitoring"),
+    doc="Benford first-digit audit of order values: organically-priced "
+    "amounts follow log10(1+1/d); fabricated, capped, or unit-mangled "
+    "data does not, so a fat delta on one digit is a data-quality "
+    "alarm (the classic forensic-accounting test, applied as a DQ "
+    "monitor). First digit extracted INTEGER-SIDE: value*100 truncated "
+    "to cents (one IEEE multiply + trunc, convention-free both "
+    "engines), then the leading character of the integer's decimal "
+    "string - no log10, no float formatting. Expected shares are "
+    "fixed ppm literals summing to exactly 1e6. One groupBy on a "
+    "9-value key; output is 9 rows at any scale.",
+)
+def order_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.expr("CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING)"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = counts.agg(F.sum("n_orders").alias("t"))
+    expected = spark.createDataFrame(
+        [(d, p) for d, p in enumerate(BENFORD_PPM, start=1)],
+        "digit int, benford_ppm long",
+    )
+    return (
+        expected.join(counts, "digit", "left")
+        .withColumn("n_orders", F.coalesce("n_orders", F.lit(0).cast("long")))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("CAST(n_orders * 1000000 div t AS BIGINT)").alias("observed_ppm"),
+            "benford_ppm",
+            F.expr(
+                "CAST(n_orders * 1000000 div t - benford_ppm AS BIGINT)"
+            ).alias("delta_ppm"),
+        )
+    )

@@ -811,3 +811,78 @@ def top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
     return counted.orderBy(F.col("n_sessions").desc(), "path").limit(PATH_TOPK)
+
+
+BURST_FACTOR = 5  # flag when the peak hour is >5x the user's mean rate
+
+
+@query(
+    "event_rate_burst_users",
+    f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, epoch_us(ts) // 3600000000 AS hr
+      FROM events
+    ),
+    hourly AS (
+      SELECT user_id, hr, COUNT(*) AS c FROM e GROUP BY user_id, hr
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             COUNT(*) AS n_events,
+             (MAX(us) - MIN(us)) // 3600000000 + 1 AS span_hours
+      FROM e GROUP BY e.user_id
+    ),
+    peak AS (
+      SELECT user_id, MAX(c) AS peak_hour_events FROM hourly GROUP BY user_id
+    )
+    SELECT p.user_id, p.n_events, p.span_hours, k.peak_hour_events,
+           CAST(CAST(k.peak_hour_events AS HUGEINT) * p.span_hours * 1000000
+                // p.n_events AS BIGINT) AS burst_ratio_micro,
+           CAST(CASE WHEN CAST(k.peak_hour_events AS HUGEINT) * p.span_hours
+                          > {BURST_FACTOR} * CAST(p.n_events AS HUGEINT)
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+    FROM per_user p JOIN peak k USING (user_id)
+    """,
+    tags=("events", "monitoring", "quality"),
+    doc=f"Bot/abuse burst detection: a user whose single busiest hour "
+    f"holds more than {BURST_FACTOR}x their lifetime mean hourly rate "
+    f"(peak * span_hours > {BURST_FACTOR} * n, cross-multiplied - no "
+    f"division in the test) is flagged; the ratio is also reported in "
+    f"integer micro-units. Human activity spreads; scrapers and replay "
+    f"scripts spike. Two map-side-combined aggregations "
+    f"((user, hour) then user) - the hourly table is the shuffle "
+    f"payload and it is bounded by active user-hours, not events.",
+)
+def event_rate_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+    )
+    hourly = e.groupBy("user_id", "hr").agg(F.count(F.lit(1)).alias("c"))
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(MAX(us) - MIN(us)) div 3600000000 + 1").alias("span_hours"),
+    )
+    peak = hourly.groupBy("user_id").agg(F.max("c").alias("peak_hour_events"))
+    return (
+        per_user.join(peak, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "span_hours",
+            "peak_hour_events",
+            F.expr(
+                "CAST(CAST(peak_hour_events AS DECIMAL(38,0)) * span_hours"
+                " * 1000000 div n_events AS DECIMAL(38,0))"
+            )
+            .cast("long")
+            .alias("burst_ratio_micro"),
+            F.expr(
+                f"CAST(CASE WHEN CAST(peak_hour_events AS DECIMAL(38,0)) * span_hours"
+                f" > {BURST_FACTOR} * CAST(n_events AS DECIMAL(38,0))"
+                f" THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("flagged"),
+        )
+    )

@@ -110,6 +110,8 @@ REPRESENTATIVE = [
     "pps_systematic_sample",  # deterministic PPS via two-phase prefix sum
     "neardup_edit_distance",  # Levenshtein profile of verified dup pairs
     "cross_source_dup_matrix",  # who-duplicates-whom source matrix
+    "event_rate_burst_users",  # cross-multiplied bot-burst detector
+    "order_value_benford",  # integer-side Benford first-digit audit
 ]
 
 
