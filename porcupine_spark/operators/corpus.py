@@ -1589,3 +1589,110 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_picks") > 0)
     )
+
+
+COLLOC_MIN_N = 10  # bigram support floor: PMI/lift is noise below this
+COLLOC_TOPK = 20
+
+
+@query(
+    "bigram_collocations",
+    rf"""
+    WITH t AS (
+      SELECT string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i] || ' ' || ws[i + 1] AS gram
+      FROM t, UNNEST(range(1, len(ws))) AS r(i)
+      WHERE len(ws) >= 2
+    ),
+    bi AS (SELECT gram, MIN(w1) AS w1, MIN(w2) AS w2, COUNT(*) AS n_ab
+           FROM b GROUP BY gram),
+    uni AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT UNNEST(ws) AS tok FROM t) GROUP BY tok
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM uni) AS n_uni,
+             (SELECT CAST(SUM(n_ab) AS BIGINT) FROM bi) AS n_bi
+    ),
+    scored AS (
+      SELECT bi.gram, bi.n_ab, ua.n AS n_a, ub.n AS n_b,
+             CAST(CAST(bi.n_ab AS HUGEINT) * t.n_uni * t.n_uni * 1000000
+                  // (CAST(t.n_bi AS HUGEINT) * ua.n * ub.n) AS BIGINT)
+               AS lift_micro
+      FROM bi
+      JOIN uni ua ON ua.tok = bi.w1
+      JOIN uni ub ON ub.tok = bi.w2
+      CROSS JOIN tot t
+      WHERE bi.n_ab >= {COLLOC_MIN_N}
+    )
+    SELECT gram, n_ab, n_a, n_b, lift_micro,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            ORDER BY lift_micro DESC, gram) AS rk FROM scored)
+    WHERE rk <= {COLLOC_TOPK}
+    """,
+    tags=("corpus", "curation", "vocab"),
+    doc=f"Collocation extraction: top-{COLLOC_TOPK} bigrams by pointwise "
+    f"lift p(ab)/(p(a)p(b)) among those seen >= {COLLOC_MIN_N} times - "
+    f"the multi-word-expression miner that decides which token pairs "
+    f"a tokenizer (or a stop-phrase list) should treat as units. Lift "
+    f"is the exact integer cross-ratio n_ab*N_uni^2*1e6 div "
+    f"(N_bi*n_a*n_b) (PMI without the log - same ranking, hash-exact; "
+    f"magnitude bound: needs n_ab*N_uni^2*1e6 < 1e38, so rescale to "
+    f"milli-units past ~1e13 corpus tokens). Shape: one bigram count "
+    f"+ one unigram count (both map-side combined), two vocab-sized "
+    f"key joins, 1-row totals broadcast, top-k over the support-"
+    f"filtered survivors - the rank window runs on the >=min-support "
+    f"slice of the bigram table, never the corpus.",
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens(F.col("text"))
+    t = docs.select(ws.alias("ws"))
+    grams = t.select(F.explode(word_ngrams(F.col("ws"), 2)).alias("gram"))
+    bi = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .select(
+            "gram",
+            F.substring_index("gram", " ", 1).alias("w1"),
+            F.substring_index("gram", " ", -1).alias("w2"),
+            "n_ab",
+        )
+    )
+    uni = (
+        t.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = bi.agg(F.sum("n_ab").cast("long").alias("n_bi")).crossJoin(
+        F.broadcast(uni.agg(F.sum("n").cast("long").alias("n_uni")))
+    )
+    scored = (
+        bi.filter(F.col("n_ab") >= COLLOC_MIN_N)
+        .join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("n", "n_a"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("n", "n_b"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_uni * n_uni * 1000000"
+                " div (CAST(n_bi AS DECIMAL(38,0)) * n_a * n_b) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    r = scored.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.desc("lift_micro"), F.asc("gram"))).cast("long"),
+    )
+    return r.filter(F.col("rk") <= COLLOC_TOPK)

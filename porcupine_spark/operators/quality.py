@@ -228,7 +228,7 @@ _BENFORD_SQL_VALUES = ", ".join(
     "order_value_benford",
     f"""
     WITH digits AS (
-      SELECT CAST(substr(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR), 1, 1)
+      SELECT CAST(substr(CAST(CAST(TRUNC(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
                   AS INTEGER) AS digit
       FROM orders WHERE o_totalprice > 0
     ),
@@ -287,4 +287,63 @@ def order_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(n_orders * 1000000 div t - benford_ppm AS BIGINT)"
             ).alias("delta_ppm"),
         )
+    )
+
+
+@query(
+    "revenue_gini",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(TRUNC(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i
+      FROM per_cust
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_revenue_cents,
+           CAST((2 * SUM(CAST(i AS HUGEINT) * cents)
+                 - (COUNT(*) + 1) * CAST(SUM(cents) AS HUGEINT))
+                * 1000000 // (COUNT(*) * CAST(SUM(cents) AS HUGEINT))
+             AS BIGINT) AS gini_micro
+    FROM ranked
+    """,
+    tags=("quality", "monitoring", "orderstats"),
+    doc="Gini coefficient of revenue concentration across customers - "
+    "the one-number skew monitor (0 = uniform, ->1 = one whale): "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x))/(n*sum(x)) over ascending-"
+    "ranked per-customer revenue, custkey tiebreak so the rank (and "
+    "hence the statistic) is deterministic. The same number read two "
+    "ways: business concentration risk, and JOIN-KEY skew in the "
+    "exact form the salting/AQE decision needs. All integer: order "
+    "cents from one IEEE multiply + trunc, rank-weighted sums in "
+    "HUGEINT/decimal, micro-units by truncating division. Shape: one "
+    "customer aggregate (map-side combined), one rank window over the "
+    "|customers|-row aggregate (range-partitioned sort at scale - the "
+    "repo's range_partition_plan kernel), one final fold to a single "
+    "row.",
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(o_totalprice * 100 AS BIGINT)")).alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_revenue_cents"),
+        F.expr(
+            "CAST((2 * sum(CAST(i AS DECIMAL(38,0)) * cents)"
+            " - (count(1) + 1) * CAST(sum(cents) AS DECIMAL(38,0)))"
+            " * 1000000 div (count(1) * CAST(sum(cents) AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("gini_micro"),
     )

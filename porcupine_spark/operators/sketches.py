@@ -116,6 +116,122 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 8  # 2^8 = 256 registers: relative error ~ 1.04/sqrt(m) ~ 6.5%
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 60 - HLL_P  # hash bits left after the bucket index
+HLL_RHO_MAX = HLL_W_BITS + 1
+HLL_POW2_RHO_MAX = 1 << HLL_RHO_MAX
+# trunc(1e6 * 0.7213 / (1 + 1.079/m)) for m=256 — the standard HLL
+# bias constant (Flajolet et al. 2007) as a fixed ppm literal, so the
+# estimate is pure integer arithmetic on both engines
+HLL_ALPHA_PPM = 718272
+
+
+@query(
+    "hll_distinct_estimate",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT source,
+                   UNNEST(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    regs AS (
+      SELECT source, h % {HLL_M} AS bucket,
+             MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                      ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M}))
+                 END) AS mj
+      FROM toks GROUP BY source, h % {HLL_M}
+    ),
+    per_source AS (
+      SELECT source,
+             SUM(1::BIGINT << ({HLL_RHO_MAX} - mj))
+               + ({HLL_M} - COUNT(*)) * {HLL_POW2_RHO_MAX}::BIGINT AS s,
+             COUNT(*) AS n_buckets_hit
+      FROM regs GROUP BY source
+    ),
+    exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source)
+    SELECT e.source,
+           CAST(e.n_exact AS BIGINT) AS n_distinct_exact,
+           CAST(p.n_buckets_hit AS BIGINT) AS n_buckets_hit,
+           CAST({HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}
+                // p.s // 1000000 AS BIGINT) AS hll_estimate_raw,
+           CAST(ABS({HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}
+                    // p.s // 1000000 - e.n_exact)
+                * 1000000 // e.n_exact AS BIGINT) AS abs_err_micro
+    FROM exact e JOIN per_source p USING (source)
+    """,
+    tags=("sketch", "monitoring", "corpus"),
+    doc=f"HyperLogLog distinct-token calibration per source, next to "
+    f"KMV: {HLL_M} registers from a 60-bit token hash ({HLL_P} bucket "
+    f"bits; register = max leading-zero rank of the remaining "
+    f"{HLL_W_BITS} bits, via length(bin(w)) — identical minimal-binary "
+    f"semantics both engines), raw estimate alpha*m^2/sum(2^-Mj) with "
+    f"the harmonic sum carried EXACTLY as the integer "
+    f"sum(2^(rho_max-Mj)) over a common 2^{HLL_RHO_MAX} denominator "
+    f"and alpha as a fixed ppm literal - the whole estimator is "
+    f"integer-exact, so a second sketch family gets a hash oracle. "
+    f"Raw estimator only (no small-range linear counting, which needs "
+    f"ln - production applies it below 2.5m; the report flags that "
+    f"regime via n_buckets_hit < m). Production state is {HLL_M} "
+    f"bytes/group, merge = register-wise MAX - the mergeable-summary "
+    f"the 100 TB vocabulary census runs on; this calibration pays the "
+    f"exact side deliberately to validate register sizing.",
+)
+def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        "source",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    regs = (
+        hashed.select(
+            "source",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+                    F.lit(HLL_RHO_MAX) - F.length(F.bin("w"))
+                )
+            ).alias("mj")
+        )
+    )
+    per_source = regs.groupBy("source").agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - mj)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(HLL_POW2_RHO_MAX)
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+    )
+    exact = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.expr(
+        f"CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {HLL_M * HLL_M}"
+        f" * {HLL_POW2_RHO_MAX} div s div 1000000"
+    )
+    return (
+        exact.join(per_source, "source")
+        .withColumn("est", est)
+        .select(
+            "source",
+            F.col("n_exact").alias("n_distinct_exact"),
+            "n_buckets_hit",
+            F.col("est").cast("long").alias("hll_estimate_raw"),
+            F.expr("abs(est - n_exact) * 1000000 div n_exact")
+            .cast("long")
+            .alias("abs_err_micro"),
+        )
+    )
+
+
 MG_CAPACITY = 2000  # Misra-Gries counters per partition
 
 
@@ -203,4 +319,64 @@ def frequent_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .filter(F.col("n_occurrences") * (MG_CAPACITY + 1) > F.col("n"))
         .select("tok", "n_occurrences")
+    )
+
+
+@query(
+    "vocab_chao1_richness",
+    r"""
+    WITH counts AS (
+      SELECT source, tok, COUNT(*) AS n
+      FROM (SELECT source,
+                   UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+      GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct_obs,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1_singletons,
+           CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2_doubletons,
+           CAST(COUNT(*)
+                + SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                  * (SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1)
+                  // (2 * (SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1))
+             AS BIGINT) AS chao1_estimate
+    FROM counts GROUP BY source
+    """,
+    tags=("sketch", "corpus", "vocab"),
+    doc="Chao1 species-richness estimate of each source's UNSEEN "
+    "vocabulary: chao1 = D + f1*(f1-1)/(2*(f2+1)) (bias-corrected "
+    "form - never divides by zero) from the observed distinct count "
+    "and the singleton/doubleton abundances. Where vocab_growth_curve "
+    "measures how vocabulary grew over the crawl you HAVE, Chao1 "
+    "extrapolates how much a source still holds - a source whose "
+    "chao1 is far above its observed D rewards more crawling; one "
+    "near D is exhausted. The estimator is pure integer arithmetic "
+    "(truncating division), so it carries an exact oracle. Shape: one "
+    "(source, tok) count (map-side combined), then a |vocab|-row "
+    "aggregation to 4 integers per source - no windows, no sort.",
+)
+def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    f1 = F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+    f2 = F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+    return counts.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_obs"),
+        f1.cast("long").alias("f1_singletons"),
+        f2.cast("long").alias("f2_doubletons"),
+        F.expr(
+            "CAST(count(1)"
+            " + sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+            "   * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1)"
+            "   div (2 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1))"
+            " AS BIGINT)"
+        ).alias("chao1_estimate"),
     )

@@ -694,3 +694,93 @@ def winsorized_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("winsorized_mean_micro"),
         )
     )
+
+
+@query(
+    "lang_id_kappa",
+    None,  # late-bound below: composes lang_id's oracle verbatim
+    tags=("text", "evaluation", "monitoring"),
+    doc="Cohen's kappa between the upstream language labels and the "
+    "heuristic classifier on the decision that actually gates "
+    "curation: is-English vs other (label 'en' vs prediction "
+    "'en-like'). Raw agreement flatters a skewed corpus - a filter "
+    "that says 'other' always scores high agreement when English is "
+    "rare; kappa subtracts the chance-agreement floor p_e computed "
+    "from both marginals. Exact integers end-to-end: kappa = "
+    "(po-pe)/(1-pe) cross-multiplied to (A*N - P)*1e6 div (N^2 - P) "
+    "with A the agree count and P = sum_k row_k*col_k, so the "
+    "statistic carries a hash oracle. Composes lang_id's verified "
+    "builder; the whole computation past scoring is two marginal "
+    "aggregates of a 2x2 table - constant-size output at any corpus.",
+)
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    preds = lang_id(spark, sf_dir)
+    b = preds.select(
+        F.when(F.col("lang_label") == "en", "en").otherwise("other").alias("y"),
+        F.when(F.col("lang_pred") == "en-like", "en").otherwise("other").alias("p"),
+    )
+    cells = b.groupBy("y", "p").agg(F.count(F.lit(1)).alias("n"))
+    return cells.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("y") == F.col("p"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN y = p THEN n ELSE 0 END) * 1000000"
+            " div sum(n) AS BIGINT)"
+        ).alias("po_micro"),
+        F.expr(
+            "CAST((sum(CASE WHEN y = 'en' THEN n ELSE 0 END)"
+            "      * CAST(sum(CASE WHEN p = 'en' THEN n ELSE 0 END) AS DECIMAL(38,0))"
+            "    + sum(CASE WHEN y = 'other' THEN n ELSE 0 END)"
+            "      * CAST(sum(CASE WHEN p = 'other' THEN n ELSE 0 END) AS DECIMAL(38,0)))"
+            " * 1000000 div (CAST(sum(n) AS DECIMAL(38,0)) * sum(n)) AS BIGINT)"
+        ).alias("pe_micro"),
+        F.expr(
+            "CAST((CAST(sum(CASE WHEN y = p THEN n ELSE 0 END) AS DECIMAL(38,0)) * sum(n)"
+            "    - (sum(CASE WHEN y = 'en' THEN n ELSE 0 END)"
+            "       * CAST(sum(CASE WHEN p = 'en' THEN n ELSE 0 END) AS DECIMAL(38,0))"
+            "     + sum(CASE WHEN y = 'other' THEN n ELSE 0 END)"
+            "       * CAST(sum(CASE WHEN p = 'other' THEN n ELSE 0 END) AS DECIMAL(38,0))))"
+            " * 1000000"
+            " div (CAST(sum(n) AS DECIMAL(38,0)) * sum(n)"
+            "    - (sum(CASE WHEN y = 'en' THEN n ELSE 0 END)"
+            "       * CAST(sum(CASE WHEN p = 'en' THEN n ELSE 0 END) AS DECIMAL(38,0))"
+            "     + sum(CASE WHEN y = 'other' THEN n ELSE 0 END)"
+            "       * CAST(sum(CASE WHEN p = 'other' THEN n ELSE 0 END) AS DECIMAL(38,0))))"
+            " AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+_REG["lang_id_kappa"].oracle = f"""
+    WITH p0 AS ({_REG["lang_id"].oracle}),
+    b AS (
+      SELECT CASE WHEN lang_label = 'en' THEN 'en' ELSE 'other' END AS y,
+             CASE WHEN lang_pred = 'en-like' THEN 'en' ELSE 'other' END AS p
+      FROM p0
+    ),
+    cells AS (SELECT y, p, COUNT(*) AS n FROM b GROUP BY y, p)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y = p THEN n ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN y = p THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS po_micro,
+           CAST((SUM(CASE WHEN y = 'en' THEN n ELSE 0 END)
+                   * CAST(SUM(CASE WHEN p = 'en' THEN n ELSE 0 END) AS HUGEINT)
+                 + SUM(CASE WHEN y = 'other' THEN n ELSE 0 END)
+                   * CAST(SUM(CASE WHEN p = 'other' THEN n ELSE 0 END) AS HUGEINT))
+                * 1000000 // (CAST(SUM(n) AS HUGEINT) * SUM(n)) AS BIGINT) AS pe_micro,
+           CAST((CAST(SUM(CASE WHEN y = p THEN n ELSE 0 END) AS HUGEINT) * SUM(n)
+                 - (SUM(CASE WHEN y = 'en' THEN n ELSE 0 END)
+                      * CAST(SUM(CASE WHEN p = 'en' THEN n ELSE 0 END) AS HUGEINT)
+                    + SUM(CASE WHEN y = 'other' THEN n ELSE 0 END)
+                      * CAST(SUM(CASE WHEN p = 'other' THEN n ELSE 0 END) AS HUGEINT)))
+                * 1000000
+                // (CAST(SUM(n) AS HUGEINT) * SUM(n)
+                    - (SUM(CASE WHEN y = 'en' THEN n ELSE 0 END)
+                         * CAST(SUM(CASE WHEN p = 'en' THEN n ELSE 0 END) AS HUGEINT)
+                       + SUM(CASE WHEN y = 'other' THEN n ELSE 0 END)
+                         * CAST(SUM(CASE WHEN p = 'other' THEN n ELSE 0 END) AS HUGEINT)))
+                AS BIGINT) AS kappa_micro
+    FROM cells
+"""

@@ -112,6 +112,11 @@ REPRESENTATIVE = [
     "cross_source_dup_matrix",  # who-duplicates-whom source matrix
     "event_rate_burst_users",  # cross-multiplied bot-burst detector
     "order_value_benford",  # integer-side Benford first-digit audit
+    "hll_distinct_estimate",  # integer-exact HyperLogLog calibration
+    "vocab_chao1_richness",  # Chao1 unseen-vocabulary estimator
+    "revenue_gini",  # rank-weighted integer Gini concentration
+    "lang_id_kappa",  # chance-corrected label/classifier agreement
+    "bigram_collocations",  # integer-lift collocation extraction
 ]
 
 
