@@ -1536,3 +1536,98 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_rate_ppb"),
         )
     )
+
+
+@query(
+    "source_length_dup_corr",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES},
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs WHERE jaccard >= {DEDUP_CANON_T}
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs WHERE jaccard >= {DEDUP_CANON_T}
+      )
+    ),
+    per_source AS (
+      SELECT d.source,
+             CAST(SUM(d.n_chars) // COUNT(*) AS BIGINT) AS x,
+             CAST(COUNT(*) FILTER (WHERE dd.doc_id IS NOT NULL) * 1000000
+                  // COUNT(*) AS BIGINT) AS y
+      FROM documents d LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+      GROUP BY d.source
+    ),
+    moments AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(y * y) AS HUGEINT) AS syy
+      FROM per_source
+    )
+    SELECT CAST(n AS BIGINT) AS n_sources,
+           CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+                     ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                          * (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                          // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                END AS BIGINT) AS r2_signed_micro,
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                     ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                END AS BIGINT) AS slope_ppm_per_char
+    FROM moments
+    """,
+    tags=("dedup", "monitoring", "evaluation"),
+    doc=f"Does a source's mean document length predict its duplication "
+    f"rate? Signed Pearson r^2 (and the regression slope) between "
+    f"per-source mean length and the fraction of the source's docs in "
+    f"any verified near-dup pair (jaccard >= {DEDUP_CANON_T}). A "
+    f"strong positive slope means boilerplate-heavy long docs drive "
+    f"duplication (fix extraction); negative means stub/short-page "
+    f"mirroring (fix crawl frontier). Exact integers end-to-end: the "
+    f"correlates are coarse integer units (mean chars, dup ppm), r^2 "
+    f"is the cross-multiplied rational cov^2/(vx*vy) with the sign "
+    f"carried separately - a CORRELATION gets a hash oracle because "
+    f"the moment sums over the |sources|-row table stay bounded. "
+    f"Cost: the LSH pass + one semi-join flag + a |sources|-row "
+    f"moment fold; the pair table never re-shuffles by doc.",
+)
+def source_length_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # No broadcast hint: the dup set grows with the corpus; AQE picks
+    # broadcast only when the verified-pair table is actually small.
+    flagged = docs.join(dup_docs.withColumn("is_dup", F.lit(1)), "doc_id", "left")
+    per_source = flagged.groupBy("source").agg(
+        F.expr("CAST(SUM(n_chars) div COUNT(1) AS BIGINT)").alias("x"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_dup IS NOT NULL THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(1) AS BIGINT)"
+        ).alias("y"),
+    )
+    m = per_source.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_sources"),
+        F.expr(
+            "CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0"
+            " ELSE (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)"
+            " * (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000"
+            " div ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS BIGINT)"
+        ).alias("r2_signed_micro"),
+        F.expr(
+            "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0"
+            " ELSE (n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+            " END AS BIGINT)"
+        ).alias("slope_ppm_per_char"),
+    )

@@ -784,3 +784,154 @@ _REG["lang_id_kappa"].oracle = f"""
                 AS BIGINT) AS kappa_micro
     FROM cells
 """
+
+
+@query(
+    "tokenizer_fertility",
+    r"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+               AS n_ws,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_re,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS n_tokens_ws,
+           CAST(SUM(n_re) AS BIGINT) AS n_tokens_re,
+           CAST(CAST(SUM(n_re) AS HUGEINT) * 1000000 // SUM(n_ws) AS BIGINT)
+             AS fertility_micro,
+           CAST(CAST(SUM(n_chars) AS HUGEINT) * 1000000 // SUM(n_re) AS BIGINT)
+             AS chars_per_token_micro
+    FROM t GROUP BY lang
+    """,
+    tags=("text", "tokens", "monitoring"),
+    doc="Tokenizer fertility per language: BPE-ish subword tokens per "
+    "whitespace word (and chars per subword token), in integer "
+    "micro-units via truncating division. Fertility is THE per-"
+    "language cost multiplier - a language at 2x fertility burns 2x "
+    "context window and 2x training compute per word, so mixing "
+    "budgets quoted in 'tokens' silently under-sample it; this report "
+    "feeds the token_budget_waterfill planner per-language instead of "
+    "per-source. Zero joins: one pass computing both tokenizations "
+    "per row, one |langs|-key map-side-combined aggregation.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(tokens(F.col("text")))
+    n_re = F.size(F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+    t = docs.select(
+        "lang",
+        n_ws.alias("n_ws"),
+        n_re.alias("n_re"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("n_tokens_ws"),
+        F.sum("n_re").cast("long").alias("n_tokens_re"),
+        F.expr(
+            "CAST(CAST(sum(n_re) AS DECIMAL(38,0)) * 1000000 div sum(n_ws) AS BIGINT)"
+        ).alias("fertility_micro"),
+        F.expr(
+            "CAST(CAST(sum(n_chars) AS DECIMAL(38,0)) * 1000000 div sum(n_re) AS BIGINT)"
+        ).alias("chars_per_token_micro"),
+    )
+
+
+@query(
+    "doc_length_mad",
+    """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    med AS (
+      SELECT source, MAX(n) AS n_docs,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median_chars
+      FROM r GROUP BY source
+    ),
+    dev AS (
+      SELECT r.source, ABS(r.n_chars - m.median_chars) AS d, r.doc_id
+      FROM r JOIN med m ON m.source = r.source
+    ),
+    rd AS (
+      SELECT source, d,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY d, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM dev
+    )
+    SELECT m.source, m.n_docs, m.median_chars,
+           MAX(CASE WHEN rd.rn = (rd.n + 1) // 2 THEN rd.d END) AS mad_chars,
+           CAST(CAST(MAX(CASE WHEN rd.rn = (rd.n + 1) // 2 THEN rd.d END) AS HUGEINT)
+                * 1000000 // m.median_chars AS BIGINT) AS mad_over_median_micro
+    FROM rd JOIN med m ON m.source = rd.source
+    GROUP BY m.source, m.n_docs, m.median_chars
+    """,
+    tags=("text", "quality", "orderstats"),
+    doc="Median absolute deviation of document length per source - the "
+    "fully robust dispersion number (50% breakdown point; stddev and "
+    "even the winsorized mean move under coordinated outliers, the "
+    "MAD does not), plus MAD/median in integer micro-units as the "
+    "scale-free spread comparable across sources. EXACT lower-median "
+    "convention both passes (rank (n+1)//2, doc_id tiebreak - no "
+    "interpolation convention to disagree on), so the whole statistic "
+    "is integers. Shape: two rank windows partitioned by source "
+    "(range-partitioned sorts at scale) with a broadcast "
+    "|sources|-row median table between them - the two-pass "
+    "order-statistic discipline of winsorized_length_stats, one "
+    "deviation step deeper.",
+)
+def doc_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    wr = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = W.partitionBy("source")
+    r = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    med = r.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("n_chars"))
+        ).alias("median_chars"),
+    )
+    dev = r.join(F.broadcast(med), "source").select(
+        "source",
+        "doc_id",
+        F.abs(F.col("n_chars") - F.col("median_chars")).alias("d"),
+    )
+    wd = W.partitionBy("source").orderBy("d", "doc_id")
+    rd = dev.select(
+        "source",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    mad = rd.groupBy("source").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d"))).alias(
+            "mad_chars"
+        )
+    )
+    return (
+        med.join(mad, "source")
+        .select(
+            "source",
+            "n_docs",
+            "median_chars",
+            "mad_chars",
+            F.expr(
+                "CAST(CAST(mad_chars AS DECIMAL(38,0)) * 1000000"
+                " div median_chars AS BIGINT)"
+            ).alias("mad_over_median_micro"),
+        )
+    )

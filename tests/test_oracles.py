@@ -117,6 +117,9 @@ REPRESENTATIVE = [
     "revenue_gini",  # rank-weighted integer Gini concentration
     "lang_id_kappa",  # chance-corrected label/classifier agreement
     "bigram_collocations",  # integer-lift collocation extraction
+    "tokenizer_fertility",  # per-language subword cost multiplier
+    "doc_length_mad",  # exact two-pass median absolute deviation
+    "source_length_dup_corr",  # exact signed r2 over source aggregates
 ]
 
 
