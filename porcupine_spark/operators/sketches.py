@@ -380,3 +380,176 @@ def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("chao1_estimate"),
     )
+
+
+OVL_K = 256  # pair-overlap sketch size
+
+
+@query(
+    "kmv_overlap_estimate",
+    rf"""
+    WITH t AS (
+      SELECT source,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]), 1, 15))
+                  AS BIGINT) AS h
+      FROM t, UNNEST(range(1, len(ws) - 1)) AS r(i)
+      WHERE len(ws) >= 3
+    ),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM toks)
+      WHERE rk <= {OVL_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    u0 AS (
+      SELECT p.source_a, p.source_b, s.h, 'A' AS side
+      FROM pairs p JOIN sk s ON s.source = p.source_a
+      UNION ALL
+      SELECT p.source_a, p.source_b, s.h, 'B' AS side
+      FROM pairs p JOIN sk s ON s.source = p.source_b
+    ),
+    u1 AS (
+      SELECT source_a, source_b, h,
+             CASE WHEN COUNT(DISTINCT side) = 2 THEN 1 ELSE 0 END AS in_both
+      FROM u0 GROUP BY source_a, source_b, h
+    ),
+    u2 AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY source_a, source_b ORDER BY h) AS rk,
+             COUNT(*) OVER (PARTITION BY source_a, source_b) AS n_u
+      FROM u1
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             MAX(CASE WHEN rk = LEAST(n_u, {OVL_K}) THEN h END) AS h_k,
+             MAX(n_u) AS n_u,
+             SUM(CASE WHEN rk <= LEAST(n_u, {OVL_K}) THEN in_both ELSE 0 END) AS j,
+             LEAST(MAX(n_u), {OVL_K}) AS kk
+      FROM u2 GROUP BY source_a, source_b
+    ),
+    ex AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS exact_overlap
+      FROM toks a JOIN toks b ON b.h = a.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT e.source_a, e.source_b,
+           CAST(COALESCE(x.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+           CAST(e.j AS BIGINT) AS j_shared_in_sketch,
+           CAST(e.j * 1000000 // e.kk AS BIGINT) AS jaccard_est_micro,
+           CAST(CASE WHEN e.n_u < {OVL_K} THEN e.j
+                     ELSE e.j * (CAST({OVL_K - 1} AS HUGEINT) * {KMV_M} // e.h_k)
+                          // {OVL_K}
+                END AS BIGINT) AS overlap_estimate
+    FROM est e LEFT JOIN ex x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+    """,
+    tags=("sketch", "corpus", "dedup"),
+    doc=f"KMV set algebra (Beyer et al. 2007): estimated distinct "
+    f"word-3-gram (shingle) overlap for every source pair from "
+    f"{OVL_K}-min sketches ALONE - the k smallest hashes of the union of two "
+    f"k-min sketches are exactly the union's k-min sketch, the "
+    f"fraction of that sample present in both sides estimates "
+    f"Jaccard, and intersection = jaccard x the union's KMV "
+    f"cardinality estimate. Everything is order statistics + integer "
+    f"division, so the sketch-algebra pipeline carries a hash oracle; "
+    f"the exact overlap rides alongside as calibration (paid "
+    f"deliberately - it is the quantity production AVOIDS computing: "
+    f"per-pair state is 2k longs vs a vocabulary-wide join, the "
+    f"crawl-overlap triage at 100 TB). Pair fan-out is |sources|^2 x "
+    f"k rows - bounded by the source census, not the corpus.",
+)
+def kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "source",
+        F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("g"),
+    )
+    hashed = grams.select(
+        "source",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    sk = (
+        hashed.withColumn(
+            "rk", F.row_number().over(W.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("rk") <= OVL_K)
+        .drop("rk")
+    )
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .crossJoin(F.broadcast(srcs.alias("b")))
+        .filter(F.expr("a.source < b.source"))
+        .select(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+    )
+    part_a = pairs.join(
+        sk.withColumnRenamed("source", "source_a"), "source_a"
+    ).select("source_a", "source_b", "h", F.lit("A").alias("side"))
+    part_b = pairs.join(
+        sk.withColumnRenamed("source", "source_b"), "source_b"
+    ).select("source_a", "source_b", "h", F.lit("B").alias("side"))
+    u1 = (
+        part_a.unionAll(part_b)
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.when(F.countDistinct("side") == 2, 1).otherwise(0).alias("in_both")
+        )
+    )
+    wp = W.partitionBy("source_a", "source_b")
+    u2 = u1.select(
+        "source_a",
+        "source_b",
+        "h",
+        "in_both",
+        F.row_number().over(wp.orderBy("h")).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n_u"),
+    )
+    est = u2.groupBy("source_a", "source_b").agg(
+        F.max(
+            F.when(F.col("rk") == F.least(F.col("n_u"), F.lit(OVL_K)), F.col("h"))
+        ).alias("h_k"),
+        F.max("n_u").alias("n_u"),
+        F.sum(
+            F.when(
+                F.col("rk") <= F.least(F.col("n_u"), F.lit(OVL_K)), F.col("in_both")
+            ).otherwise(0)
+        ).alias("j"),
+        F.least(F.max("n_u"), F.lit(OVL_K)).alias("kk"),
+    )
+    ha = hashed.select(F.col("source").alias("source_a"), "h")
+    hb = hashed.select(F.col("source").alias("source_b"), "h")
+    ex = (
+        ha.join(hb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        est.join(ex, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("exact_overlap", F.lit(0)).cast("long").alias("exact_overlap"),
+            F.col("j").cast("long").alias("j_shared_in_sketch"),
+            F.expr("CAST(j * 1000000 div kk AS BIGINT)").alias("jaccard_est_micro"),
+            F.expr(
+                f"CAST(CASE WHEN n_u < {OVL_K} THEN j"
+                f" ELSE j * (CAST({OVL_K - 1} AS DECIMAL(38,0)) * {KMV_M} div h_k)"
+                f" div {OVL_K} END AS BIGINT)"
+            ).alias("overlap_estimate"),
+        )
+    )

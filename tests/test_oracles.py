@@ -120,6 +120,7 @@ REPRESENTATIVE = [
     "tokenizer_fertility",  # per-language subword cost multiplier
     "doc_length_mad",  # exact two-pass median absolute deviation
     "source_length_dup_corr",  # exact signed r2 over source aggregates
+    "kmv_overlap_estimate",  # KMV set-algebra pairwise shingle overlap
 ]
 
 
