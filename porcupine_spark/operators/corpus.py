@@ -1696,3 +1696,114 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(W.orderBy(F.desc("lift_micro"), F.asc("gram"))).cast("long"),
     )
     return r.filter(F.col("rk") <= COLLOC_TOPK)
+
+
+RRF_K = 60  # the standard RRF dampening constant (Cormack et al. 2009)
+RRF_TOPK = 10
+
+
+@query(
+    "rrf_fusion_topk",
+    None,  # late-bound below: composes bm25_topk's oracle verbatim
+    tags=("corpus", "retrieval", "curation"),
+    doc=f"Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval "
+    f"systems over the same query terms: the BM25 top-{BM25_K} "
+    f"(composed from the verified bm25_topk builder) fused with a "
+    f"term-density ranking (matched-term tf x 1e6 div doc length - "
+    f"the cheap lexical system BM25 is usually fused against). "
+    f"rrf = sum over systems of 1e9 div ({RRF_K} + rank) - fixed-"
+    f"point integer reciprocals, so the fusion is hash-exact; absent "
+    f"docs contribute 0, ranks are doc_id-tiebroken. RRF is the "
+    f"standard way to combine lexical + semantic retrieval for "
+    f"decontamination-by-retrieval without score normalization "
+    f"(ranks commensurate, scores not). Cost: each system is top-K "
+    f"(per-partition top-k then merge), the fusion joins two "
+    f"{BM25_K}-row lists - constant-size past the scans.",
+)
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_scaled"), F.asc("doc_id")))
+        .alias("rank_a"),
+    )
+    qterms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("dl"),
+        F.size(
+            F.filter(tokens(F.col("text")), lambda t: F.array_contains(qterms, t))
+        ).alias("tf"),
+    ).filter(F.col("tf") > 0)
+    b = (
+        base.select(
+            "doc_id", F.expr("CAST(tf AS DECIMAL(38,0)) * 1000000 div dl").alias("s")
+        )
+        .withColumn(
+            "rank_b", F.row_number().over(W.orderBy(F.desc("s"), F.asc("doc_id")))
+        )
+        .filter(F.col("rank_b") <= BM25_K)
+        .select("doc_id", "rank_b")
+    )
+    fused = (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_a", F.lit(0)).cast("long").alias("rank_bm25"),
+            F.coalesce("rank_b", F.lit(0)).cast("long").alias("rank_density"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000000 div ({RRF_K} + rank_a)"), F.lit(0)
+                )
+                + F.coalesce(F.expr(f"1000000000 div ({RRF_K} + rank_b)"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_nano"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("rrf_nano"), F.asc("doc_id")))
+        )
+        .filter(F.col("rk") <= RRF_TOPK)
+        .select("doc_id", "rank_bm25", "rank_density", "rrf_nano", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+from porcupine_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["rrf_fusion_topk"].oracle = f"""
+    WITH bm25 AS ({_REG["bm25_topk"].oracle}),
+    a AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_scaled DESC, doc_id) AS rank_a
+      FROM bm25
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS dl,
+             len(list_filter(toks, t -> t IN ('join', 'hash', 'scan'))) AS tf
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents)
+    ),
+    b AS (
+      SELECT doc_id, rank_b FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST(tf AS HUGEINT) * 1000000 // dl DESC, doc_id) AS rank_b
+        FROM base WHERE tf > 0)
+      WHERE rank_b <= {BM25_K}
+    ),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CAST(COALESCE(a.rank_a, 0) AS BIGINT) AS rank_bm25,
+             CAST(COALESCE(b.rank_b, 0) AS BIGINT) AS rank_density,
+             CAST(COALESCE(1000000000 // ({RRF_K} + a.rank_a), 0)
+                  + COALESCE(1000000000 // ({RRF_K} + b.rank_b), 0) AS BIGINT)
+               AS rrf_nano
+      FROM a FULL OUTER JOIN b ON b.doc_id = a.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_density, rrf_nano, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id) AS rk FROM fused)
+    WHERE rk <= {RRF_TOPK}
+"""

@@ -347,3 +347,70 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("gini_micro"),
     )
+
+
+KANON_K = 5  # minimum safe group size
+KANON_BAND = 100000  # acctbal generalization band: 1000 currency units in cents
+
+
+@query(
+    "k_anonymity_audit",
+    f"""
+    WITH q AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(TRUNC(c_acctbal * 100) AS BIGINT) // {KANON_BAND} AS bal_band
+      FROM customer
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, COUNT(*) AS grp_n
+      FROM q GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_k,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN grp_n < {KANON_K} THEN grp_n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(SUM(CASE WHEN grp_n < {KANON_K} THEN grp_n ELSE 0 END) * 1000000
+                // SUM(grp_n) AS BIGINT) AS risk_ppm,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size
+    FROM g
+    """,
+    tags=("quality", "privacy", "monitoring"),
+    doc=f"k-anonymity audit of the customer table under the quasi-"
+    f"identifier (nation, market segment, account-balance band of "
+    f"1000 units): how many equivalence classes fall below k={KANON_K} "
+    f"members and what fraction of rows they re-identify - the "
+    f"release-gate check before customer-derived features join a "
+    f"training set (a row alone in its quasi-identifier cell is "
+    f"linkable even with direct identifiers dropped). The "
+    f"generalization banding is integer-side (cents div {KANON_BAND}, "
+    f"trunc before div - convention-free both engines). One "
+    f"quasi-id groupBy (map-side combined) + one constant-row fold; "
+    f"the audit output is a single row at any scale.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        # Spark CAST(double AS BIGINT) truncates (DuckDB's rounds, hence
+        # the TRUNC in the oracle); trunc() in Spark SQL is date-only.
+        F.expr(f"CAST(c_acctbal * 100 AS BIGINT) div {KANON_BAND}").alias("bal_band"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    below = F.sum(F.when(F.col("grp_n") < KANON_K, 1).otherwise(0))
+    risk_rows = F.sum(F.when(F.col("grp_n") < KANON_K, F.col("grp_n")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        below.cast("long").alias("n_groups_below_k"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+        risk_rows.cast("long").alias("n_rows_at_risk"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp_n < {KANON_K} THEN grp_n ELSE 0 END) * 1000000"
+            f" div SUM(grp_n) AS BIGINT)"
+        ).alias("risk_ppm"),
+        F.min("grp_n").cast("long").alias("min_group_size"),
+    )

@@ -553,3 +553,130 @@ def kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_estimate"),
         )
     )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+CMS_TOPN = 10  # calibration targets: exact top-N tokens
+
+_CMS_SALTS = tuple(f"s{i}" for i in range(CMS_D))
+
+
+@query(
+    "cms_frequency_estimate",
+    rf"""
+    WITH toks AS (
+      SELECT UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ),
+    clean AS (SELECT tok FROM toks WHERE tok <> ''),
+    hashes AS (
+      SELECT tok, i,
+             CAST(concat('0x', substr(md5('s' || i || tok), 1, 15)) AS BIGINT)
+               % {CMS_W} AS bucket
+      FROM clean, UNNEST(range(0, {CMS_D})) AS r(i)
+    ),
+    cells AS (
+      SELECT i, bucket, COUNT(*) AS c FROM hashes GROUP BY i, bucket
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) AS n_exact,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+      FROM clean GROUP BY tok
+    ),
+    top AS (SELECT tok, n_exact, rk FROM exact WHERE rk <= {CMS_TOPN}),
+    probes AS (
+      SELECT t.tok, t.n_exact, t.rk, h.i,
+             CAST(concat('0x', substr(md5('s' || h.i || t.tok), 1, 15)) AS BIGINT)
+               % {CMS_W} AS bucket
+      FROM top t, UNNEST(range(0, {CMS_D})) AS h(i)
+    )
+    SELECT p.tok, CAST(p.rk AS BIGINT) AS rk, p.n_exact,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.c) - p.n_exact AS BIGINT) AS overcount,
+           CAST((MIN(c.c) - p.n_exact) * 1000000 // p.n_exact AS BIGINT)
+             AS overcount_micro
+    FROM probes p JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.tok, p.rk, p.n_exact
+    """,
+    tags=("sketch", "corpus", "monitoring"),
+    doc=f"Count-Min sketch calibration: a {CMS_D}x{CMS_W} counter "
+    f"array (row i = md5-salted hash i mod {CMS_W}; point estimate = "
+    f"min over rows), probed at the exact top-{CMS_TOPN} tokens with "
+    f"the guaranteed-one-sided overcount reported in micro-units. "
+    f"Completes the sketch shelf: KMV/HLL answer set cardinality, "
+    f"Misra-Gries finds WHO is heavy, CMS answers POINT frequency "
+    f"queries on keys chosen after the scan - with {CMS_D * CMS_W} "
+    f"integers of mergeable state (cells add under union - the "
+    f"100 TB shape is one CMS per partition summed). Counter cells "
+    f"are exact aggregates and min is an order statistic, so the "
+    f"sketch AND its error report carry a hash oracle.",
+)
+def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = docs.select(F.explode(tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+
+    def bucket(i: int, tok_col: str = "tok"):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"s{i}"), F.col(tok_col))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    hashes = clean.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("ib"),
+    ).select("tok", F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"))
+    cells = hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        clean.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("n_exact"), F.asc("tok")))
+        )
+        .filter(F.col("rk") <= CMS_TOPN)
+    )
+    probes = exact.select(
+        "tok",
+        "n_exact",
+        "rk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), bucket(i).alias("bucket"))
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("ib"),
+    ).select(
+        "tok", "n_exact", "rk", F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("tok", "rk", "n_exact")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "tok",
+            F.col("rk").cast("long").alias("rk"),
+            "n_exact",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("n_exact"))
+            .cast("long")
+            .alias("overcount"),
+            F.expr(
+                "CAST((cms_estimate - n_exact) * 1000000 div n_exact AS BIGINT)"
+            ).alias("overcount_micro"),
+        )
+    )

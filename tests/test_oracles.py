@@ -121,6 +121,9 @@ REPRESENTATIVE = [
     "doc_length_mad",  # exact two-pass median absolute deviation
     "source_length_dup_corr",  # exact signed r2 over source aggregates
     "kmv_overlap_estimate",  # KMV set-algebra pairwise shingle overlap
+    "cms_frequency_estimate",  # Count-Min point-frequency calibration
+    "k_anonymity_audit",  # quasi-identifier group-size privacy gate
+    "rrf_fusion_topk",  # reciprocal-rank fusion of two retrievers
 ]
 
 
