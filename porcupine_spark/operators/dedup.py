@@ -1631,3 +1631,85 @@ def source_length_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("slope_ppm_per_char"),
     )
+
+
+@query(
+    "dup_transitivity_audit",
+    f"""
+    WITH {_SQL_MINHASH_PAIRS_CTES},
+    e AS (
+      SELECT LEAST(doc_a, doc_b) AS a, GREATEST(doc_a, doc_b) AS b
+      FROM pairs WHERE jaccard >= {DEDUP_CANON_T}
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v
+    ),
+    wedges AS (SELECT SUM(d * (d - 1) // 2) AS w FROM deg),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           CAST((SELECT w FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN (SELECT w FROM wedges) = 0 THEN 0
+                     ELSE 3 * (SELECT t FROM tri) * 1000000
+                          // (SELECT w FROM wedges) END AS BIGINT)
+             AS transitivity_micro
+    """,
+    tags=("dedup", "graph", "evaluation"),
+    doc=f"Transitivity audit of the verified near-dup relation "
+    f"(jaccard >= {DEDUP_CANON_T}): global clustering coefficient "
+    f"3*triangles/wedges in integer micro-units over the pair graph. "
+    f"Near-duplication SHOULD be nearly transitive (a~b~c implies "
+    f"a~c for true re-crawls and mirrors); a low coefficient means "
+    f"the threshold sits inside chain-like gray zones - clusters "
+    f"built by connected components will then glue non-duplicates "
+    f"through bridge docs, and keep-one-per-cluster over-deletes. "
+    f"The number that justifies (or indicts) dedup_clusters' "
+    f"transitive closure. Triangle count via the oriented a<b<c "
+    f"edge-edge-edge join, wedges from the degree table - all joins "
+    f"run on the post-LSH edge set (candidate-sized, never corpus) "
+    f"and the audit is one row at any scale.",
+)
+def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
+    e = p.select(
+        F.least("doc_a", "doc_b").alias("a"), F.greatest("doc_a", "doc_b").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w"))
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("e3.a3") == F.col("e1.a")) & (F.col("e3.c3") == F.col("e2.c")),
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    edges_n = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges_n.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            F.col("w").cast("long").alias("n_wedges"),
+            F.col("t").cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN w = 0 THEN 0"
+                " ELSE 3 * t * 1000000 div w END AS BIGINT)"
+            ).alias("transitivity_micro"),
+        )
+    )

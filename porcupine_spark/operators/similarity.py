@@ -1550,3 +1550,93 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("separation_micro"),
         )
     )
+
+
+@query(
+    "split_centroid_drift",
+    """
+    WITH elems AS (
+      SELECT e.label,
+             CASE WHEN CAST(concat('0x', substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 100 < 90
+                  THEN 'train' ELSE 'holdout' END AS split,
+             g.i AS dim,
+             CAST(TRUNC(CAST(e.embedding[g.i] AS DOUBLE) * 1e6) AS BIGINT) AS x
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, len(embedding))) AS i) g
+    ),
+    agg AS (
+      SELECT label, split, dim, SUM(x) AS s, COUNT(*) AS n
+      FROM elems GROUP BY label, split, dim
+    ),
+    paired AS (
+      SELECT t.label, t.dim,
+             t.s AS s_tr, t.n AS n_tr, h.s AS s_ho, h.n AS n_ho,
+             (CAST(t.s AS HUGEINT) * h.n - CAST(h.s AS HUGEINT) * t.n)
+               * (CAST(t.s AS HUGEINT) * h.n - CAST(h.s AS HUGEINT) * t.n) AS term
+      FROM agg t JOIN agg h ON h.label = t.label AND h.dim = t.dim
+      WHERE t.split = 'train' AND h.split = 'holdout'
+    )
+    SELECT label,
+           CAST(MAX(n_tr) AS BIGINT) AS n_train,
+           CAST(MAX(n_ho) AS BIGINT) AS n_holdout,
+           CAST(SUM(term) // (CAST(MAX(n_tr) AS HUGEINT) * MAX(n_ho)
+                              * MAX(n_tr) * MAX(n_ho)) AS BIGINT) AS d2_pico
+    FROM paired GROUP BY label
+    """,
+    tags=("similarity", "evaluation", "monitoring"),
+    doc="Per-label squared centroid distance between the hash-assigned "
+    "train split and the 10% holdout (the dataset_split_assign recipe: "
+    "md5(vec_id) mod 100 < 90) - the split-health check that catches "
+    "a class whose train and eval populations differ distributionally "
+    "(time-skewed ingest, a near-dup purge that hit one split, label "
+    "remapping). Exact: elements truncated to micro integers, per-"
+    "(label,split,dim) sums folded map-side, and the distance uses "
+    "the cross-multiplied form sum((s_tr*n_ho - s_ho*n_tr)^2) div "
+    "(n_tr*n_ho)^2 so no per-dim division ever happens - d2 lands in "
+    "pico (micro^2) units with a full hash oracle. Shape: one "
+    "posexplode pass, one (label,split,dim)-key aggregation (rows = "
+    "|labels| x 2 x dims), a dim-aligned self-join of that tiny "
+    "table, one fold per label. No vector ever meets another vector.",
+)
+def split_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label",
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 4), 16, 10)"
+            " AS INT) % 100 < 90 THEN 'train' ELSE 'holdout' END"
+        ).alias("split"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "label",
+        "split",
+        "dim",
+        F.expr("CAST(CAST(v AS DOUBLE) * 1e6 AS BIGINT)").alias("x"),
+    )
+    agg = elems.groupBy("label", "split", "dim").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tr = agg.filter(F.col("split") == "train").select(
+        "label", "dim", F.col("s").alias("s_tr"), F.col("n").alias("n_tr")
+    )
+    ho = agg.filter(F.col("split") == "holdout").select(
+        "label", "dim", F.col("s").alias("s_ho"), F.col("n").alias("n_ho")
+    )
+    paired = tr.join(ho, ["label", "dim"]).select(
+        "label",
+        "n_tr",
+        "n_ho",
+        F.expr(
+            "(CAST(s_tr AS DECIMAL(38,0)) * n_ho - CAST(s_ho AS DECIMAL(38,0)) * n_tr)"
+            " * (CAST(s_tr AS DECIMAL(38,0)) * n_ho - CAST(s_ho AS DECIMAL(38,0)) * n_tr)"
+        ).alias("term"),
+    )
+    return paired.groupBy("label").agg(
+        F.max("n_tr").cast("long").alias("n_train"),
+        F.max("n_ho").cast("long").alias("n_holdout"),
+        F.expr(
+            "CAST(SUM(term) div (CAST(MAX(n_tr) AS DECIMAL(38,0)) * MAX(n_ho)"
+            " * MAX(n_tr) * MAX(n_ho)) AS BIGINT)"
+        ).alias("d2_pico"),
+    )

@@ -680,3 +680,345 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overcount_micro"),
         )
     )
+
+
+F2_D = 4  # CMS rows for the second-moment estimate
+F2_W = 512
+
+
+@query(
+    "cms_selfjoin_size",
+    f"""
+    WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+    hashes AS (
+      SELECT k, i,
+             CAST(concat('0x', substr(md5('s' || i || k), 1, 15)) AS BIGINT)
+               % {F2_W} AS bucket
+      FROM keys, UNNEST(range(0, {F2_D})) AS r(i)
+    ),
+    cells AS (SELECT i, bucket, COUNT(*) AS c FROM hashes GROUP BY i, bucket),
+    est AS (
+      SELECT MIN(s) AS f2_est FROM (
+        SELECT i, SUM(CAST(c AS HUGEINT) * c) AS s FROM cells GROUP BY i)
+    ),
+    exact AS (
+      SELECT CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS f2
+      FROM (SELECT COUNT(*) AS n FROM keys GROUP BY k)
+    )
+    SELECT CAST(exact.f2 AS BIGINT) AS exact_selfjoin_size,
+           CAST(est.f2_est AS BIGINT) AS cms_estimate,
+           CAST((est.f2_est - exact.f2) * 1000000 // exact.f2 AS BIGINT)
+             AS overcount_micro
+    FROM exact, est
+    """,
+    tags=("sketch", "monitoring", "planning"),
+    doc=f"Self-join size (second frequency moment F2 = sum of squared "
+    f"key frequencies) of lineitem.l_partkey, estimated from a "
+    f"{F2_D}x{F2_W} Count-Min array as min over rows of "
+    f"sum(cell^2) - the AMS/CMS answer to 'how many pairs would a "
+    f"self-join on this key produce?', which is EXACTLY the pre-"
+    f"flight this repo's guarded inverted-index self-joins need "
+    f"(hot-DF caps, salting) before shipping a shuffle. One-sided "
+    f"overcount reported in micro-units against the exact F2 "
+    f"(colliding keys only inflate). {F2_D * F2_W} integers of "
+    f"mergeable state (cells add across partitions) vs a full "
+    f"per-key count - the 100 TB way to price a self-join without "
+    f"running its groupBy. All counts/squares/min are integer-exact.",
+)
+def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").cast("string").alias("k"))
+    hashes = keys.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"s{i}"), F.col("k"))), 1, 15
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % F2_W
+                        ).alias("bucket"),
+                    )
+                    for i in range(F2_D)
+                ]
+            )
+        ).alias("ib"),
+    ).select(F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"))
+    cells = hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    est = (
+        cells.groupBy("i")
+        .agg(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s"))
+        .agg(F.min("s").alias("f2_est"))
+    )
+    exact = (
+        keys.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).alias("f2"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            F.col("f2").cast("long").alias("exact_selfjoin_size"),
+            F.col("f2_est").cast("long").alias("cms_estimate"),
+            F.expr(
+                "CAST((f2_est - f2) * 1000000 div f2 AS BIGINT)"
+            ).alias("overcount_micro"),
+        )
+    )
+
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 4  # hash functions
+
+
+@query(
+    "bloom_fpr_calibration",
+    f"""
+    WITH member AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+    ),
+    probe AS (
+      SELECT c_custkey AS key FROM customer
+      WHERE c_custkey NOT IN (SELECT key FROM member)
+    ),
+    bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5('b' || i || CAST(key AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {BLOOM_M} AS bit
+      FROM member, UNNEST(range(0, {BLOOM_K})) AS r(i)
+    ),
+    probes AS (
+      SELECT p.key, h.i,
+             CAST(concat('0x', substr(md5('b' || h.i || CAST(p.key AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {BLOOM_M} AS bit
+      FROM probe p, UNNEST(range(0, {BLOOM_K})) AS h(i)
+    ),
+    verdicts AS (
+      SELECT p.key,
+             CASE WHEN COUNT(b.bit) = {BLOOM_K} THEN 1 ELSE 0 END AS fp
+      FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+      GROUP BY p.key
+    )
+    SELECT (SELECT COUNT(*) FROM member) AS n_members,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           CAST((SELECT COUNT(*) FROM bits) * 1000000 // {BLOOM_M} AS BIGINT)
+             AS fill_ppm,
+           COUNT(*) AS n_probes,
+           CAST(SUM(fp) AS BIGINT) AS n_false_positives,
+           CAST(SUM(fp) * 1000000 // COUNT(*) AS BIGINT) AS fpr_ppm
+    FROM verdicts
+    """,
+    tags=("sketch", "monitoring", "planning"),
+    doc=f"Bloom-filter calibration, the membership sketch next to the "
+    f"counting ones: an m={BLOOM_M}/k={BLOOM_K} filter built over the "
+    f"1995-active customer set (bits = distinct salted-hash buckets - "
+    f"mergeable by union) probed with the DISJOINT customer "
+    f"complement, reporting measured false-positive rate and fill "
+    f"factor in ppm. The empirical answer to 'can a {BLOOM_M}-bit "
+    f"broadcast filter prune this semi-join's shuffle?' - the same "
+    f"mechanism as Spark's runtime bloom pruning (pinned in "
+    f"test_plans), here as an auditable operator whose every bit is "
+    f"integer-exact, so the sketch AND its error measurement carry a "
+    f"hash oracle. Cost: two dimension scans, a {BLOOM_K}x explode "
+    f"on each, one distinct on bits, one bounded join probe-bits.",
+)
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    member = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    probe = cust.select(F.col("c_custkey").alias("key")).join(
+        member, "key", "left_anti"
+    )
+
+    def buckets(df):
+        return df.select(
+            "key",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (
+                                F.conv(
+                                    F.substring(
+                                        F.md5(
+                                            F.concat(
+                                                F.lit(f"b{i}"),
+                                                F.col("key").cast("string"),
+                                            )
+                                        ),
+                                        1,
+                                        15,
+                                    ),
+                                    16,
+                                    10,
+                                ).cast("long")
+                                % BLOOM_M
+                            ).alias("bit"),
+                        )
+                        for i in range(BLOOM_K)
+                    ]
+                )
+            ).alias("ib"),
+        ).select("key", F.col("ib.i").alias("i"), F.col("ib.bit").alias("bit"))
+
+    bits = buckets(member).select("bit").distinct()
+    verdicts = (
+        buckets(probe)
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("key")
+        .agg(
+            F.when(F.sum(F.coalesce("hit", F.lit(0))) == BLOOM_K, 1)
+            .otherwise(0)
+            .alias("fp")
+        )
+    )
+    nm = member.agg(F.count(F.lit(1)).alias("n_members"))
+    nb = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return (
+        verdicts.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("fp").cast("long").alias("n_false_positives"),
+        )
+        .crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_members",
+            "n_bits_set",
+            F.expr(f"CAST(n_bits_set * 1000000 div {BLOOM_M} AS BIGINT)").alias(
+                "fill_ppm"
+            ),
+            "n_probes",
+            "n_false_positives",
+            F.expr(
+                "CAST(n_false_positives * 1000000 div n_probes AS BIGINT)"
+            ).alias("fpr_ppm"),
+        )
+    )
+
+
+@query(
+    "hll_union_estimate",
+    rf"""
+    WITH t AS (
+      SELECT source,
+             string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]), 1, 15))
+                  AS BIGINT) AS h
+      FROM t, UNNEST(range(1, len(ws) - 1)) AS r(i)
+      WHERE len(ws) >= 3
+    ),
+    regs AS (
+      SELECT source, h % {HLL_M} AS bucket,
+             MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                      ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M}))
+                 END) AS mj
+      FROM toks GROUP BY source, h % {HLL_M}
+    ),
+    merged AS (SELECT bucket, MAX(mj) AS mj FROM regs GROUP BY bucket),
+    s AS (
+      SELECT SUM(1::BIGINT << ({HLL_RHO_MAX} - mj))
+               + ({HLL_M} - COUNT(*)) * {HLL_POW2_RHO_MAX}::BIGINT AS s
+      FROM merged
+    ),
+    exact AS (SELECT COUNT(DISTINCT h) AS n_exact FROM toks),
+    nsrc AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
+    SELECT CAST(nsrc.n_sources AS BIGINT) AS n_sources,
+           CAST(exact.n_exact AS BIGINT) AS n_distinct_exact,
+           CAST({HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}
+                // s.s // 1000000 AS BIGINT) AS hll_union_estimate,
+           CAST(ABS({HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}
+                    // s.s // 1000000 - exact.n_exact)
+                * 1000000 // exact.n_exact AS BIGINT) AS abs_err_micro
+    FROM exact, s, nsrc
+    """,
+    tags=("sketch", "corpus", "monitoring"),
+    doc=f"HLL mergeability, demonstrated end-to-end: per-source "
+    f"{HLL_M}-register sketches over distinct word-3-gram hashes are "
+    f"merged by register-wise MAX - the property that makes HLL the "
+    f"100 TB distinct counter (per-partition sketches combine "
+    f"losslessly: merge-then-estimate EQUALS sketching the union "
+    f"directly, no rescan) - and the merged estimate is reported "
+    f"against the exact global distinct shingle count. Same integer-"
+    f"exact estimator as hll_distinct_estimate (harmonic sum over a "
+    f"common power-of-two denominator, ppm alpha), so the merge "
+    f"pipeline carries a hash oracle. Shape: per-source register "
+    f"table (|sources| x {HLL_M} rows), one MAX re-group to {HLL_M} "
+    f"rows, constant-size output.",
+)
+def hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = (
+        docs.select(
+            "source", F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("g")
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    regs = (
+        hashed.select(
+            "source",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+                    F.lit(HLL_RHO_MAX) - F.length(F.bin("w"))
+                )
+            ).alias("mj")
+        )
+    )
+    merged = regs.groupBy("bucket").agg(F.max("mj").alias("mj"))
+    s = merged.agg(
+        (
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - mj)"))
+            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(HLL_POW2_RHO_MAX)
+        ).alias("s")
+    )
+    exact = hashed.select("h").distinct().agg(F.count(F.lit(1)).alias("n_exact"))
+    nsrc = docs.select("source").distinct().agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+    est = F.expr(
+        f"CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {HLL_M * HLL_M}"
+        f" * {HLL_POW2_RHO_MAX} div s div 1000000"
+    )
+    return (
+        exact.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(nsrc))
+        .withColumn("est", est)
+        .select(
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("n_exact").cast("long").alias("n_distinct_exact"),
+            F.col("est").cast("long").alias("hll_union_estimate"),
+            F.expr("CAST(abs(est - n_exact) * 1000000 div n_exact AS BIGINT)").alias(
+                "abs_err_micro"
+            ),
+        )
+    )

@@ -124,6 +124,11 @@ REPRESENTATIVE = [
     "cms_frequency_estimate",  # Count-Min point-frequency calibration
     "k_anonymity_audit",  # quasi-identifier group-size privacy gate
     "rrf_fusion_topk",  # reciprocal-rank fusion of two retrievers
+    "cms_selfjoin_size",  # AMS/CMS F2 self-join size pre-flight
+    "dup_transitivity_audit",  # triangle stats on the near-dup graph
+    "split_centroid_drift",  # per-label train/holdout centroid drift
+    "bloom_fpr_calibration",  # membership sketch with measured FPR
+    "hll_union_estimate",  # register-wise-MAX merge vs exact union
 ]
 
 
