@@ -1713,3 +1713,79 @@ def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("transitivity_micro"),
         )
     )
+
+
+@query(
+    "dedup_method_agreement",
+    None,  # late-bound below: composes both method oracles verbatim
+    tags=("dedup", "evaluation", "monitoring"),
+    doc=f"Method triangulation for near-dup detection: the verified "
+    f"MinHash pair set (jaccard >= {DEDUP_CANON_T}) against the "
+    f"verified SimHash pair set (hamming <= 3) - pair counts found by "
+    f"both / only one, plus the agreement Jaccard of the two PAIR "
+    f"SETS in micro-units. Shingle Jaccard and bit-signature cosine "
+    f"are different similarity geometries; a healthy corpus shows "
+    f"high agreement, and only-one-method pairs are exactly where a "
+    f"threshold review should start - run before committing a 100 TB "
+    f"sweep to a single method. Composes both verified builders; the "
+    f"fusion is a full outer join of two candidate-sized pair lists, "
+    f"never corpus-sized.",
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = (
+        minhash_lsh_pairs(docs)
+        .filter(F.col("jaccard") >= DEDUP_CANON_T)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_mh"))
+    )
+    b = simhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    )
+    m = a.join(b, ["doc_a", "doc_b"], "full_outer")
+    return m.agg(
+        F.sum(
+            F.when(F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            F.when(F.col("in_mh").isNotNull() & F.col("in_sh").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_only_minhash"),
+        F.sum(
+            F.when(F.col("in_mh").isNull() & F.col("in_sh").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_only_simhash"),
+        F.expr(
+            "CAST(CASE WHEN count(1) = 0 THEN 0 ELSE"
+            " sum(CASE WHEN in_mh IS NOT NULL AND in_sh IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1) END AS BIGINT)"
+        ).alias("agreement_micro"),
+    )
+
+
+REGISTRY["dedup_method_agreement"].oracle = f"""
+    WITH mh AS (
+      SELECT doc_a, doc_b FROM ({REGISTRY["dedup_minhash_lsh"].oracle})
+      WHERE jaccard >= {DEDUP_CANON_T}
+    ),
+    sh AS (
+      SELECT doc_a, doc_b FROM ({REGISTRY["simhash_pairs"].oracle})
+    ),
+    m AS (
+      SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+             CASE WHEN mh.doc_a IS NOT NULL THEN 1 END AS in_mh,
+             CASE WHEN sh.doc_a IS NOT NULL THEN 1 END AS in_sh
+      FROM mh FULL OUTER JOIN sh
+        ON sh.doc_a = mh.doc_a AND sh.doc_b = mh.doc_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_mh IS NOT NULL AND in_sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN in_mh IS NOT NULL AND in_sh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_minhash,
+           CAST(SUM(CASE WHEN in_mh IS NULL AND in_sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_simhash,
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE
+                SUM(CASE WHEN in_mh IS NOT NULL AND in_sh IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) END AS BIGINT) AS agreement_micro
+    FROM m
+"""

@@ -1692,3 +1692,75 @@ def shuffle_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance_micro"),
         )
     )
+
+
+@query(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, COUNT(*) AS c
+      FROM orders GROUP BY o_orderdate
+    ),
+    tot AS (SELECT COUNT(*) AS n_days, CAST(SUM(c) AS BIGINT) AS total FROM daily),
+    cu AS (
+      SELECT day, c,
+             SUM(CAST(c AS HUGEINT) * (SELECT n_days FROM tot)
+                 - (SELECT total FROM tot))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusum_scaled
+      FROM daily
+    ),
+    peak AS (
+      SELECT day, cusum_scaled,
+             ROW_NUMBER() OVER (ORDER BY ABS(cusum_scaled) DESC, day) AS rk
+      FROM cu
+    )
+    SELECT CAST((SELECT n_days FROM tot) AS BIGINT) AS n_days,
+           CAST((SELECT total FROM tot) AS BIGINT) AS total_orders,
+           CAST(day AS VARCHAR) AS peak_day,
+           CAST(cusum_scaled AS BIGINT) AS peak_cusum_scaled,
+           CAST(ABS(cusum_scaled) * 1000000
+                // (CAST((SELECT total FROM tot) AS HUGEINT)
+                    * (SELECT n_days FROM tot)) AS BIGINT) AS peak_rel_micro
+    FROM peak WHERE rk = 1
+    """,
+    tags=("timeseries", "monitoring", "quality"),
+    doc="CUSUM change-point detection over daily order volume: the "
+    "cumulative sum of (daily count - global mean) peaks in absolute "
+    "value at the most likely regime-shift day (the classic Page/"
+    "Pettitt location statistic) - the drift alarm that says WHEN an "
+    "ingest pipeline's rate changed, not just that it did. Exact by "
+    "common-denominator trick: deviations are carried as "
+    "c*n_days - total (integers - no mean division ever happens), so "
+    "the argmax and the reported relative magnitude are bit-stable "
+    "with a day tiebreak. Shape: one daily aggregate (|days| rows), "
+    "one unpartitioned prefix window over the bounded day table "
+    "(range-partitionable at scale), 1-row output.",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n_days"), F.sum("c").cast("long").alias("total")
+    )
+    cu = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "cusum_scaled",
+        F.sum(
+            F.expr("CAST(c AS DECIMAL(38,0)) * n_days - total")
+        ).over(W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    peak = cu.withColumn(
+        "rk",
+        F.row_number().over(W.orderBy(F.abs(F.col("cusum_scaled")).desc(), F.asc("day"))),
+    ).filter(F.col("rk") == 1)
+    return peak.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("total").alias("total_orders"),
+        F.col("day").cast("string").alias("peak_day"),
+        F.col("cusum_scaled").cast("long").alias("peak_cusum_scaled"),
+        F.expr(
+            "CAST(abs(cusum_scaled) * 1000000"
+            " div (CAST(total AS DECIMAL(38,0)) * n_days) AS BIGINT)"
+        ).alias("peak_rel_micro"),
+    )

@@ -1210,3 +1210,64 @@ def test_pps_sample_proportional_on_skewed_corpus(spark, tmp_path):
     total, step = 10_000, max(1, 10_000 // PPS_K)
     assert sum(out.values()) == (total + step - 1) // step
     assert out.get(50, 0) >= PPS_K // 2 - 1  # big doc gets ~half the picks
+
+
+def test_cusum_locates_planted_regime_shift(spark, tmp_path):
+    """20 days at 2 orders/day then 20 days at 6/day: |CUSUM| of the
+    mean-deviation series must peak exactly on the last low-regime day
+    (the classic change-point location), with the documented scaling
+    (deviations carried as c*n_days - total, no division)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from porcupine_spark.plans.relational import cusum_changepoint
+
+    rows = []
+    d0 = dt.date(2024, 1, 1)
+    oid = 0
+    for day in range(40):
+        for _ in range(2 if day < 20 else 6):
+            rows.append((oid, d0 + dt.timedelta(days=day)))
+            oid += 1
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_orderdate"])
+    sf = str(tmp_path / "cusum_sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/orders.parquet")
+    got = cusum_changepoint(spark, sf).collect()[0]
+    assert got.n_days == 40 and got.total_orders == 160
+    # last low day: cumulative (c*40 - 160) = 20 * (80 - 160) = -1600
+    assert got.peak_day == "2024-01-20"
+    assert got.peak_cusum_scaled == -1600
+
+
+def test_transitivity_planted_triangle(spark, tmp_path):
+    """Three identical docs + one unrelated: the near-dup graph is one
+    triangle, so wedges=3, triangles=1, transitivity=1.0 exactly."""
+    import pandas as pd
+
+    from porcupine_spark.operators.dedup import dup_transitivity_audit
+
+    twin = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark query plans here " * 5
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [twin, twin, twin, other],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(twin)] * 3 + [len(other)],
+        }
+    )
+    sf = str(tmp_path / "tri_sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    got = dup_transitivity_audit(spark, sf).collect()[0]
+    assert got.n_edges == 3
+    assert got.n_wedges == 3
+    assert got.n_triangles == 1
+    assert got.transitivity_micro == 1000000

@@ -129,6 +129,8 @@ REPRESENTATIVE = [
     "split_centroid_drift",  # per-label train/holdout centroid drift
     "bloom_fpr_calibration",  # membership sketch with measured FPR
     "hll_union_estimate",  # register-wise-MAX merge vs exact union
+    "dedup_method_agreement",  # MinHash vs SimHash pair-set overlap
+    "cusum_changepoint",  # integer CUSUM regime-shift locator
 ]
 
 
