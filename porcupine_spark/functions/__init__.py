@@ -1,5 +1,6 @@
 """Scalar/array function library (JVM-side column expressions only)."""
 
 from porcupine_spark.functions.arrays import seq1, word_ngrams
+from porcupine_spark.functions.hashing import md5_bucket, md5_long60
 
-__all__ = ["seq1", "word_ngrams"]
+__all__ = ["seq1", "word_ngrams", "md5_bucket", "md5_long60"]

@@ -741,13 +741,18 @@ BM25_SCALE = 1_000_000
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return _bm25_scored(_bm25_base(docs))
+
+
+def _bm25_base(docs: DataFrame) -> DataFrame:
+    """Tokenize ONCE: project each doc down to (dl, matched-terms array)
+    — tiny rows — and materialize, so every consumer (the tf branch,
+    the 1-row corpus-stats branch, and rrf_fusion_topk's second
+    ranking system) reads this instead of re-scanning and
+    re-tokenizing the full corpus (at 100 TB the tokenize scan is
+    the dominant cost; paying it twice would double the query)."""
     qterms = F.array(*[F.lit(t) for t in BM25_TERMS])
-    # tokenize ONCE: project each doc down to (dl, matched-terms array)
-    # — tiny rows — and materialize, so the tf branch and the 1-row
-    # corpus-stats branch both read this instead of re-scanning and
-    # re-tokenizing the full corpus (at 100 TB the tokenize scan is
-    # the dominant cost; paying it twice would double the query)
-    base = docs.select(
+    return docs.select(
         "doc_id",
         tokens(F.col("text")).alias("toks"),
     ).select(
@@ -755,6 +760,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").alias("dl"),
         F.filter("toks", lambda t: F.array_contains(qterms, t)).alias("matched"),
     ).localCheckpoint(eager=True)
+
+
+def _bm25_scored(base: DataFrame) -> DataFrame:
     tokd = base.select("doc_id", "dl", F.explode("matched").alias("term"))
     tf = tokd.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -1689,8 +1697,6 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micro"),
         )
     )
-    from pyspark.sql import Window as W
-
     r = scored.withColumn(
         "rk",
         F.row_number().over(W.orderBy(F.desc("lift_micro"), F.asc("gram"))).cast("long"),
@@ -1722,19 +1728,18 @@ RRF_TOPK = 10
 )
 def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    a = bm25_topk(spark, sf_dir).select(
+    # ONE tokenize pass feeds both ranking systems: the checkpointed
+    # bm25 base already holds exactly the (doc_id, dl, matched)
+    # projection the term-density ranking needs
+    shared = _bm25_base(docs)
+    a = _bm25_scored(shared).select(
         "doc_id",
         F.row_number()
         .over(W.orderBy(F.desc("score_scaled"), F.asc("doc_id")))
         .alias("rank_a"),
     )
-    qterms = F.array(*[F.lit(t) for t in BM25_TERMS])
-    base = docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).alias("dl"),
-        F.size(
-            F.filter(tokens(F.col("text")), lambda t: F.array_contains(qterms, t))
-        ).alias("tf"),
+    base = shared.select(
+        "doc_id", "dl", F.size("matched").alias("tf")
     ).filter(F.col("tf") > 0)
     b = (
         base.select(

@@ -1678,9 +1678,11 @@ def source_length_dup_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     p = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
+    # 5 consumers below (degrees, 3 triangle aliases, edge count):
+    # materialize the candidate+verify pipeline once instead of 5x
     e = p.select(
         F.least("doc_a", "doc_b").alias("a"), F.greatest("doc_a", "doc_b").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))

@@ -357,7 +357,7 @@ KANON_BAND = 100000  # acctbal generalization band: 1000 currency units in cents
     "k_anonymity_audit",
     f"""
     WITH q AS (
-      SELECT c_custkey, c_nationkey, c_mktsegment,
+      SELECT c_nationkey, c_mktsegment,
              CAST(TRUNC(c_acctbal * 100) AS BIGINT) // {KANON_BAND} AS bal_band
       FROM customer
     ),

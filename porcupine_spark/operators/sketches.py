@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from porcupine_spark.functions.hashing import md5_bucket, md5_long60
 from porcupine_spark.operators.text import tokens
 from porcupine_spark.plans.registry import query
 from porcupine_spark.tables import load_table
@@ -85,7 +86,7 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok") != "")
     hashed = toks.select(
         "source",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+        md5_long60("tok").alias("h"),
     ).distinct()
     wr = W.partitionBy("source").orderBy("h")
     wc = W.partitionBy("source")
@@ -126,6 +127,63 @@ HLL_POW2_RHO_MAX = 1 << HLL_RHO_MAX
 # estimate is pure integer arithmetic on both engines
 HLL_ALPHA_PPM = 718272
 
+# ONE source of truth for the register build, the exact integer
+# harmonic sum, and the estimator — shared (SQL and Spark sides alike)
+# by hll_distinct_estimate and hll_union_estimate so the trickiest
+# arithmetic in this file can never desynchronize between the two.
+_SQL_HLL_REGS = f"""
+      SELECT source, h % {HLL_M} AS bucket,
+             MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
+                      ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M}))
+                 END) AS mj
+      FROM toks GROUP BY source, h % {HLL_M}"""
+
+_SQL_HLL_S = (
+    f"SUM(1::BIGINT << ({HLL_RHO_MAX} - mj))"
+    f" + ({HLL_M} - COUNT(*)) * {HLL_POW2_RHO_MAX}::BIGINT"
+)
+
+
+def _sql_hll_est(s: str) -> str:
+    return (
+        f"{HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}"
+        f" // {s} // 1000000"
+    )
+
+
+def _hll_regs(hashed: DataFrame) -> DataFrame:
+    """(source, h) -> (source, bucket, mj) register table."""
+    return (
+        hashed.select(
+            "source",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(f"h div {HLL_M}").alias("w"),
+        )
+        .groupBy("source", "bucket")
+        .agg(
+            F.max(
+                F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+                    F.lit(HLL_RHO_MAX) - F.length(F.bin("w"))
+                )
+            ).alias("mj")
+        )
+    )
+
+
+def _hll_s_agg():
+    """Aggregate column: the exact harmonic sum S over a register group,
+    carried as integers over the common 2^rho_max denominator."""
+    return F.sum(
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - mj)")
+    ) + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(HLL_POW2_RHO_MAX)
+
+
+def _hll_est_expr():
+    return F.expr(
+        f"CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {HLL_M * HLL_M}"
+        f" * {HLL_POW2_RHO_MAX} div s div 1000000"
+    )
+
 
 @query(
     "hll_distinct_estimate",
@@ -138,28 +196,18 @@ HLL_ALPHA_PPM = 718272
             FROM documents)
       WHERE tok <> ''
     ),
-    regs AS (
-      SELECT source, h % {HLL_M} AS bucket,
-             MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
-                      ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M}))
-                 END) AS mj
-      FROM toks GROUP BY source, h % {HLL_M}
+    regs AS ({_SQL_HLL_REGS}
     ),
     per_source AS (
-      SELECT source,
-             SUM(1::BIGINT << ({HLL_RHO_MAX} - mj))
-               + ({HLL_M} - COUNT(*)) * {HLL_POW2_RHO_MAX}::BIGINT AS s,
-             COUNT(*) AS n_buckets_hit
+      SELECT source, {_SQL_HLL_S} AS s, COUNT(*) AS n_buckets_hit
       FROM regs GROUP BY source
     ),
     exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source)
     SELECT e.source,
            CAST(e.n_exact AS BIGINT) AS n_distinct_exact,
            CAST(p.n_buckets_hit AS BIGINT) AS n_buckets_hit,
-           CAST({HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}
-                // p.s // 1000000 AS BIGINT) AS hll_estimate_raw,
-           CAST(ABS({HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}
-                    // p.s // 1000000 - e.n_exact)
+           CAST({_sql_hll_est("p.s")} AS BIGINT) AS hll_estimate_raw,
+           CAST(ABS({_sql_hll_est("p.s")} - e.n_exact)
                 * 1000000 // e.n_exact AS BIGINT) AS abs_err_micro
     FROM exact e JOIN per_source p USING (source)
     """,
@@ -188,38 +236,17 @@ def hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok") != "")
     hashed = toks.select(
         "source",
-        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+        md5_long60("tok").alias("h"),
     ).distinct()
-    regs = (
-        hashed.select(
-            "source",
-            (F.col("h") % HLL_M).alias("bucket"),
-            F.expr(f"h div {HLL_M}").alias("w"),
-        )
-        .groupBy("source", "bucket")
-        .agg(
-            F.max(
-                F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
-                    F.lit(HLL_RHO_MAX) - F.length(F.bin("w"))
-                )
-            ).alias("mj")
-        )
-    )
+    regs = _hll_regs(hashed)
     per_source = regs.groupBy("source").agg(
-        (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - mj)"))
-            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(HLL_POW2_RHO_MAX)
-        ).alias("s"),
+        _hll_s_agg().alias("s"),
         F.count(F.lit(1)).alias("n_buckets_hit"),
     )
     exact = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
-    est = F.expr(
-        f"CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {HLL_M * HLL_M}"
-        f" * {HLL_POW2_RHO_MAX} div s div 1000000"
-    )
     return (
         exact.join(per_source, "source")
-        .withColumn("est", est)
+        .withColumn("est", _hll_est_expr())
         .select(
             "source",
             F.col("n_exact").alias("n_distinct_exact"),
@@ -372,9 +399,11 @@ def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct_obs"),
         f1.cast("long").alias("f1_singletons"),
         f2.cast("long").alias("f2_doubletons"),
+        # f1*(f1-1) in DECIMAL(38,0): long*long wraps past 2^63 (the
+        # oracle's SUM is HUGEINT) — the repo's exact-math discipline
         F.expr(
             "CAST(count(1)"
-            " + sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+            " + CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DECIMAL(38,0))"
             "   * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1)"
             "   div (2 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1))"
             " AS BIGINT)"
@@ -476,10 +505,12 @@ def kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("g"),
     )
+    # consumed by the sketch window AND both sides of the exact-overlap
+    # self-join: materialize the tokenize+hash+distinct pass once
     hashed = grams.select(
         "source",
-        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
-    ).distinct()
+        md5_long60("g").alias("h"),
+    ).distinct().localCheckpoint(eager=True)
     sk = (
         hashed.withColumn(
             "rk", F.row_number().over(W.partitionBy("source").orderBy("h"))
@@ -619,14 +650,7 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bucket(i: int, tok_col: str = "tok"):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"s{i}"), F.col(tok_col))), 1, 15),
-                16,
-                10,
-            ).cast("long")
-            % CMS_W
-        )
+        return md5_bucket(tok_col, f"s{i}", CMS_W)
 
     hashes = clean.select(
         "tok",
@@ -735,16 +759,7 @@ def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("i"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(F.concat(F.lit(f"s{i}"), F.col("k"))), 1, 15
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % F2_W
-                        ).alias("bucket"),
+                        md5_bucket("k", f"s{i}", F2_W).alias("bucket"),
                     )
                     for i in range(F2_D)
                 ]
@@ -853,22 +868,8 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(i).alias("i"),
-                            (
-                                F.conv(
-                                    F.substring(
-                                        F.md5(
-                                            F.concat(
-                                                F.lit(f"b{i}"),
-                                                F.col("key").cast("string"),
-                                            )
-                                        ),
-                                        1,
-                                        15,
-                                    ),
-                                    16,
-                                    10,
-                                ).cast("long")
-                                % BLOOM_M
+                            md5_bucket(
+                                F.col("key").cast("string"), f"b{i}", BLOOM_M
                             ).alias("bit"),
                         )
                         for i in range(BLOOM_K)
@@ -927,27 +928,16 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t, UNNEST(range(1, len(ws) - 1)) AS r(i)
       WHERE len(ws) >= 3
     ),
-    regs AS (
-      SELECT source, h % {HLL_M} AS bucket,
-             MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_MAX}
-                      ELSE {HLL_RHO_MAX} - length(bin(h // {HLL_M}))
-                 END) AS mj
-      FROM toks GROUP BY source, h % {HLL_M}
+    regs AS ({_SQL_HLL_REGS}
     ),
     merged AS (SELECT bucket, MAX(mj) AS mj FROM regs GROUP BY bucket),
-    s AS (
-      SELECT SUM(1::BIGINT << ({HLL_RHO_MAX} - mj))
-               + ({HLL_M} - COUNT(*)) * {HLL_POW2_RHO_MAX}::BIGINT AS s
-      FROM merged
-    ),
+    s AS (SELECT {_SQL_HLL_S} AS s FROM merged),
     exact AS (SELECT COUNT(DISTINCT h) AS n_exact FROM toks),
     nsrc AS (SELECT COUNT(DISTINCT source) AS n_sources FROM documents)
     SELECT CAST(nsrc.n_sources AS BIGINT) AS n_sources,
            CAST(exact.n_exact AS BIGINT) AS n_distinct_exact,
-           CAST({HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}
-                // s.s // 1000000 AS BIGINT) AS hll_union_estimate,
-           CAST(ABS({HLL_ALPHA_PPM}::HUGEINT * {HLL_M * HLL_M} * {HLL_POW2_RHO_MAX}
-                    // s.s // 1000000 - exact.n_exact)
+           CAST({_sql_hll_est("s.s")} AS BIGINT) AS hll_union_estimate,
+           CAST(ABS({_sql_hll_est("s.s")} - exact.n_exact)
                 * 1000000 // exact.n_exact AS BIGINT) AS abs_err_micro
     FROM exact, s, nsrc
     """,
@@ -969,50 +959,29 @@ def hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.functions import word_ngrams
 
     docs = load_table(spark, sf_dir, "documents")
+    # consumed by the register build AND the exact union count:
+    # materialize the tokenize+hash+distinct pass once
     hashed = (
         docs.select(
             "source", F.explode(word_ngrams(tokens(F.col("text")), 3)).alias("g")
         )
         .select(
             "source",
-            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+            md5_long60("g").alias("h"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    regs = (
-        hashed.select(
-            "source",
-            (F.col("h") % HLL_M).alias("bucket"),
-            F.expr(f"h div {HLL_M}").alias("w"),
-        )
-        .groupBy("source", "bucket")
-        .agg(
-            F.max(
-                F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
-                    F.lit(HLL_RHO_MAX) - F.length(F.bin("w"))
-                )
-            ).alias("mj")
-        )
-    )
-    merged = regs.groupBy("bucket").agg(F.max("mj").alias("mj"))
-    s = merged.agg(
-        (
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - mj)"))
-            + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(HLL_POW2_RHO_MAX)
-        ).alias("s")
-    )
+    merged = _hll_regs(hashed).groupBy("bucket").agg(F.max("mj").alias("mj"))
+    s = merged.agg(_hll_s_agg().alias("s"))
     exact = hashed.select("h").distinct().agg(F.count(F.lit(1)).alias("n_exact"))
     nsrc = docs.select("source").distinct().agg(
         F.count(F.lit(1)).alias("n_sources")
     )
-    est = F.expr(
-        f"CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {HLL_M * HLL_M}"
-        f" * {HLL_POW2_RHO_MAX} div s div 1000000"
-    )
     return (
         exact.crossJoin(F.broadcast(s))
         .crossJoin(F.broadcast(nsrc))
-        .withColumn("est", est)
+        .withColumn("est", _hll_est_expr())
         .select(
             F.col("n_sources").cast("long").alias("n_sources"),
             F.col("n_exact").cast("long").alias("n_distinct_exact"),
