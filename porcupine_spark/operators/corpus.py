@@ -1812,3 +1812,98 @@ _REG["rrf_fusion_topk"].oracle = f"""
     FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id) AS rk FROM fused)
     WHERE rk <= {RRF_TOPK}
 """
+
+
+@query(
+    "split_source_balance_chi2",
+    """
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT source,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INTEGER) % 100 AS h
+        FROM documents)
+    ),
+    cells AS (
+      SELECT source, split, COUNT(*) AS o FROM assigned GROUP BY source, split
+    ),
+    r AS (SELECT source, SUM(o) AS rn FROM cells GROUP BY source),
+    c AS (SELECT split, SUM(o) AS cn FROM cells GROUP BY split),
+    n AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM cells),
+    grid AS (
+      SELECT r.source, c.split, r.rn, c.cn,
+             COALESCE(x.o, 0) AS o
+      FROM r CROSS JOIN c
+      LEFT JOIN cells x ON x.source = r.source AND x.split = c.split
+    ),
+    terms AS (
+      SELECT (CAST(o AS HUGEINT) * (SELECT n FROM n)
+              - CAST(rn AS HUGEINT) * cn)
+             * (CAST(o AS HUGEINT) * (SELECT n FROM n)
+                - CAST(rn AS HUGEINT) * cn)
+             * 1000000
+             // (CAST(rn AS HUGEINT) * cn) // (SELECT n FROM n) AS t
+      FROM grid
+    )
+    SELECT (SELECT COUNT(*) FROM r) AS n_sources,
+           (SELECT COUNT(*) FROM c) AS n_splits,
+           CAST((SELECT COUNT(*) FROM grid) - (SELECT COUNT(*) FROM r)
+                - (SELECT COUNT(*) FROM c) + 1 AS BIGINT) AS dof,
+           CAST(SUM(t) AS BIGINT) AS chi2_micro
+    FROM terms
+    """,
+    tags=("corpus", "sampling", "evaluation"),
+    doc="Chi-square independence test between source and the hash-"
+    "assigned train/val/test split: sum over the contingency grid of "
+    "(o*N - r*c)^2 * 1e6 div (r*c) div N - the per-cell truncating "
+    "divisions mirrored exactly on both engines, so even a test "
+    "STATISTIC carries a hash oracle. A healthy hash split is "
+    "independent of source; chi2_micro far above the dof*1e6 "
+    "ballpark means doc_id correlates with source (sequential id "
+    "ranges per crawl batch are the classic cause) and the 'random' "
+    "split silently over-trains on some sources. Shape: one "
+    "(source,split) count, two marginal re-groups of the tiny cell "
+    "table, a |sources|x3 grid join - everything past the first "
+    "aggregate is census-bounded.",
+)
+def split_source_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select("source", split_col().alias("split"))
+    cells = assigned.groupBy("source", "split").agg(F.count(F.lit(1)).alias("o"))
+    r = cells.groupBy("source").agg(F.sum("o").alias("rn"))
+    c = cells.groupBy("split").agg(F.sum("o").alias("cn"))
+    n = cells.agg(F.sum("o").cast("decimal(38,0)").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(c))
+        .join(cells, ["source", "split"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    terms = grid.select(
+        "source",
+        "split",
+        F.expr(
+            "(CAST(o AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)"
+            " * (CAST(o AS DECIMAL(38,0)) * n - CAST(rn AS DECIMAL(38,0)) * cn)"
+            " * 1000000"
+            " div (CAST(rn AS DECIMAL(38,0)) * cn) div n"
+        ).alias("t"),
+    )
+    nr = r.agg(F.count(F.lit(1)).alias("n_sources"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_splits"))
+    return (
+        terms.agg(F.sum("t").alias("chi2"), F.count(F.lit(1)).alias("n_cells"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("n_splits").cast("long").alias("n_splits"),
+            F.expr(
+                "CAST(n_cells - n_sources - n_splits + 1 AS BIGINT)"
+            ).alias("dof"),
+            F.col("chi2").cast("long").alias("chi2_micro"),
+        )
+    )

@@ -414,3 +414,91 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("risk_ppm"),
         F.min("grp_n").cast("long").alias("min_group_size"),
     )
+
+
+PARETO_PCT = 80  # revenue threshold
+PARETO_TOP = 10  # "top X% of customers" report
+
+
+@query(
+    "pareto_revenue_concentration",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             SUM(CAST(TRUNC(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+             SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per_cust
+    ),
+    tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS HUGEINT) AS total
+            FROM per_cust)
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           CAST(1 + COUNT(*) FILTER (
+                  WHERE CAST(r.cum AS HUGEINT) * 100 < t.total * {PARETO_PCT})
+             AS BIGINT) AS n_for_{PARETO_PCT}pct,
+           CAST((1 + COUNT(*) FILTER (
+                  WHERE CAST(r.cum AS HUGEINT) * 100 < t.total * {PARETO_PCT}))
+                * 1000000 // t.n AS BIGINT) AS share_of_customers_micro,
+           CAST(SUM(CASE WHEN r.rk <= t.n * {PARETO_TOP} // 100 THEN r.cents
+                         ELSE 0 END) * 1000000 // t.total AS BIGINT)
+             AS top{PARETO_TOP}pct_revenue_share_micro
+    FROM ranked r, tot t
+    GROUP BY t.n, t.total
+    """,
+    tags=("quality", "monitoring", "orderstats"),
+    doc=f"Pareto concentration, both directions: the smallest customer "
+    f"count whose descending-ranked revenue reaches {PARETO_PCT}% of "
+    f"the total (the literal 80/20 number), and the revenue share "
+    f"held by the top {PARETO_TOP}% of customers - the two numbers "
+    f"that, with revenue_gini, decide whether a join key needs skew "
+    f"handling and whether a business depends on whales. All "
+    f"threshold tests are integer cross-multiplications (cum*100 vs "
+    f"total*{PARETO_PCT}) - no division until the final micro-unit "
+    f"ratios, so the counts are bit-stable with the custkey tiebreak. "
+    f"Shape: one customer aggregate, one rank+prefix window over the "
+    f"|customers|-row table (range-partitioned sort at scale), a "
+    f"1-row totals broadcast, one fold.",
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(o_totalprice * 100 AS BIGINT)")).alias("cents")
+    )
+    w = W.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = per_cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("total"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "total",
+        F.expr(
+            f"CASE WHEN CAST(cum AS DECIMAL(38,0)) * 100 < total * {PARETO_PCT}"
+            f" THEN 1 ELSE 0 END"
+        ).alias("below"),
+        F.expr(
+            f"CASE WHEN rk <= n * {PARETO_TOP} div 100 THEN cents ELSE 0 END"
+        ).alias("top_cents"),
+    )
+    return flagged.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.expr(f"CAST(1 + SUM(below) AS BIGINT)").alias(f"n_for_{PARETO_PCT}pct"),
+        F.expr(
+            "CAST((1 + SUM(below)) * 1000000 div MAX(n) AS BIGINT)"
+        ).alias("share_of_customers_micro"),
+        F.expr(
+            "CAST(SUM(top_cents) * 1000000 div MAX(total) AS BIGINT)"
+        ).alias(f"top{PARETO_TOP}pct_revenue_share_micro"),
+    )

@@ -1764,3 +1764,59 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(total AS DECIMAL(38,0)) * n_days) AS BIGINT)"
         ).alias("peak_rel_micro"),
     )
+
+
+@query(
+    "seasonal_naive_error",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day, COUNT(*) AS c
+      FROM orders GROUP BY o_orderdate
+    ),
+    j AS (
+      SELECT t.day, t.c, l.c AS c_lag
+      FROM daily t JOIN daily l ON l.day = t.day - INTERVAL 7 DAY
+    )
+    SELECT COUNT(*) AS n_days_scored,
+           CAST(SUM(ABS(c - c_lag)) AS BIGINT) AS total_abs_err,
+           CAST(CAST(SUM(ABS(c - c_lag)) AS HUGEINT) * 1000000 // COUNT(*)
+             AS BIGINT) AS mae_micro,
+           CAST(CAST(SUM(ABS(c - c_lag)) AS HUGEINT) * 1000000 // SUM(c)
+             AS BIGINT) AS wape_micro
+    FROM j
+    """,
+    tags=("timeseries", "monitoring", "evaluation"),
+    doc="Seasonal-naive forecastability of daily order volume: predict "
+    "each day by the same weekday one week earlier and report MAE and "
+    "WAPE (weighted absolute percentage error - sum|err|/sum actual, "
+    "the denominator-safe MAPE) in integer micro-units. This is the "
+    "baseline every forecasting pipeline must beat AND a drift "
+    "monitor in itself - a WAPE jump means the weekly rhythm broke "
+    "(ingest incident, seasonality shift) before any model notices. "
+    "Shape: one daily aggregate, an equi-join on day-7 (two copies of "
+    "the |days|-row table, co-partitioned), a constant-size fold. "
+    "Joining the aggregate beats a lag window here: no global sort, "
+    "and missing days score as absent rather than silently lagging "
+    "to the previous present day.",
+)
+def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lag = daily.select(
+        F.date_add(F.col("day"), 7).alias("day"), F.col("c").alias("c_lag")
+    )
+    j = daily.join(lag, "day")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum(F.abs(F.col("c") - F.col("c_lag"))).cast("long").alias("total_abs_err"),
+        F.expr(
+            "CAST(CAST(SUM(ABS(c - c_lag)) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(1) AS BIGINT)"
+        ).alias("mae_micro"),
+        F.expr(
+            "CAST(CAST(SUM(ABS(c - c_lag)) AS DECIMAL(38,0)) * 1000000"
+            " div SUM(c) AS BIGINT)"
+        ).alias("wape_micro"),
+    )

@@ -131,6 +131,9 @@ REPRESENTATIVE = [
     "hll_union_estimate",  # register-wise-MAX merge vs exact union
     "dedup_method_agreement",  # MinHash vs SimHash pair-set overlap
     "cusum_changepoint",  # integer CUSUM regime-shift locator
+    "seasonal_naive_error",  # weekday-naive forecastability baseline
+    "pareto_revenue_concentration",  # cross-multiplied 80/20 numbers
+    "split_source_balance_chi2",  # hash-split independence statistic
 ]
 
 
