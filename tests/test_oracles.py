@@ -134,6 +134,7 @@ REPRESENTATIVE = [
     "seasonal_naive_error",  # weekday-naive forecastability baseline
     "pareto_revenue_concentration",  # cross-multiplied 80/20 numbers
     "split_source_balance_chi2",  # hash-split independence statistic
+    "lsh_recall_at_k",  # exactly-oracled ANN recall audit
 ]
 
 
