@@ -1655,12 +1655,15 @@ def split_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "auditable, exactly-oracled report instead of a test-only "
     "assertion). Composes the two verified builders; the comparison "
     "is a join of two (|queries| x 5)-row lists - constant-size past "
-    "the retrieval passes themselves. Finding at sf0.01: the default "
-    "16-plane/4-band random-hyperplane setting measures ~0.28 mean "
-    "recall@5 on the synthetic embeddings - i.e. this report EARNS "
-    "its keep by flagging that the signature budget must grow (or "
-    "switch to the IVF path, whose recall@5 >= 0.9 is pytest-pinned) "
-    "before the LSH path replaces brute force at scale.",
+    "the retrieval passes themselves. Finding at sf0.01: 0.28 mean "
+    "recall@5 - and a parameter sweep (32-128 planes, 4-8 bit bands, "
+    "lattice AND properly-random hyperplanes) shows this is DATA-"
+    "limited, not a tuning bug: the corpus's true top-5 neighbors "
+    "sit at cosine ~0.32, where sign-LSH theory gives ~6-15% band-"
+    "collision recall at sub-10% candidate fractions. Exactly the "
+    "call this audit exists to make: for this embedding geometry the "
+    "scale path is IVF (recall@5 >= 0.9, pytest-pinned), not "
+    "hyperplane LSH.",
 )
 def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(spark, sf_dir).select(
