@@ -1,0 +1,245 @@
+"""Vocabulary-shape and rank-statistics monitors for corpus curation:
+hapax-legomena rates, the Zipf rank×frequency diagnostic, and an exact
+tie-aware Spearman rank correlation computed WITHOUT a global sort.
+
+The reference (YPares/porcupine) has no analytics operators — this is
+beyond-reference training-data surface, same discipline as
+operators/corpus.py: every number integer-exact (ppm / micro-units,
+truncating division) so the DuckDB oracle matches hash-for-hash.
+
+Scale posture (100 TB): everything here aggregates tokens to the
+(source, token) or token level first — the only shuffles are keyed by
+token, and all downstream tables are vocabulary-sized (millions), not
+corpus-sized (billions of docs). The Spearman op is the interesting
+one: naive Spearman needs a global rank (a total sort — one partition,
+dead at scale). Here ranks are *mid-ranks derived from the value
+histogram*: group docs by metric VALUE (distinct doc-lengths number in
+the thousands even at 10B docs), cumulative-sum the counts over that
+bounded value table, and join the mid-rank back by value. No global
+sort ever touches the corpus-sized table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_table
+
+_SQL_TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+
+
+@query(
+    "hapax_rate_by_source",
+    f"""
+    WITH tf AS (
+      SELECT source, tok, COUNT(*) AS c
+      FROM (
+        SELECT source, UNNEST({_SQL_TOKS}) AS tok FROM documents
+      ) GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS hapax_vocab_ppm,
+           CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm
+    FROM tf GROUP BY source
+    """,
+    tags=("corpus", "vocab", "monitoring"),
+    doc="Hapax/dis-legomena rates and type-token ratio per source: the "
+    "vocabulary-tail health check (a scraper that starts emitting "
+    "garbage tokens shows up as a hapax-share spike; a looping "
+    "generator as a hapax collapse). One tokenize pass, one shuffle "
+    "keyed by (source, token), then a source-level rollup of the "
+    "vocabulary-sized table. All integers; ppm by truncating division.",
+)
+def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    tf = (
+        docs.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        hapax.cast("long").alias("hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("dis"),
+        F.floor((hapax * F.lit(1_000_000)).cast("long") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("hapax_vocab_ppm"),
+        F.floor((F.count(F.lit(1)) * F.lit(1_000_000)).cast("long") / F.sum("c"))
+        .cast("long")
+        .alias("ttr_ppm"),
+    )
+
+
+ZIPF_TOPK = 30
+
+
+@query(
+    "zipf_rank_freq",
+    f"""
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT UNNEST({_SQL_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+      FROM tf ORDER BY freq DESC, tok LIMIT {ZIPF_TOPK}
+    ),
+    c1 AS (SELECT freq AS f1 FROM top WHERE rank = 1)
+    SELECT rank, tok, CAST(freq AS BIGINT) AS freq,
+           CAST(rank * freq AS BIGINT) AS rank_freq,
+           CAST(rank * freq * 1000000 // f1 AS BIGINT) AS zipf_ratio_ppm
+    FROM top, c1
+    """,
+    tags=("corpus", "vocab", "monitoring"),
+    doc=f"Zipf diagnostic: top-{ZIPF_TOPK} tokens with rank x frequency "
+    "and its ratio (ppm) to the rank-1 frequency — under Zipf's law the "
+    "ratio stays near 1e6 across ranks; a flat head (synthetic or "
+    "templated text) or a collapsed head (looping generator) shows up "
+    "immediately. The global sort touches only the vocabulary-sized "
+    "frequency table and the window runs on the already-LIMITed "
+    f"{ZIPF_TOPK}-row result (bounded; the TakeOrdered does the heavy "
+    "lifting distributed). f1 joins back as a 1-row broadcast.",
+)
+def zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    tf = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), F.asc("tok")).limit(ZIPF_TOPK)
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))  # bounded: ZIPF_TOPK rows
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    c1 = ranked.filter(F.col("rank") == 1).select(F.col("freq").alias("f1"))
+    rf = F.col("rank").cast("long") * F.col("freq")
+    return (
+        ranked.crossJoin(F.broadcast(c1))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            F.col("freq").cast("long").alias("freq"),
+            rf.alias("rank_freq"),
+            F.floor((rf * F.lit(1_000_000)) / F.col("f1")).cast("long")
+            .alias("zipf_ratio_ppm"),
+        )
+    )
+
+
+def _midrank2_by_value(perdoc: DataFrame, metric: str) -> DataFrame:
+    """(value, midrank2): 2x the tie-averaged rank of each distinct
+    METRIC value. midrank2 = 2*cum - cnt + 1 where cum is the cumulative
+    doc count through this value — integers throughout (the x2 dodges
+    the .5 of averaged ranks). The window runs over the DISTINCT-VALUE
+    table only (bounded: distinct doc lengths, not docs)."""
+    hist = perdoc.groupBy(metric).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(metric).rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        metric,
+        (2 * F.sum("cnt").over(w) - F.col("cnt") + 1).cast("long").alias("midrank2"),
+    )
+
+
+_SQL_SPEARMAN_PERDOC = f"""perdoc AS (
+      SELECT doc_id,
+             len({_SQL_TOKS}) AS n_tokens,
+             len(list_distinct({_SQL_TOKS})) AS n_distinct
+      FROM documents
+    )"""
+
+
+def _sql_midrank2(metric: str) -> str:
+    return f"""(
+      SELECT {metric},
+             2 * SUM(cnt) OVER (ORDER BY {metric}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt + 1 AS midrank2
+      FROM (SELECT {metric}, COUNT(*) AS cnt FROM perdoc GROUP BY {metric})
+    )"""
+
+
+@query(
+    "rank_corr_tokens_distinct",
+    f"""
+    WITH {_SQL_SPEARMAN_PERDOC},
+    ra AS {_sql_midrank2('n_tokens')},
+    rb AS {_sql_midrank2('n_distinct')},
+    joined AS (
+      SELECT CAST(ra.midrank2 AS HUGEINT) AS x, CAST(rb.midrank2 AS HUGEINT) AS y
+      FROM perdoc p
+      JOIN ra ON p.n_tokens = ra.n_tokens
+      JOIN rb ON p.n_distinct = rb.n_distinct
+    ),
+    sums AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM joined
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+             AS spearman_rho,
+           CAST(FLOOR(1000000 * CAST(n*sxy - sx*sy AS DOUBLE)
+             / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)))
+             AS BIGINT) AS rho_micro
+    FROM sums
+    """,
+    tags=("statistics", "monitoring", "orderstats"),
+    doc="Exact tie-aware Spearman rank correlation between per-doc "
+    "token count and distinct-token count (the repetition monitor: "
+    "rho collapsing toward 0 means length stops predicting lexical "
+    "variety — looping/templated text entering the corpus). Mid-ranks "
+    "come from the value histogram (group by VALUE, cumulative count, "
+    "join back by value) — Spearman without any global sort of the "
+    "doc-level table; the only ordered window runs over the bounded "
+    "distinct-value histogram. Doubled mid-ranks keep everything "
+    "integer; the Pearson-on-midranks moments are exact DECIMAL(38,0) "
+    "(HUGEINT in DuckDB) and rho is IEEE double of exactly-equal "
+    "integers, so both engines agree bitwise. Tie correction is "
+    "inherent to Pearson-on-midranks (no separate T terms needed).",
+)
+def rank_corr_tokens_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    perdoc = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    ra = _midrank2_by_value(perdoc, "n_tokens").withColumnRenamed("midrank2", "x")
+    rb = _midrank2_by_value(perdoc, "n_distinct").withColumnRenamed("midrank2", "y")
+    joined = (
+        perdoc.join(F.broadcast(ra), "n_tokens")
+        .join(F.broadcast(rb), "n_distinct")
+        .select(F.col("x").cast("decimal(38,0)"), F.col("y").cast("decimal(38,0)"))
+    )
+    sums = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
+    rho = cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double"))
+    return sums.select(
+        F.col("n").cast("long").alias("n"),
+        rho.alias("spearman_rho"),
+        F.floor(F.lit(1_000_000) * rho).cast("long").alias("rho_micro"),
+    )

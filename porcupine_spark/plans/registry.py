@@ -67,7 +67,9 @@ def load_all_plans() -> dict[str, QuerySpec]:
         multimodal,
         orderstats,
         quality,
+        segments,
         upsert,
+        vocabstats,
     )
     from porcupine_spark.streaming import enrich, joins, stateful, windows  # noqa: F401
 
