@@ -886,3 +886,110 @@ def event_rate_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged"),
         )
     )
+
+
+# Two-level-scan bucket width over ARRIVAL time: 6h of arrival per
+# bucket. Size to hold ~sqrt(n) rows per bucket at the working scale
+# (local: 100k events / ~90 days -> ~280 rows per 6h bucket; a
+# cluster-scale run picks span/sqrt(n)).
+SCAN_BUCKET_US = 21_600_000_000
+
+# Deterministic replay of a realistic ingest: each event arrives
+# delay = md5("lat:"||event_id) % 900000 ms (0..15 min) after its event
+# time — the corpus parquet is globally time-ordered, so replaying raw
+# ingest order would make every event on-time and the audit degenerate.
+# (arrival, event_id) is a unique total order.
+_LAT_DELAY_SQL = (
+    "(CAST(concat('0x', substr(md5(concat('lat:', CAST(event_id AS VARCHAR))),"
+    " 1, 15)) AS BIGINT) % 900000) * 1000"
+)
+
+
+@query(
+    "global_watermark_audit",
+    f"""
+    WITH arr AS (
+      SELECT event_id, epoch_us(ts) AS tsu,
+             epoch_us(ts) + {_LAT_DELAY_SQL} AS arr_us
+      FROM events
+    ),
+    seq AS (
+      SELECT tsu,
+             MAX(tsu) OVER (ORDER BY arr_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+      FROM arr
+    ),
+    lat AS (
+      SELECT CASE WHEN hw IS NULL OR tsu >= hw THEN 0 ELSE hw - tsu END
+               AS lateness_us
+      FROM seq
+    ),
+    banded AS (
+      SELECT CASE WHEN lateness_us = 0 THEN 'on_time'
+                  WHEN lateness_us <= 60000000 THEN 'le_1m'
+                  WHEN lateness_us <= 600000000 THEN 'le_10m'
+                  WHEN lateness_us <= 3600000000 THEN 'le_1h'
+                  ELSE 'gt_1h' END AS band,
+             CASE WHEN lateness_us > 600000000 THEN 1 ELSE 0 END AS would_drop_10m
+      FROM lat
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM banded)
+    SELECT band, CAST(MAX(would_drop_10m) AS BIGINT) AS would_drop_10m,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) * 1000000 // MAX(tot.n) AS BIGINT) AS share_ppm
+    FROM banded, tot
+    GROUP BY band
+    """,
+    tags=("sessionize", "streaming", "monitoring", "scan"),
+    doc="GLOBAL watermark-lateness audit: replay events in modeled "
+    "arrival order (event time + deterministic 0-15 min hash jitter — "
+    "the parquet is time-ordered, so raw ingest order is degenerately "
+    "on-time) against the stream-wide event-time high-water mark — the "
+    "quantity Spark's withWatermark() actually thresholds (watermarks "
+    "are global, not per-key; event_disorder_stats gives the per-key "
+    "view). Bands the lateness into a histogram and flags the share a "
+    "10-minute watermark would drop. The Spark side computes the "
+    "running max with the two-level distributed prefix scan "
+    "(functions/scans.py: bucket maxima -> exclusive prefix over the "
+    "n/B-row bucket table -> within-bucket windows of <= B rows) so NO "
+    "corpus-sized window ever runs on one partition; the oracle uses "
+    "the direct global window, proving the decomposition equals the "
+    "global scan on every run.",
+)
+def global_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions.hashing import md5_long60
+    from porcupine_spark.functions.scans import prefix_max_exclusive
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("tsu")
+    )
+    delay_us = (
+        md5_long60(F.concat(F.lit("lat:"), F.col("event_id").cast("string")))
+        % 900_000
+    ) * 1000
+    ev = ev.withColumn("arr_us", F.col("tsu") + delay_us)
+    hw = prefix_max_exclusive(ev, "arr_us", "event_id", "tsu", "hw", SCAN_BUCKET_US)
+    lateness = F.when(
+        F.col("hw").isNull() | (F.col("tsu") >= F.col("hw")), F.lit(0)
+    ).otherwise(F.col("hw") - F.col("tsu"))
+    banded = hw.select(
+        F.when(lateness == 0, "on_time")
+        .when(lateness <= 60_000_000, "le_1m")
+        .when(lateness <= 600_000_000, "le_10m")
+        .when(lateness <= 3_600_000_000, "le_1h")
+        .otherwise("gt_1h")
+        .alias("band"),
+        F.when(lateness > 600_000_000, 1).otherwise(0).alias("wd"),
+    )
+    tot = banded.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("band")
+        .agg(
+            F.max("wd").cast("long").alias("would_drop_10m"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.floor((F.count(F.lit(1)) * F.lit(1_000_000)) / F.max("n"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+    )

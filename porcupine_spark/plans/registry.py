@@ -67,6 +67,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         multimodal,
         orderstats,
         quality,
+        quantization,
         segments,
         upsert,
         vocabstats,
