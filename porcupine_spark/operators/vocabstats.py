@@ -243,3 +243,199 @@ def rank_corr_tokens_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         rho.alias("spearman_rho"),
         F.floor(F.lit(1_000_000) * rho).cast("long").alias("rho_micro"),
     )
+
+
+@query(
+    "lang_diversity_simpson",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    t AS (SELECT source, SUM(n) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(MAX(t.tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(1000000 - SUM(n * n) * 1000000 // (MAX(t.tot) * MAX(t.tot))
+                AS BIGINT) AS simpson_ppm
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+    """,
+    tags=("corpus", "monitoring", "statistics"),
+    doc="Gini-Simpson language diversity per source: 1 - sum(p_lang^2) "
+    "in ppm — the entropy-free diversity index (no logarithms, so it "
+    "stays integer-exact cross-engine; the repo avoids log-based "
+    "metrics by design). A monolingual source scores 0; a source whose "
+    "language mix collapses (scraper regression, lang-ID drift) shows "
+    "an immediate drop. Two keyed aggregations over the |source|x|lang| "
+    "table — nothing corpus-sized past the first groupBy.",
+)
+def lang_diversity_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.max("tot").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            (
+                F.lit(1_000_000)
+                - F.floor(
+                    (F.sum(F.col("n") * F.col("n")) * F.lit(1_000_000))
+                    / (F.max("tot") * F.max("tot"))
+                )
+            ).cast("long").alias("simpson_ppm"),
+        )
+    )
+
+
+# Token-length classes for the structural fingerprint: short (<=3),
+# medium (4-6), long (>=7) — coarse enough that synonym swaps inside a
+# template map to the same class sequence.
+_LEN_CLASS_SQL = (
+    "list_transform({toks}, t -> CASE WHEN length(t) <= 3 THEN 's' "
+    "WHEN length(t) <= 6 THEN 'm' ELSE 'l' END)"
+)
+
+
+@query(
+    "template_fingerprint_clusters",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(concat('tpl:',
+               array_to_string({_LEN_CLASS_SQL.format(toks=_SQL_TOKS)}, ''))), 1, 15))
+               AS BIGINT) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS example_doc_id
+    FROM fp
+    GROUP BY fingerprint
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("dedup", "curation", "template"),
+    doc="Template detection: documents sharing the exact SEQUENCE of "
+    "token-length classes (s/m/l) are near-certainly instances of one "
+    "generation template even when every word differs — the failure "
+    "mode minhash misses (low token overlap) and embedding near-dup "
+    "half-misses (templates drift in meaning). Clusters = fingerprint "
+    "groups with >= 2 docs, with source spread and a stable example "
+    "id. One per-row map + one hash-keyed groupBy; the fingerprint is "
+    "a 60-bit long, never the class string.",
+)
+def template_fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    classes = F.transform(
+        toks,
+        lambda t: F.when(F.length(t) <= 3, "s")
+        .when(F.length(t) <= 6, "m")
+        .otherwise("l"),
+    )
+    from porcupine_spark.functions.hashing import md5_long60
+
+    fp = md5_long60(F.concat(F.lit("tpl:"), F.concat_ws("", classes)))
+    return (
+        docs.select("doc_id", "source", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# Exact integer sqrt via float sqrt + correction: FLOOR(SQRT(x)) on a
+# double is within 1 ulp for x < 2^52; the two CASE arms repair it.
+def _sql_isqrt(x: str) -> str:
+    s = f"CAST(FLOOR(SQRT(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s}+1)*({s}+1) <= {x} THEN {s}+1 "
+        f"WHEN {s}*{s} > {x} THEN {s}-1 ELSE {s} END)"
+    )
+
+
+def _isqrt(x):  # Spark Column twin of _sql_isqrt
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when((s + 1) * (s + 1) <= x, s + 1)
+        .when(s * s > x, s - 1)
+        .otherwise(s)
+    )
+
+
+@query(
+    "neyman_allocation",
+    f"""
+    WITH st AS (
+      SELECT source, COUNT(*) AS nh,
+             SUM(CAST(n_chars AS HUGEINT)) AS sx,
+             SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      FROM documents GROUP BY source
+    ),
+    v AS (
+      SELECT source, nh,
+             CAST((nh * sxx - sx * sx) // (nh * (nh - 1)) AS BIGINT) AS var_len
+      FROM st WHERE nh >= 2
+    ),
+    s AS (
+      SELECT source, nh, var_len,
+             nh * {_sql_isqrt('var_len')} AS weight
+      FROM v
+    ),
+    tot AS (SELECT SUM(weight) AS tw FROM s)
+    SELECT source, CAST(nh AS BIGINT) AS n_docs,
+           CAST(var_len AS BIGINT) AS var_len,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(weight * 1000000 // tot.tw AS BIGINT) AS alloc_ppm
+    FROM s, tot
+    """,
+    tags=("sampling", "statistics", "planning"),
+    doc="Neyman allocation for a stratified eval sample: each source's "
+    "share of the sampling budget proportional to N_h * S_h (stratum "
+    "size x stratum std of doc length) — the variance-minimizing "
+    "allocation from survey sampling, the right way to size per-source "
+    "eval sets. S_h is an EXACT integer sqrt of the exact integer "
+    "sample variance (float sqrt + two-arm correction, valid to 2^52), "
+    "so the allocation is bit-stable cross-engine with no float "
+    "accumulation anywhere. One groupBy over documents (map-side "
+    "partials), then |sources|-row arithmetic; the total joins back as "
+    "a 1-row broadcast.",
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(38,0)")
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nh = F.col("nh").cast("decimal(38,0)")
+    var_len = (
+        F.expr("(nh * sxx - sx * sx) div (nh * (nh - 1))").cast("long")
+    )
+    v = st.filter(F.col("nh") >= 2).select(
+        "source", "nh", var_len.alias("var_len")
+    )
+    s = v.select(
+        "source",
+        "nh",
+        "var_len",
+        (F.col("nh") * _isqrt(F.col("var_len"))).cast("long").alias("weight"),
+    )
+    tot = s.agg(F.sum("weight").alias("tw"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("nh").cast("long").alias("n_docs"),
+        "var_len",
+        "weight",
+        F.floor((F.col("weight") * F.lit(1_000_000)) / F.col("tw"))
+        .cast("long")
+        .alias("alloc_ppm"),
+    )

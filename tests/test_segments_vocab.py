@@ -162,3 +162,58 @@ class TestVocabStats:
         monkeypatch.setattr(V, "load_table", lambda *a, **k: docs)
         r = V.rank_corr_tokens_distinct(spark, "x").first()
         assert r.spearman_rho == pytest.approx(expect, abs=1e-12)
+
+
+class TestWave3:
+    def test_simpson_monolingual_zero(self, spark, monkeypatch):
+        from porcupine_spark.operators import vocabstats as V
+
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="x", lang="en", source="mono", n_chars=1),
+            Row(doc_id=1, text="x", lang="en", source="mono", n_chars=1),
+            Row(doc_id=2, text="x", lang="en", source="bi", n_chars=1),
+            Row(doc_id=3, text="x", lang="fr", source="bi", n_chars=1),
+        ])
+        monkeypatch.setattr(V, "load_table", lambda *a, **k: docs)
+        out = {r.source: r for r in V.lang_diversity_simpson(spark, "x").collect()}
+        assert out["mono"].simpson_ppm == 0 and out["mono"].n_langs == 1
+        assert out["bi"].simpson_ppm == 500_000  # 1 - 2*(1/2)^2
+
+    def test_template_clusters_catch_synonym_swap(self, spark, monkeypatch):
+        from porcupine_spark.operators import vocabstats as V
+
+        # same s/m/l class sequence, different words; third doc differs
+        docs = spark.createDataFrame([
+            Row(doc_id=0, text="the quick brown animal", lang="en", source="a",
+                n_chars=22),
+            Row(doc_id=1, text="our rapid olive mammal", lang="en", source="b",
+                n_chars=22),
+            Row(doc_id=2, text="a verylongtoken", lang="en", source="a",
+                n_chars=15),
+        ])
+        monkeypatch.setattr(V, "load_table", lambda *a, **k: docs)
+        rows = V.template_fingerprint_clusters(spark, "x").collect()
+        assert len(rows) == 1
+        assert rows[0].n_docs == 2 and rows[0].n_sources == 2
+        assert rows[0].example_doc_id == 0
+
+    def test_isqrt_exact_on_boundaries(self, spark):
+        from porcupine_spark.operators.vocabstats import _isqrt
+
+        vals = [0, 1, 2, 3, 4, 8, 9, 10, 15, 16, 17,
+                10**12 - 1, 10**12, 10**12 + 1, 4503599627370495]
+        df = spark.createDataFrame([Row(x=v) for v in vals])
+        out = {r.x: r.s for r in df.select("x", _isqrt(F.col("x")).alias("s")).collect()}
+        import math
+        for v in vals:
+            assert out[v] == math.isqrt(v), v
+
+    def test_neyman_allocation_properties(self, spark, sf_dir):
+        from porcupine_spark.operators.vocabstats import neyman_allocation
+
+        rows = neyman_allocation(spark, sf_dir).collect()
+        assert len(rows) > 0
+        tot_ppm = sum(r.alloc_ppm for r in rows)
+        assert 1_000_000 - len(rows) <= tot_ppm <= 1_000_000  # truncation
+        for r in rows:
+            assert r.var_len >= 0 and r.weight >= 0
