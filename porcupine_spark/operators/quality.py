@@ -502,3 +502,61 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(top_cents) * 1000000 div MAX(total) AS BIGINT)"
         ).alias(f"top{PARETO_TOP}pct_revenue_share_micro"),
     )
+
+
+@query(
+    "dq_doc_embedding_coverage",
+    """
+    WITH j AS (
+      SELECT d.source, d.doc_id, e.vec_id
+      FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT COALESCE(source, '__no_doc__') AS source,
+           CAST(COUNT(doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                      THEN 1 END) AS BIGINT) AS n_embedded,
+           CAST(COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT)
+             AS n_orphan_vecs,
+           CAST(CASE WHEN COUNT(doc_id) > 0
+                THEN COUNT(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+                           THEN 1 END) * 1000000 // COUNT(doc_id)
+                ELSE 0 END AS BIGINT) AS coverage_ppm
+    FROM j
+    GROUP BY COALESCE(source, '__no_doc__')
+    """,
+    tags=("quality", "similarity", "monitoring"),
+    doc="Referential-integrity audit between the documents and "
+    "embeddings tables (doc_id <-> vec_id): per-source embedding "
+    "coverage plus orphan vectors (embeddings whose document is gone — "
+    "the stale-index signal after a dedup purge; they surface under "
+    "the __no_doc__ source). The number a retrieval pipeline checks "
+    "before trusting ANN results to cover the corpus. One full-outer "
+    "join on the id (co-partitionable at scale: both sides hash on the "
+    "same key) + one keyed rollup; no payload columns move, only ids "
+    "and source.",
+)
+def dq_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = docs.join(vecs, docs.doc_id == vecs.vec_id, "full_outer")
+    matched = F.count(
+        F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), 1)
+    )
+    n_docs = F.count("doc_id")
+    return (
+        j.groupBy(F.coalesce("source", F.lit("__no_doc__")).alias("source"))
+        .agg(
+            n_docs.cast("long").alias("n_docs"),
+            matched.cast("long").alias("n_embedded"),
+            F.count(F.when(F.col("doc_id").isNull(), 1))
+            .cast("long")
+            .alias("n_orphan_vecs"),
+            F.when(
+                n_docs > 0,
+                F.floor((matched * F.lit(1_000_000)) / n_docs),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )

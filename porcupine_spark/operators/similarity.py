@@ -1713,3 +1713,101 @@ _REG["lsh_recall_at_k"].oracle = f"""
                 // SUM(CASE WHEN in_exact IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recall_micro
     FROM m GROUP BY query_id
 """
+
+
+@query(
+    "ivf_cell_balance",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cent_e FROM embeddings WHERE vec_id < 8
+    ),
+    assign AS (
+      SELECT vec_id, cid, ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {sql_dot('embedding', 'cent_e')}
+                        / (SQRT({sql_dot('embedding', 'embedding')})
+                           * SQRT({sql_dot('cent_e', 'cent_e')})) DESC, cid) AS arn
+      FROM embeddings CROSS JOIN cent
+    ),
+    cells AS (
+      SELECT cid, COUNT(*) AS n_vectors FROM assign WHERE arn = 1 GROUP BY cid
+    ),
+    tot AS (SELECT SUM(n_vectors) AS t, COUNT(*) AS k FROM cells)
+    SELECT cid, CAST(n_vectors AS BIGINT) AS n_vectors,
+           CAST(n_vectors * 1000000 // tot.t AS BIGINT) AS share_ppm,
+           CAST(n_vectors * tot.k * 1000000 // tot.t AS BIGINT) AS load_factor_ppm
+    FROM cells, tot
+    """,
+    tags=("similarity", "ann", "ivf", "monitoring"),
+    doc="IVF cell-balance audit: per coarse cell, the member count, "
+    "corpus share, and load factor vs the perfectly-balanced mean "
+    "(1e6 = exactly mean-sized; the capacity-planning number — a hot "
+    "cell is BOTH a skewed shuffle partition at build time and a "
+    "latency outlier at probe time, and the fix — split the cell, "
+    "re-train centroids — is decided from this table). Uses ivf_topk's "
+    "exact assignment semantics (same centroids, same argmax rule) via "
+    "the same numpy-prefilter + exact-decimal re-score: only centroids "
+    "within 2*epsilon of a vector's approximate best get the decimal "
+    "re-score, so decimal work is ~N dots, not N*8. Downstream of "
+    "assignment everything is |cells|-sized.",
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_raw = load_table(spark, sf_dir, "embeddings", widen=False)
+    sc = emb.sparkSession.sparkContext
+
+    cloc = emb_raw.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
+    c_ids = cloc["vec_id"].to_numpy()
+    c_mat = np.array(cloc["embedding"].tolist(), dtype=np.float64)
+    c_mat_n = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+    bc_cent = sc.broadcast((c_ids, c_mat_n))
+    margin = 2 * NEARDUP_MARGIN
+
+    def assign_cands(batches):
+        ids, mat_n = bc_cent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            a_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ mat_n.T  # (batch, 8)
+            best = sims.max(axis=1)
+            ai, ci = np.where(sims >= (best - margin)[:, None])
+            yield pd.DataFrame({"vec_id": a_ids[ai], "cid": ids[ci]})
+
+    cand = emb.mapInPandas(assign_cands, schema="vec_id long, cid long")
+    vecs = _exact_norms(
+        emb_raw, keep=[("vec_id", "long"), ("embedding", "array<float>")]
+    )
+    cent = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cent_e"),
+        F.col("vn").alias("cent_n"),
+    )
+    wassign = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        _exact_cosine_map(
+            cand.join(vecs, "vec_id").join(F.broadcast(cent), "cid"),
+            keep=[("vec_id", "long"), ("cid", "long")],
+            a_col="embedding", b_col="cent_e", na_col="vn", nb_col="cent_n",
+            out="sim",
+        )
+        .withColumn("arn", F.row_number().over(wassign))
+        .filter(F.col("arn") == 1)
+    )
+    cells = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = cells.agg(F.sum("n_vectors").alias("t"), F.count(F.lit(1)).alias("k"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.floor((F.col("n_vectors") * F.lit(1_000_000)) / F.col("t"))
+        .cast("long")
+        .alias("share_ppm"),
+        F.floor((F.col("n_vectors") * F.col("k") * F.lit(1_000_000)) / F.col("t"))
+        .cast("long")
+        .alias("load_factor_ppm"),
+    )

@@ -99,3 +99,46 @@ class TestSQ8:
         # pin a sanity floor so a quantization regression is caught
         mean_recall = sum(r.recall_micro for r in rows) / len(rows)
         assert mean_recall >= 600_000
+
+
+class TestCellBalanceAndCoverage:
+    def test_cell_balance_sums(self, spark, sf_dir):
+        from porcupine_spark.operators.similarity import ivf_cell_balance
+        from porcupine_spark.tables import load_table
+
+        rows = ivf_cell_balance(spark, sf_dir).collect()
+        n_vecs = load_table(spark, sf_dir, "embeddings").count()
+        assert sum(r.n_vectors for r in rows) == n_vecs
+        k = len(rows)
+        # load factors average to ~1e6 (truncation slack <= k ppm each)
+        mean_lf = sum(r.load_factor_ppm for r in rows) / k
+        assert 1_000_000 - k <= mean_lf <= 1_000_000
+
+    def test_cell_balance_matches_ivf_assignment(self, spark, sf_dir):
+        # the audit must count the same buckets ivf_topk searches:
+        # derive assignment from the oracle rule independently in python
+        import numpy as np
+        from porcupine_spark.operators.similarity import ivf_cell_balance
+        from porcupine_spark.tables import load_table
+
+        emb = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+               for r in load_table(spark, sf_dir, "embeddings").collect()}
+        cents = {cid: v / np.linalg.norm(v) for cid, v in emb.items() if cid < 8}
+        counts = {}
+        for vid, v in emb.items():
+            vn = v / np.linalg.norm(v)
+            best = min((-(vn @ c), cid) for cid, c in cents.items())[1]
+            counts[best] = counts.get(best, 0) + 1
+        got = {r.cid: r.n_vectors for r in ivf_cell_balance(spark, sf_dir).collect()}
+        assert got == counts
+
+    def test_doc_embedding_coverage(self, spark, sf_dir):
+        from porcupine_spark.operators.quality import dq_doc_embedding_coverage
+        from porcupine_spark.tables import load_table
+
+        rows = dq_doc_embedding_coverage(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r.n_docs for r in rows) == docs
+        for r in rows:
+            assert r.n_embedded <= r.n_docs
+            assert 0 <= r.coverage_ppm <= 1_000_000
