@@ -991,3 +991,223 @@ def hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "cms_join_size",
+    f"""
+    WITH a AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+    b AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+          WHERE l_returnflag = 'R'),
+    ah AS (
+      SELECT i, CAST(concat('0x', substr(md5('s' || i || k), 1, 15)) AS BIGINT)
+               % {F2_W} AS bucket, COUNT(*) AS c
+      FROM a, UNNEST(range(0, {F2_D})) AS r(i) GROUP BY 1, 2
+    ),
+    bh AS (
+      SELECT i, CAST(concat('0x', substr(md5('s' || i || k), 1, 15)) AS BIGINT)
+               % {F2_W} AS bucket, COUNT(*) AS c
+      FROM b, UNNEST(range(0, {F2_D})) AS r(i) GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT MIN(s) AS j_est FROM (
+        SELECT ah.i, SUM(CAST(ah.c AS HUGEINT) * bh.c) AS s
+        FROM ah JOIN bh ON ah.i = bh.i AND ah.bucket = bh.bucket
+        GROUP BY ah.i)
+    ),
+    exact AS (
+      SELECT CAST(SUM(CAST(na AS HUGEINT) * nb) AS HUGEINT) AS j FROM (
+        SELECT a.k, COUNT(*) AS na FROM a GROUP BY a.k) fa
+      JOIN (SELECT b.k, COUNT(*) AS nb FROM b GROUP BY b.k) fb USING (k)
+    )
+    SELECT CAST(exact.j AS BIGINT) AS exact_join_size,
+           CAST(est.j_est AS BIGINT) AS cms_estimate,
+           CAST((est.j_est - exact.j) * 1000000 // exact.j AS BIGINT)
+             AS overcount_micro
+    FROM exact, est
+    """,
+    tags=("sketch", "monitoring", "planning"),
+    doc=f"Bipartite join-size estimate from two Count-Min arrays: "
+    f"|A JOIN B on k| = sum_k f_A(k)*f_B(k), estimated as min over the "
+    f"{F2_D} hash rows of the row-wise inner product of the two "
+    f"{F2_W}-bucket count arrays (the AMS inner-product result; "
+    "completes the planning shelf next to cms_selfjoin_size's F2). "
+    "Here: lineitem x its returned-only subset on l_partkey — 'how "
+    "many output rows if I join the fact table to the returns "
+    "slice?', priced from 2x2048 mergeable integers instead of a "
+    "groupBy of each side. Overcount is one-sided (collisions only "
+    "add), reported in micro-units against the exact inner product. "
+    "Everything is exact integer arithmetic on both engines.",
+)
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_partkey").cast("string").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+
+    def cms_cells(keys: DataFrame) -> DataFrame:
+        hashes = keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            md5_bucket("k", f"s{i}", F2_W).alias("bucket"),
+                        )
+                        for i in range(F2_D)
+                    ]
+                )
+            ).alias("ib")
+        ).select(F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"))
+        return hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    ac, bc = cms_cells(a), cms_cells(b)
+    est = (
+        ac.withColumnRenamed("c", "ca")
+        .join(bc.withColumnRenamed("c", "cb"), ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")).alias("s"))
+        .agg(F.min("s").alias("j_est"))
+    )
+    fa = a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    fb = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
+    exact = fa.join(fb, "k").agg(
+        F.sum(F.expr("CAST(na AS DECIMAL(38,0)) * nb")).alias("j")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("j").cast("long").alias("exact_join_size"),
+        F.col("j_est").cast("long").alias("cms_estimate"),
+        F.expr("CAST((j_est - j) * 1000000 div j AS BIGINT)").alias(
+            "overcount_micro"
+        ),
+    )
+
+
+QSK_BINS = 1024
+QSK_TARGETS = (50, 90, 99)
+
+
+@query(
+    "quantile_sketch_calibration",
+    f"""
+    WITH v AS (
+      SELECT CAST(TRUNC(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi, COUNT(*) AS n FROM v
+    ),
+    binned AS (
+      SELECT ((cents - bounds.lo) * {QSK_BINS})
+               // (bounds.hi - bounds.lo + 1) AS bin,
+             COUNT(*) AS c
+      FROM v, bounds GROUP BY 1
+    ),
+    bincum AS (
+      SELECT bin, SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM binned
+    ),
+    vals AS (
+      SELECT cents, COUNT(*) AS c FROM v GROUP BY cents
+    ),
+    valcum AS (
+      SELECT cents, SUM(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM vals
+    ),
+    t AS (SELECT UNNEST(ARRAY{list(QSK_TARGETS)}) AS q),
+    targets AS (
+      SELECT q, (bounds.n * q + 99) // 100 AS target_rank,
+             bounds.lo, bounds.hi FROM t, bounds
+    ),
+    est AS (
+      SELECT q, MIN(lo + bin * (hi - lo + 1) // {QSK_BINS}) AS sketch_cents
+      FROM targets JOIN bincum ON bincum.cum >= targets.target_rank
+      GROUP BY q
+    ),
+    exact AS (
+      SELECT q, MIN(cents) AS exact_cents
+      FROM targets JOIN valcum ON valcum.cum >= targets.target_rank
+      GROUP BY q
+    )
+    SELECT CAST(exact.q AS BIGINT) AS quantile_pct,
+           CAST(exact.exact_cents AS BIGINT) AS exact_cents,
+           CAST(est.sketch_cents AS BIGINT) AS sketch_cents,
+           CAST((exact.exact_cents - est.sketch_cents) * 1000000
+                // exact.exact_cents AS BIGINT) AS undershoot_micro
+    FROM exact JOIN est USING (q)
+    """,
+    tags=("sketch", "monitoring", "orderstats", "planning"),
+    doc=f"Quantile-sketch calibration — the missing member of the "
+    f"sketch shelf (KMV/HLL count sets, MG finds heavy keys, CMS "
+    f"prices frequencies/joins; this prices DISTRIBUTIONS): a "
+    f"{QSK_BINS}-bin equi-width histogram over order totals (cents), "
+    f"mergeable across partitions (bin counts add), read out at "
+    f"P{QSK_TARGETS[0]}/P{QSK_TARGETS[1]}/P{QSK_TARGETS[2]} as the "
+    "crossing bin's LEFT edge, against the exact order statistic from "
+    "the full value histogram (same ceil-rank rule) — undershoot is "
+    "one-sided by construction and bounded by one bin width. All "
+    "integer arithmetic (bin index by truncating division on exact "
+    "cents), so the sketch AND its error audit carry a hash oracle. "
+    "The two single-partition windows run over the 1024-bin table and "
+    "the distinct-value histogram — never the orders table.",
+)
+def quantile_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    # Spark double->bigint CAST truncates toward zero; DuckDB CAST
+    # rounds, so the oracle wraps TRUNC() first — same value.
+    v = orders.select(F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("cents"))
+    bounds = v.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    vb = v.crossJoin(F.broadcast(bounds))
+    binned = (
+        vb.select(
+            F.expr(f"(cents - lo) * {QSK_BINS} div (hi - lo + 1)").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    bincum = binned.select("bin", F.sum("c").over(wcum).alias("cum"))
+    vals = v.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    valcum = vals.select("cents", F.sum("c").over(wv).alias("cum"))
+    targets = (
+        spark.range(0, len(QSK_TARGETS))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in QSK_TARGETS]),
+                (F.col("id") + 1).cast("int"),
+            ).alias("q")
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select("q", F.expr("(n * q + 99) div 100").alias("target_rank"), "lo", "hi")
+    )
+    est = (
+        targets.join(bincum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.expr(f"lo + bin * (hi - lo + 1) div {QSK_BINS}")
+            ).alias("sketch_cents")
+        )
+    )
+    exact = (
+        targets.join(valcum, F.col("cum") >= F.col("target_rank"))
+        .groupBy("q")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return exact.join(est, "q").select(
+        F.col("q").cast("long").alias("quantile_pct"),
+        F.col("exact_cents").cast("long").alias("exact_cents"),
+        F.col("sketch_cents").cast("long").alias("sketch_cents"),
+        F.expr(
+            "CAST((exact_cents - sketch_cents) * 1000000 div exact_cents AS BIGINT)"
+        ).alias("undershoot_micro"),
+    )

@@ -142,3 +142,32 @@ class TestCellBalanceAndCoverage:
         for r in rows:
             assert r.n_embedded <= r.n_docs
             assert 0 <= r.coverage_ppm <= 1_000_000
+
+
+class TestSketchShelf:
+    def test_cms_join_size_one_sided(self, spark, sf_dir):
+        from porcupine_spark.operators.sketches import cms_join_size
+
+        r = cms_join_size(spark, sf_dir).first()
+        assert r.cms_estimate >= r.exact_join_size  # collisions only add
+        assert r.overcount_micro >= 0
+
+    def test_quantile_sketch_bounds(self, spark, sf_dir):
+        from porcupine_spark.operators.sketches import (
+            QSK_BINS, quantile_sketch_calibration)
+        from porcupine_spark.tables import load_table
+
+        rows = {r.quantile_pct: r
+                for r in quantile_sketch_calibration(spark, sf_dir).collect()}
+        assert set(rows) == {50, 90, 99}
+        orders = load_table(spark, sf_dir, "orders")
+        lo, hi = orders.selectExpr(
+            "MIN(CAST(o_totalprice * 100 AS BIGINT))",
+            "MAX(CAST(o_totalprice * 100 AS BIGINT))").first()
+        bin_w = (hi - lo + 1 + QSK_BINS - 1) // QSK_BINS
+        for r in rows.values():
+            # left-edge readout: one-sided undershoot, at most one bin
+            assert 0 <= r.exact_cents - r.sketch_cents <= bin_w
+            assert r.undershoot_micro >= 0
+        # monotone quantiles
+        assert rows[50].exact_cents <= rows[90].exact_cents <= rows[99].exact_cents
