@@ -1791,3 +1791,102 @@ REGISTRY["dedup_method_agreement"].oracle = f"""
                 * 1000000 // COUNT(*) END AS BIGINT) AS agreement_micro
     FROM m
 """
+
+
+# DF-spectrum buckets: powers-of-ten bands wide enough to read the
+# hot tail at any corpus size.
+_DF_BANDS = ((1, 1, "df_1"), (2, 2, "df_2"), (3, 10, "df_3_10"),
+             (11, 100, "df_11_100"), (101, 1000, "df_101_1000"))
+_DF_OVERFLOW = "df_gt_1000"
+
+
+def _df_band_sql(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {col} BETWEEN {lo} AND {hi} THEN '{name}'"
+        for lo, hi, name in _DF_BANDS
+    )
+    return f"CASE {arms} ELSE '{_DF_OVERFLOW}' END"
+
+
+@query(
+    "shingle_df_spectrum",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST([array_to_string(toks[i:i+2], ' ')
+                       FOR i IN range(1, len(toks) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+              FROM documents)
+      )
+    ),
+    df AS (SELECT shingle, COUNT(*) AS d FROM sh GROUP BY shingle),
+    banded AS (
+      SELECT {_df_band_sql('d')} AS band,
+             d, d * (d - 1) // 2 AS pair_mass
+      FROM df
+    ),
+    tot AS (
+      SELECT COUNT(*) AS n_sh, SUM(CAST(pair_mass AS HUGEINT)) AS pm
+      FROM banded
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) * 1000000 // MAX(tot.n_sh) AS BIGINT) AS shingle_share_ppm,
+           CAST(SUM(CAST(pair_mass AS HUGEINT)) AS BIGINT) AS pair_mass,
+           CAST(CASE WHEN MAX(tot.pm) > 0
+                THEN SUM(CAST(pair_mass AS HUGEINT)) * 1000000 // MAX(tot.pm)
+                ELSE 0 END AS BIGINT) AS pair_mass_share_ppm
+    FROM banded, tot
+    GROUP BY band
+    """,
+    tags=("dedup", "monitoring", "planning"),
+    doc="Shingle document-frequency spectrum — the diagnostic that "
+    "SIZES the hot-DF cap (dedup.py HOT_DF_CAP) instead of guessing "
+    "it: per DF band, how many distinct 3-gram shingles live there and "
+    "how much of the inverted-index join's total pair mass "
+    "(sum of df*(df-1)/2) they carry. A healthy corpus concentrates "
+    "pair mass in the low bands; mass migrating into df_101_1000/"
+    "df_gt_1000 is the early warning that boilerplate is entering the "
+    "corpus and the exact-pair dedup ops are heading for the fan-out "
+    "the cap exists to stop. Cost: the same distinct-shingle pass "
+    "ngram_jaccard starts from, one shingle-keyed count, then "
+    "band-sized arithmetic. The per-doc shingle set is distinct-ed "
+    "BEFORE the count (matching the dedup ops' df definition).",
+)
+def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, 3)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("d"))
+    expr = None
+    for lo, hi, name in _DF_BANDS:
+        cond = (F.col("d") >= lo) & (F.col("d") <= hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    band = expr.otherwise(_DF_OVERFLOW)
+    banded = df.select(
+        band.alias("band"),
+        F.expr("CAST(d * (d - 1) div 2 AS DECIMAL(38,0))").alias("pair_mass"),
+    )
+    tot = banded.agg(
+        F.count(F.lit(1)).alias("n_sh"), F.sum("pair_mass").alias("pm")
+    )
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.floor((F.count(F.lit(1)) * F.lit(1_000_000)) / F.max("n_sh"))
+            .cast("long")
+            .alias("shingle_share_ppm"),
+            F.sum("pair_mass").cast("long").alias("pair_mass"),
+            F.when(
+                F.max("pm") > 0,
+                F.expr(
+                    "CAST(SUM(pair_mass) * 1000000 div MAX(pm) AS BIGINT)"
+                ),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("pair_mass_share_ppm"),
+        )
+    )

@@ -239,3 +239,56 @@ def range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price",
         )
     )
+
+
+DECILES = 10
+
+
+@query(
+    "length_decile_assign",
+    f"""
+    WITH hist AS (
+      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars,
+             SUM(cnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS lo
+      FROM hist
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(cum.lo * {DECILES} // tot.n AS BIGINT) AS decile
+    FROM documents d JOIN cum USING (n_chars), tot
+    """,
+    tags=("orderstats", "curation", "sampling"),
+    doc=f"Per-document EXACT length decile without a global sort — the "
+    "rank-based bucketing a curriculum/mixing pipeline needs (train on "
+    "short docs first, cap the long tail, stratify evals by length). "
+    "decile = floor(lowest-tied-rank * 10 / n) from the VALUE "
+    "histogram's cumulative counts (same kernel as the two-pass "
+    "quantiles above): deterministic — equal lengths always share a "
+    "decile (ntile() would split ties by partition order, which is "
+    "neither stable nor oracle-able). The only ordered window runs "
+    "over the bounded distinct-length histogram; docs join the decile "
+    "back by VALUE (broadcast: the histogram is |distinct lengths|).",
+)
+def length_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = W.orderBy("n_chars").rowsBetween(W.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_chars", (F.sum("cnt").over(wc) - F.col("cnt")).alias("lo")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        docs.join(F.broadcast(cum), "n_chars")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.floor((F.col("lo") * F.lit(DECILES)) / F.col("n"))
+            .cast("long")
+            .alias("decile"),
+        )
+    )

@@ -171,3 +171,37 @@ class TestSketchShelf:
             assert r.undershoot_micro >= 0
         # monotone quantiles
         assert rows[50].exact_cents <= rows[90].exact_cents <= rows[99].exact_cents
+
+
+class TestSpectrumAndDeciles:
+    def test_decile_properties(self, spark, sf_dir):
+        from porcupine_spark.operators.orderstats import length_decile_assign
+        from porcupine_spark.tables import load_table
+
+        rows = length_decile_assign(spark, sf_dir).collect()
+        n = load_table(spark, sf_dir, "documents").count()
+        assert len(rows) == n
+        by_len = {}
+        for r in rows:
+            assert 0 <= r.decile <= 9
+            by_len.setdefault(r.n_chars, set()).add(r.decile)
+        # ties share a decile; deciles monotone in length
+        assert all(len(s) == 1 for s in by_len.values())
+        lens = sorted(by_len)
+        decs = [next(iter(by_len[v])) for v in lens]
+        assert decs == sorted(decs)
+
+    def test_spectrum_accounts_all_shingles(self, spark, sf_dir):
+        from porcupine_spark.operators.dedup import (
+            shingle_df_spectrum, shingle_table)
+        from porcupine_spark.tables import load_table
+
+        rows = shingle_df_spectrum(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        n_distinct = (
+            shingle_table(docs, 3).select("shingle").distinct().count()
+        )
+        assert sum(r.n_shingles for r in rows) == n_distinct
+        # pair-mass shares sum to ~1e6 (truncation slack per band)
+        tot = sum(r.pair_mass_share_ppm for r in rows)
+        assert 1_000_000 - len(rows) <= tot <= 1_000_000
