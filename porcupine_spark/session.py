@@ -40,6 +40,10 @@ _DEFAULTS = {
     "spark.sql.optimizer.excludedRules": (
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
+    # Python DataSources (sources/pyds.py) declare pushFilters(); the
+    # capability is gated off by default — enable it so doc_id range
+    # predicates reach the Python reader instead of post-scan filters.
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
     # Whole-stage codegen emits a fresh class per query stage; across a
