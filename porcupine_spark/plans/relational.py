@@ -1820,3 +1820,51 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div SUM(c) AS BIGINT)"
         ).alias("wape_micro"),
     )
+
+
+@query(
+    "props_variant_typed",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN json_type(props::JSON, '$.k') IS NOT NULL
+                  THEN 1 ELSE 0 END AS has_k,
+             CASE WHEN json_type(props::JSON, '$.missing') IS NOT NULL
+                  THEN 1 ELSE 0 END AS has_missing
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(has_k) AS BIGINT) AS n_typed_k,
+           CAST(SUM(has_missing) AS BIGINT) AS n_typed_missing,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k
+    FROM t GROUP BY event_type
+    """,
+    tags=("json", "variant", "agg"),
+    doc="Semi-structured parsing through Spark 4's VARIANT type: props "
+    "parsed ONCE to a binary variant (parse_json), then typed "
+    "extraction via try_variant_get — the parse-once/extract-many "
+    "shape that replaces repeated get_json_object string walks at "
+    "scale (events_props_json shows the legacy per-field extractor; "
+    "this is its modern twin, and the typed-extraction counts double "
+    "as a schema-presence audit: n_typed_missing pins the NULL path "
+    "for absent keys). The oracle reaches identical values through "
+    "DuckDB's JSON type — two independent semi-structured engines "
+    "agreeing on typed extraction.",
+)
+def props_variant_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
+    missing = F.try_variant_get("v", "$.missing", "long")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(k.isNotNull(), 1).otherwise(0)).cast("long").alias("n_typed_k"),
+        F.sum(F.when(missing.isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_typed_missing"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.countDistinct(k).cast("long").alias("distinct_k"),
+    )
