@@ -479,17 +479,29 @@ def cogroup_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataF
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "user_id", "event_type", F.unix_micros("ts").alias("tsu")
+    # DISTINCT timestamp names per side: when both cogroup inputs carry
+    # an identically-named derived column from one shared parent plan,
+    # Spark's column pruning drops the right side's copy (observed on
+    # 4.1: the view-side pdf arrives without 'tsu'); per-side names
+    # keep the projections disjoint.
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ptsu")
     )
-    purchases = base.filter(F.col("event_type") == "purchase").drop("event_type")
-    views = base.filter(F.col("event_type") == "view").drop("event_type")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("vtsu")
+    )
     win_us = ATTRIB_WINDOW_S * 1_000_000
 
     def align(key, pdf_p: pd.DataFrame, pdf_v: pd.DataFrame) -> pd.DataFrame:
         (user_id,) = key
-        pt = np.sort(pdf_p["tsu"].to_numpy())
-        vt = np.sort(pdf_v["tsu"].to_numpy())
+        # a key absent from one side arrives as an empty pdf — guard
+        # before indexing
+        pt = (
+            np.sort(pdf_p["ptsu"].to_numpy()) if len(pdf_p) else np.array([], "i8")
+        )
+        vt = (
+            np.sort(pdf_v["vtsu"].to_numpy()) if len(pdf_v) else np.array([], "i8")
+        )
         if len(pt) == 0:
             return pd.DataFrame(
                 columns=["user_id", "n_purchases", "n_views", "n_attributed"]
