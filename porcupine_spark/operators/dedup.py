@@ -1890,3 +1890,76 @@ def shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pair_mass_share_ppm"),
         )
     )
+
+
+@query(
+    "dedup_source_shift",
+    None,  # late-bound below: composes keep_canonical's oracle
+    tags=("dedup", "monitoring", "mixing"),
+    doc="Per-source corpus-share shift through keep-canonical dedup — "
+    "the number that invalidates a mixture plan: dedup is not "
+    "source-neutral (a syndicated source loses most of its docs; an "
+    "original one keeps them), so source weights tuned BEFORE dedup "
+    "are wrong AFTER. Reports each source's doc share in ppm before "
+    "and after, and the signed shift. Composes dedup_keep_canonical "
+    "(builder AND oracle), so it can never drift from the dedup rule "
+    "it summarizes; at 100 TB pass the materialized keep-set (the "
+    "savings_report_from pattern above) instead of re-running the "
+    "pass. Cost beyond keep_canonical: one broadcast semi-join and a "
+    "|sources|-row rollup.",
+)
+def dedup_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup_keep_canonical(spark, sf_dir).select("doc_id")
+    return source_shift_from(docs, kept)
+
+
+def source_shift_from(docs: DataFrame, kept: DataFrame) -> DataFrame:
+    """Share-shift body over a precomputed keep-set (artifact path)."""
+    before = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        docs.join(kept.select("doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    tb = before.agg(F.sum("n_before").alias("tb"))
+    ta = after.agg(F.sum("n_after").alias("ta"))
+    share_b = F.expr("CAST(n_before * 1000000 div tb AS BIGINT)")
+    share_a = F.expr("CAST(COALESCE(n_after, 0) * 1000000 div ta AS BIGINT)")
+    return (
+        before.join(after, "source", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "source",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            share_b.alias("share_before_ppm"),
+            share_a.alias("share_after_ppm"),
+            (share_a - share_b).cast("long").alias("shift_ppm"),
+        )
+    )
+
+
+REGISTRY["dedup_source_shift"].oracle = """
+    WITH keep AS ({KEEP}),
+    before AS (
+      SELECT source, COUNT(*) AS n_before FROM documents GROUP BY source
+    ),
+    after AS (
+      SELECT d.source, COUNT(*) AS n_after
+      FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+      GROUP BY d.source
+    ),
+    tb AS (SELECT SUM(n_before) AS tb FROM before),
+    ta AS (SELECT SUM(n_after) AS ta FROM after)
+    SELECT b.source,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(b.n_before * 1000000 // tb.tb AS BIGINT) AS share_before_ppm,
+           CAST(COALESCE(a.n_after, 0) * 1000000 // ta.ta AS BIGINT)
+             AS share_after_ppm,
+           CAST(COALESCE(a.n_after, 0) * 1000000 // ta.ta
+                - b.n_before * 1000000 // tb.tb AS BIGINT) AS shift_ppm
+    FROM before b LEFT JOIN after a ON b.source = a.source, tb, ta
+""".replace("{KEEP}", REGISTRY["dedup_keep_canonical"].oracle)

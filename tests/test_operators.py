@@ -1056,6 +1056,15 @@ def test_compositional_reports_from_materialized_artifact(spark, sf_dir, tmp_pat
     from_artifact = decontaminate_from(docs, spark.read.parquet(fpath))
     assert rows(from_artifact) == rows(decontaminate_corpus(spark, sf_dir))
 
+    # 4. source-shift report from the same persisted keep-set
+    from porcupine_spark.operators.dedup import (
+        dedup_source_shift,
+        source_shift_from,
+    )
+
+    from_artifact = source_shift_from(docs, spark.read.parquet(kpath))
+    assert rows(from_artifact) == rows(dedup_source_shift(spark, sf_dir))
+
 
 def test_dedup_cap_bounds_skewed_corpus_at_scale(spark):
     """Adversarial scale check for the capped pair-generation ops: an
