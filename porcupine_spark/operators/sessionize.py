@@ -993,3 +993,127 @@ def global_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+INCIDENT_GAP_S = 300
+INCIDENT_MIN_EVENTS = 5
+OVERLAP_BUCKET_US = 3_600_000_000  # 1h decomposition buckets
+
+# Shared CTEs: user sessions as [lo, hi) intervals and global error
+# incidents (per-day gap-islands of error events, >= INCIDENT_MIN_EVENTS)
+_SQL_INTERVALS = f"""sess AS (
+      SELECT user_id, session_id,
+             MIN(epoch_us(ts)) AS s_lo, MAX(epoch_us(ts)) + 1 AS s_hi
+      FROM (
+        SELECT user_id, ts,
+               CAST(SUM(CASE WHEN gap IS NULL OR gap > {GAP_SECONDS} * 1000000
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+      ) GROUP BY user_id, session_id
+    ),
+    inc AS (
+      SELECT MIN(epoch_us(ts)) AS i_lo, MAX(epoch_us(ts)) + 1 AS i_hi,
+             COUNT(*) AS n_err
+      FROM (
+        SELECT ts, day,
+               SUM(CASE WHEN gap IS NULL OR gap > {INCIDENT_GAP_S} * 1000000
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY day ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS island
+        FROM (
+          SELECT ts, event_id, date_trunc('day', ts) AS day,
+                 epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY date_trunc('day', ts)
+                         ORDER BY ts, event_id) AS gap
+          FROM events WHERE event_type = 'error')
+      ) GROUP BY day, island
+      HAVING COUNT(*) >= {INCIDENT_MIN_EVENTS}
+    )"""
+
+
+@query(
+    "session_incident_overlap",
+    f"""
+    WITH {_SQL_INTERVALS}
+    SELECT s.user_id, s.session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_incidents,
+           CAST(SUM(LEAST(s.s_hi, i.i_hi) - GREATEST(s.s_lo, i.i_lo))
+                AS BIGINT) AS overlap_us
+    FROM sess s JOIN inc i
+      ON s.s_lo < i.i_hi AND i.i_lo < s.s_hi
+    GROUP BY s.user_id, s.session_id
+    """,
+    tags=("sessionize", "join", "interval", "monitoring"),
+    doc="Interval x interval OVERLAP join — the join class the corpus "
+    "had not yet covered (range_join = point-in-range, as-of/PIT = "
+    "point-in-time; this is interval-vs-interval): which user sessions "
+    "overlapped a global error incident, and for how long. Incidents "
+    f"are per-day gap-islands of error events (gap > {INCIDENT_GAP_S}s "
+    f"splits, >= {INCIDENT_MIN_EVENTS} events qualify — day "
+    "partitioning keeps the island windows keyed, never global). The "
+    "Spark join DECOMPOSES both interval sets into covered 1h buckets "
+    "and equi-joins on the bucket — the standard genomics/telemetry "
+    "overlap-join shape: shuffle is keyed by bucket, no "
+    "BroadcastNestedLoopJoin, fan-out bounded by interval_len/bucket "
+    "(sessions are gap-bounded, incidents day-bounded). Duplicate "
+    "(session, incident) bucket hits are deduped before the exact "
+    "half-open overlap arithmetic; the oracle is the direct "
+    "inequality join. Exact integer microseconds.",
+)
+def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(ev, "user_id", "ts", "event_id", GAP_SECONDS)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_lo"),
+            (F.max(F.unix_micros("ts")) + 1).alias("s_hi"),
+        )
+    )
+    err = ev.filter(F.col("event_type") == "error").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    w = W.partitionBy("day").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > INCIDENT_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    inc = (
+        err.withColumn("island", F.sum(is_new).over(wrun))
+        .groupBy("day", "island")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("i_lo"),
+            (F.max(F.unix_micros("ts")) + 1).alias("i_hi"),
+            F.count(F.lit(1)).alias("n_err"),
+        )
+        .filter(F.col("n_err") >= INCIDENT_MIN_EVENTS)
+        .select("i_lo", "i_hi")
+    )
+
+    def buckets(lo: str, hi: str):
+        return F.sequence(
+            F.expr(f"{lo} div {OVERLAP_BUCKET_US}"),
+            F.expr(f"({hi} - 1) div {OVERLAP_BUCKET_US}"),
+        )
+
+    s_b = sess.withColumn("bucket", F.explode(buckets("s_lo", "s_hi")))
+    i_b = inc.withColumn("bucket", F.explode(buckets("i_lo", "i_hi")))
+    pairs = (
+        s_b.join(i_b, "bucket")
+        .filter((F.col("s_lo") < F.col("i_hi")) & (F.col("i_lo") < F.col("s_hi")))
+        .dropDuplicates(["user_id", "session_id", "i_lo"])
+    )
+    overlap = F.least("s_hi", "i_hi") - F.greatest("s_lo", "i_lo")
+    return pairs.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidents"),
+        F.sum(overlap).cast("long").alias("overlap_us"),
+    )

@@ -137,3 +137,67 @@ class TestCogroupEdges:
             (9, "view", dt.datetime(2024, 1, 1)),
         ])
         assert 9 not in out  # no purchases -> no attribution row
+
+
+class TestIntervalOverlap:
+    def test_overlap_semantics_handbuilt(self, spark, monkeypatch):
+        import datetime as dt
+        from porcupine_spark.operators import sessionize as S
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ev(i, u, et, off_s):
+            return Row(event_id=i, ts=t0 + dt.timedelta(seconds=off_s),
+                       user_id=u, event_type=et, value=0.0, props="{}")
+
+        rows = (
+            # incident: 5 error events 0..400s (gaps < 300s)
+            [ev(100 + i, 99, "error", i * 100) for i in range(5)]
+            # user 1: session fully inside the incident [100s, 200s]
+            + [ev(1, 1, "view", 100), ev(2, 1, "view", 200)]
+            # user 2: session entirely after incident end (>400s)
+            + [ev(3, 2, "view", 500), ev(4, 2, "view", 600)]
+            # four lone errors on another day: below MIN_EVENTS, no incident
+            + [ev(200 + i, 98, "error", 86400 + i * 10) for i in range(4)]
+            # user 3 next day: would only overlap the non-incident
+            + [ev(5, 3, "view", 86400 + 15)]
+        )
+        df = spark.createDataFrame(rows)
+        monkeypatch.setattr(S, "load_table", lambda *a, **k: df)
+        out = {(r.user_id, r.session_id): r
+               for r in S.session_incident_overlap(spark, "x").collect()}
+        # user 1 overlaps exactly its own span (+1us half-open)
+        assert (1, 1) in out
+        assert out[(1, 1)].n_incidents == 1
+        assert out[(1, 1)].overlap_us == 100 * 1_000_000 + 1
+        # user 2's session starts 100s after the incident closed
+        assert (2, 1) not in out
+        # user 3: the 4-error burst is below the qualification floor
+        assert (3, 1) not in out
+        # the error-user's own session overlaps the incident too
+        assert (99, 1) in out
+
+    def test_bucket_dedup_no_double_count(self, spark, monkeypatch):
+        import datetime as dt
+        from porcupine_spark.operators import sessionize as S
+
+        t0 = dt.datetime(2024, 1, 1, 0, 30, 0)
+
+        def ev(i, u, et, off_s):
+            return Row(event_id=i, ts=t0 + dt.timedelta(seconds=off_s),
+                       user_id=u, event_type=et, value=0.0, props="{}")
+
+        # one session and one incident both spanning 3 hour-buckets:
+        # the pair collides in 3 buckets but must count ONCE
+        rows = (
+            [ev(100 + i, 99, "error", i * 250) for i in range(40)]  # ~2.7h
+            + [ev(1, 1, "view", 0), ev(2, 1, "view", 9000)]  # 2.5h session
+        )
+        df = spark.createDataFrame(rows)
+        monkeypatch.setattr(S, "load_table", lambda *a, **k: df)
+        out = {(r.user_id, r.session_id): r
+               for r in S.session_incident_overlap(spark, "x").collect()}
+        # session gap is 9000s > 1800s -> actually TWO single-event
+        # sessions for user 1; each overlaps the one incident once
+        assert out[(1, 1)].n_incidents == 1
+        assert out[(1, 1)].overlap_us == 1  # [t, t+1) inside incident
