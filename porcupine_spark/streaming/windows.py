@@ -380,3 +380,73 @@ def stream_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "n_users"
     )
+
+
+@query(
+    "stream_incident_detect",
+    """
+    WITH errs AS (
+      SELECT ts, event_id FROM events WHERE event_type = 'error'
+    ),
+    flagged AS (
+      SELECT ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 300 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM errs
+      WINDOW w AS (ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT ts,
+             SUM(is_new) OVER (ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM flagged
+    )
+    SELECT CAST(MIN(ts) AS TIMESTAMP_NS) AS incident_start,
+           CAST(MAX(ts) + INTERVAL 5 MINUTES AS TIMESTAMP_NS) AS incident_end,
+           COUNT(*) AS n_errors
+    FROM islands
+    GROUP BY island
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("streaming", "session", "monitoring"),
+    doc="Streaming incident detection — the real-time twin of "
+    "session_incident_overlap's batch island derivation: a GLOBAL "
+    "session_window(5m) over the error-event stream (constant grouping "
+    "key — one open incident of state at a time; the watermark closes "
+    "an incident 5 minutes after its last error and evicts it), "
+    "qualified at >= 5 errors. The alerting query a pipeline runs "
+    "against Kafka while the batch twin runs the historical audit; "
+    "both derive the same incidents (oracle = the batch gap-island "
+    "formulation; Spark session end = last + gap, mirrored). The "
+    "single-key state is the DESIGN here (incidents are global); "
+    "per-service incident keys would shard the state in production.",
+)
+def stream_incident_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark = _state_sized_session(spark)
+    stream = load_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        # streaming forbids a GLOBAL session window (and constant-folds
+        # a literal key back to global) — key by event_type, which the
+        # filter pins to 'error': semantically the per-service incident
+        # key a production pipeline would use anyway
+        .groupBy("event_type", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .filter(F.col("n_errors") >= 5)
+    )
+    name = f"incident_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("incident_start"),
+        F.col("w.end").alias("incident_end"),
+        "n_errors",
+    )
