@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from porcupine_spark.plans.registry import query
-from porcupine_spark.tables import load_events_stream
+from porcupine_spark.tables import load_events_stream, load_table
 
 
 def _state_sized_session(spark: SparkSession) -> SparkSession:
@@ -449,4 +449,108 @@ def stream_incident_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("incident_start"),
         F.col("w.end").alias("incident_end"),
         "n_errors",
+    )
+
+
+@query(
+    "stream_hourly_hll_users",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hour,
+             CAST(concat('0x', substr(md5(concat('hllu:',
+               CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT hour, h % 256 AS bucket,
+             MAX(CASE WHEN h // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(h // 256)) END) AS mj
+      FROM hashed GROUP BY hour, h % 256
+    ),
+    per_hour AS (
+      SELECT hour,
+             SUM(1::BIGINT << (53 - mj))
+               + (256 - COUNT(*)) * (1::BIGINT << 53) AS s,
+             COUNT(*) AS n_buckets_hit
+      FROM regs GROUP BY hour
+    ),
+    exact AS (
+      SELECT date_trunc('hour', ts) AS hour,
+             COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(e.hour AS TIMESTAMP_NS) AS hour,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(p.n_buckets_hit AS BIGINT) AS n_buckets_hit,
+           CAST(718272::HUGEINT * 65536 * (1::BIGINT << 53)
+                // p.s // 1000000 AS BIGINT) AS hll_estimate_raw
+    FROM exact e JOIN per_hour p USING (hour)
+    """,
+    tags=("streaming", "sketch", "window", "distinct"),
+    doc="Sketches meet streaming: hourly distinct-user HyperLogLog "
+    "maintained BY the stream — register maximum per (hour window, "
+    "bucket) is an ordinary streaming MAX aggregation whose state is "
+    "256 integers per open hour (vs per-user state for exact "
+    "distinct; stream_hourly_unique_users pays that for exactness), "
+    "watermark-evicted an hour after close. The harmonic-sum readout "
+    "is one bounded batch pass over the sink's register table "
+    "(streaming forbids stacked aggregations — and needs not: "
+    "registers ARE the stream's output contract, mergeable across "
+    "hours/sources by register-wise MAX). Same integer-exact "
+    "estimator as hll_distinct_estimate (shared constants), so the "
+    "streaming sketch carries a full hash oracle; the exact side "
+    "joins in batch for the calibration report.",
+)
+def stream_hourly_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions.hashing import md5_long60
+    from porcupine_spark.operators.sketches import (
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_POW2_RHO_MAX,
+        HLL_RHO_MAX,
+    )
+
+    spark = _state_sized_session(spark)
+    stream = load_events_stream(spark, sf_dir)
+    h = md5_long60(F.concat(F.lit("hllu:"), F.col("user_id").cast("string")))
+    w = F.expr(f"h div {HLL_M}")
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    regs = (
+        stream.select("ts", h.alias("h"))
+        .withColumn("bucket", F.col("h") % HLL_M)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("hw"), "bucket")
+        .agg(F.max(rho).alias("mj"))
+    )
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    q = regs.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    per_hour = (
+        spark.table(name)
+        .groupBy(F.col("hw.start").alias("hour"))
+        .agg(
+            (
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - mj)"))
+                + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(HLL_POW2_RHO_MAX)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_buckets_hit"),
+        )
+    )
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(per_hour, "hour").select(
+        "hour",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_buckets_hit").cast("long").alias("n_buckets_hit"),
+        F.expr(
+            f"CAST(CAST({HLL_ALPHA_PPM} AS DECIMAL(38,0)) * {HLL_M * HLL_M}"
+            f" * {HLL_POW2_RHO_MAX} div s div 1000000 AS BIGINT)"
+        ).alias("hll_estimate_raw"),
     )
