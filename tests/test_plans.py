@@ -423,3 +423,29 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
         else:
             spark.conf.set(key, saved)
     assert with_dpp == without and len(with_dpp) == 2
+
+
+def test_prefix_scan_single_partition_only_on_bucket_table(spark, sf_dir):
+    """The two-level prefix scan must never move the event table to one
+    partition: the only single-partition exchanges are the bucket-level
+    prefix (n/B rows) and the 1-row total broadcast — the per-event
+    window is keyed by bucket."""
+    plan = plan_of(spark, sf_dir, "global_watermark_audit")
+    assert plan.count("Exchange SinglePartition") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_equi_join(spark, sf_dir):
+    """The interval overlap join must execute as an equi-join on the
+    decomposition bucket — never a nested-loop over the inequality."""
+    plan = plan_of(spark, sf_dir, "session_incident_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spearman_windows_stay_off_the_corpus(spark, sf_dir):
+    """rank_corr joins mid-ranks back to docs by VALUE via broadcast;
+    the doc-level table must never be globally sorted."""
+    plan = plan_of(spark, sf_dir, "rank_corr_tokens_distinct")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
