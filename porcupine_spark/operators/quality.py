@@ -560,3 +560,95 @@ def dq_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_ppm"),
         )
     )
+
+
+@query(
+    "priority_mix_drift_chi2",
+    """
+    WITH cells AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority AS pr,
+             COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    yt AS (SELECT yr, SUM(o) AS ny FROM cells GROUP BY yr),
+    pt AS (SELECT pr, SUM(o) AS cp FROM cells GROUP BY pr),
+    n AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM cells),
+    grid AS (
+      SELECT yt.yr, pt.pr, yt.ny, pt.cp, COALESCE(x.o, 0) AS o
+      FROM yt CROSS JOIN pt
+      LEFT JOIN cells x ON x.yr = yt.yr AND x.pr = pt.pr
+    ),
+    terms AS (
+      SELECT yr, pr, ny,
+             (CAST(o AS HUGEINT) * (SELECT n FROM n)
+              - CAST(ny AS HUGEINT) * cp)
+             * (CAST(o AS HUGEINT) * (SELECT n FROM n)
+                - CAST(ny AS HUGEINT) * cp)
+             * 1000000
+             // (CAST(ny AS HUGEINT) * cp) // (SELECT n FROM n) AS t
+      FROM grid
+    )
+    SELECT yr,
+           CAST(MAX(ny) AS BIGINT) AS n_orders,
+           CAST(SUM(t) AS BIGINT) AS chi2_micro,
+           MIN(CASE WHEN (t, pr) = (SELECT (t2.t, t2.pr) FROM terms t2
+                                    WHERE t2.yr = terms.yr
+                                    ORDER BY t2.t DESC, t2.pr LIMIT 1)
+                    THEN pr END) AS top_drifted_priority
+    FROM terms
+    GROUP BY yr
+    """,
+    tags=("quality", "monitoring", "timeseries"),
+    doc="Per-year order-priority mix drift vs the pooled distribution — "
+    "the time-sliced DQ drift monitor (split_source_balance_chi2 tests "
+    "a 2-way independence once; this answers WHICH period shifted and "
+    "in WHICH category): for each year, the chi-square distance of its "
+    "priority mix from the all-years mix in integer micro-units (the "
+    "cross-multiplied (o*N - ny*cp)^2 recipe, per-cell truncating "
+    "division mirrored on both engines), plus the category carrying "
+    "the largest term (deterministic tiebreak). An upstream intake "
+    "change (new priority default, a dropped channel) lights up its "
+    "year. Shape: one (year,priority) count; everything after is a "
+    "|years|x|priorities| grid.",
+)
+def priority_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+        .groupBy("yr", "pr")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    yt = cells.groupBy("yr").agg(F.sum("o").alias("ny"))
+    pt = cells.groupBy("pr").agg(F.sum("o").alias("cp"))
+    n = cells.agg(F.sum("o").cast("decimal(38,0)").alias("n"))
+    grid = (
+        yt.crossJoin(F.broadcast(pt))
+        .join(cells, ["yr", "pr"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(n))
+    )
+    terms = grid.select(
+        "yr",
+        "pr",
+        "ny",
+        F.expr(
+            "(CAST(o AS DECIMAL(38,0)) * n - CAST(ny AS DECIMAL(38,0)) * cp)"
+            " * (CAST(o AS DECIMAL(38,0)) * n - CAST(ny AS DECIMAL(38,0)) * cp)"
+            " * 1000000"
+            " div (CAST(ny AS DECIMAL(38,0)) * cp) div n"
+        ).alias("t"),
+    )
+    wtop = W.partitionBy("yr").orderBy(F.desc("t"), F.asc("pr"))
+    ranked = terms.withColumn("rk", F.row_number().over(wtop))
+    return ranked.groupBy("yr").agg(
+        F.max("ny").cast("long").alias("n_orders"),
+        F.sum("t").cast("long").alias("chi2_micro"),
+        F.min(F.when(F.col("rk") == 1, F.col("pr"))).alias(
+            "top_drifted_priority"
+        ),
+    )
