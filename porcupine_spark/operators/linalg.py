@@ -1,0 +1,230 @@
+"""Distributed exact linear algebra: an anisotropy probe of the
+embedding covariance by integer fixed-point power iteration.
+
+Why it belongs in a training-data engine: embedding collections that
+collapse toward a dominant direction retrieve badly ("all-but-the-top"
+anisotropy); the certified diagnostic is how far the top eigenvalue
+sits above the mean eigenvalue (trace/d). Power iteration converges
+the EIGENVECTOR only as fast as the spectral gap allows (this corpus
+has lambda2/lambda1 ~ 0.99, so k=8 steps do NOT pin the direction —
+measured, not assumed), but the iterate's Rayleigh quotient is a
+CERTIFIED LOWER BOUND on lambda1 after any number of steps, and that
+bound against trace/d is the anisotropy alarm. The reference has no
+vector surface at all; this extends the beyond-reference similarity
+family.
+
+Exactness discipline (the pagerank precedent — components.py — for
+iterative algorithms with hash oracles): every quantity is an integer.
+Elements truncate to micro units; the covariance is the cross-
+multiplied integer form n*S - sx*sx^T (no mean division); the matrix
+is normalized once to |c| <= 1e6 by one truncating division (keeps
+every later product inside 128-bit); each power-iteration step
+renormalizes by max|w| with the SAME truncating division on both
+engines. The oracle unrolls the K iterations as CTEs.
+
+Scale posture: the Gram pass is mapInPandas with a per-batch int64
+numpy X^T X (batch sums bounded: |x|<=8e6 micro, 1e4-row batches =>
+< 2^63), emitting ONE dims^2 partial per batch — the shuffle carries
+4096-row partials, never vectors. The iteration itself runs on the
+driver over the collected dims x dims matrix: 4096 integers, bounded
+by the MODEL dimension, not the corpus (the union-find <= 2M edges
+class of justified driver work).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from porcupine_spark.plans.registry import query
+from porcupine_spark.tables import load_table
+
+DIMS = 64
+POWER_ITERS = 8
+W_SCALE = 1_000_000  # eigenvector fixed-point scale per iteration
+C_SCALE = 1_000_000  # covariance normalization scale
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (Spark `div`, DuckDB `//`;
+    Python's // floors, so negatives need the sign dance)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def power_iterate(cov: dict[tuple[int, int], int], dims: int, iters: int):
+    """Exact fixed-point power iteration over an integer matrix given as
+    {(a, b): c}; returns (w, rayleigh_micro) with w in micro units."""
+    w = [W_SCALE] * dims  # deterministic all-ones start
+    for _ in range(iters):
+        nxt = [
+            sum(cov.get((a, b), 0) * w[b] for b in range(dims))
+            for a in range(dims)
+        ]
+        s = max(abs(v) for v in nxt)
+        if s == 0:
+            break
+        w = [_tdiv(v * W_SCALE, s) for v in nxt]
+    num = sum(
+        w[a] * cov.get((a, b), 0) * w[b] for a in range(dims) for b in range(dims)
+    )
+    den = sum(v * v for v in w)
+    return w, _tdiv(num * 1_000_000, den)
+
+
+# The oracle builds the same normalized covariance, then unrolls the
+# K iterations as CTEs (w0 .. wK), renormalizing each step.
+def _oracle_sql() -> str:
+    steps = []
+    prev = "w0"
+    for k in range(1, POWER_ITERS + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+      SELECT c.a AS d, SUM(c.v * {prev}.v) AS v
+      FROM cnorm c JOIN {prev} ON c.b = {prev}.d GROUP BY c.a
+    ),
+    s{k} AS MATERIALIZED (SELECT MAX(ABS(v)) AS s FROM r{k}),
+    w{k} AS MATERIALIZED (
+      SELECT d, CAST(v * {W_SCALE} // (SELECT s FROM s{k}) AS HUGEINT) AS v
+      FROM r{k}
+    )"""
+        )
+        prev = f"w{k}"
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH elems AS MATERIALIZED (
+      SELECT vec_id, g.i - 1 AS d,
+             CAST(TRUNC(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS HUGEINT) AS x
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, {DIMS})) AS i) g
+    ),
+    sums AS (SELECT d, SUM(x) AS sx FROM elems GROUP BY d),
+    n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings),
+    gram AS MATERIALIZED (
+      SELECT ea.d AS a, eb.d AS b, SUM(ea.x * eb.x) AS s
+      FROM elems ea JOIN elems eb USING (vec_id)
+      GROUP BY ea.d, eb.d
+    ),
+    cov AS MATERIALIZED (
+      SELECT g.a, g.b,
+             (SELECT n FROM n) * g.s - sa.sx * sb.sx AS c
+      FROM gram g JOIN sums sa ON sa.d = g.a JOIN sums sb ON sb.d = g.b
+    ),
+    cmax AS MATERIALIZED (SELECT MAX(ABS(c)) AS m FROM cov),
+    cnorm AS MATERIALIZED (
+      SELECT a, b, CAST(c * {C_SCALE} // (SELECT m FROM cmax) AS HUGEINT) AS v
+      FROM cov
+    ),
+    w0 AS (
+      SELECT UNNEST(GENERATE_SERIES(0, {DIMS - 1})) AS d,
+             CAST({W_SCALE} AS HUGEINT) AS v
+    ),
+    {unrolled},
+    ray AS (
+      SELECT CAST(SUM(wa.v * c.v * wb.v) AS HUGEINT) AS num
+      FROM cnorm c JOIN {prev} wa ON wa.d = c.a JOIN {prev} wb ON wb.d = c.b
+    ),
+    den AS (SELECT SUM(v * v) AS den FROM {prev}),
+    tr AS (SELECT SUM(v) AS t FROM cnorm WHERE a = b)
+    SELECT w.d AS dim,
+           CAST(w.v AS BIGINT) AS iterate_micro,
+           CAST((SELECT num FROM ray) * 1000000 // (SELECT den FROM den)
+                AS BIGINT) AS rayleigh_lb_micro,
+           CAST((SELECT t FROM tr) * 1000000 // {DIMS} AS BIGINT)
+             AS mean_eig_micro,
+           CAST((SELECT num FROM ray) * 1000000 // (SELECT den FROM den)
+                * 1000000
+                // ((SELECT t FROM tr) * 1000000 // {DIMS}) AS BIGINT)
+             AS anisotropy_lb_ppm,
+           CAST((SELECT m FROM cmax) AS DOUBLE) AS cov_max_abs
+    FROM {prev} w
+    """
+
+
+@query(
+    "embedding_anisotropy_probe",
+    _oracle_sql(),
+    tags=("similarity", "linalg", "iterative", "monitoring"),
+    doc=f"Anisotropy probe of the embedding covariance by "
+    f"{POWER_ITERS}-step integer fixed-point power iteration, computed "
+    "EXACTLY: micro-unit elements, cross-multiplied covariance "
+    "n*S - sx*sx^T (no mean division), one-time matrix normalization "
+    "to |c| <= 1e6 (keeps all later products in 128 bits; directions "
+    "are scale-invariant), per-step max-|w| renormalization by "
+    "truncating division. The iterate's Rayleigh quotient is a "
+    "CERTIFIED lower bound on the top eigenvalue at ANY step count — "
+    "the honest deliverable when the spectral gap is small (here "
+    "lambda2/lambda1 ~ 0.99, so the direction itself is NOT claimed "
+    "converged; the pytest checks the bound's validity against numpy, "
+    "not direction equality). anisotropy_lb_ppm = rayleigh vs the mean "
+    "eigenvalue trace/d: >> 1e6 means one direction dominates and "
+    "retrieval quality is at risk. The oracle unrolls the iterations "
+    "as MATERIALIZED CTEs — an ITERATIVE algorithm with a full hash "
+    "oracle (the pagerank precedent). Distributed part: one "
+    f"mapInPandas Gram pass emitting a {DIMS}x{DIMS} integer partial "
+    "per Arrow batch (vectors never shuffle); the iteration runs on "
+    "the driver over 4096 integers — bounded by model dims, not data.",
+)
+def embedding_anisotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # float32 -> float64 is exact; *1e6 of values |v|<~8 stays
+            # far under 2^53, so the int64 cast is the exact micro int
+            xi = (x * 1_000_000).astype(np.int64)
+            g = xi.T @ xi  # int64: |x|<=8e6 => |sum| < 1e4*6.4e13 < 2^63
+            sx = xi.sum(axis=0)
+            a, b = np.meshgrid(range(DIMS), range(DIMS), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "a": a.ravel(),
+                    "b": b.ravel(),
+                    "s": g.ravel(),
+                    "sx_a": np.repeat(sx, DIMS),
+                    "n_rows": np.int64(len(pdf)),
+                }
+            )
+
+    partials = emb.select("embedding").mapInPandas(
+        gram_partials, schema="a int, b int, s long, sx_a long, n_rows long"
+    )
+    # one shuffle of dims^2-keyed partials; sums stay exact in decimal
+    agg = partials.groupBy("a", "b").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("sx_a").cast("decimal(38,0)")).alias("sxa_dup"),
+        F.sum(F.col("n_rows").cast("decimal(38,0)")).alias("n_dup"),
+    )
+    rows = agg.collect()  # dims^2 = 4096 rows: model-bounded driver work
+    s = {(r.a, r.b): int(r.s) for r in rows}
+    # sx_a was emitted per (a,b) cell; any b slice carries the dim-a sum
+    sx = {r.a: int(r.sxa_dup) for r in rows if r.b == 0}
+    n = int(next(r.n_dup for r in rows if r.a == 0 and r.b == 0))
+    cov = {
+        (a, b): n * s[(a, b)] - sx[a] * sx[b]
+        for a in range(DIMS)
+        for b in range(DIMS)
+    }
+    cmax = max(abs(v) for v in cov.values())
+    cnorm = {k: _tdiv(v * C_SCALE, cmax) for k, v in cov.items()}
+    w, rayleigh = power_iterate(cnorm, DIMS, POWER_ITERS)
+    trace = sum(cnorm.get((d, d), 0) for d in range(DIMS))
+    mean_eig = _tdiv(trace * 1_000_000, DIMS)
+    anis = _tdiv(rayleigh * 1_000_000, mean_eig)
+    # the scale constant is reported as a double (exact hugeint ->
+    # correctly-rounded double on both engines); the exact integers are
+    # the iterate, the Rayleigh bound, and the trace-derived mean
+    out = [(d, w[d], rayleigh, mean_eig, anis, float(cmax)) for d in range(DIMS)]
+    return spark.createDataFrame(
+        out,
+        "dim long, iterate_micro long, rayleigh_lb_micro long,"
+        " mean_eig_micro long, anisotropy_lb_ppm long, cov_max_abs double",
+    )

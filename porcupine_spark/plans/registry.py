@@ -60,6 +60,7 @@ def load_all_plans() -> dict[str, QuerySpec]:
         corpus,
         curation,
         dedup,
+        linalg,
         sessionize,
         similarity,
         sketches,

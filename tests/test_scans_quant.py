@@ -205,3 +205,40 @@ class TestSpectrumAndDeciles:
         # pair-mass shares sum to ~1e6 (truncation slack per band)
         tot = sum(r.pair_mass_share_ppm for r in rows)
         assert 1_000_000 - len(rows) <= tot <= 1_000_000
+
+
+class TestAnisotropyProbe:
+    def test_rayleigh_is_certified_lower_bound(self, spark, sf_dir):
+        import numpy as np
+        from porcupine_spark.operators.linalg import (
+            C_SCALE, DIMS, embedding_anisotropy_probe, _tdiv)
+        from porcupine_spark.tables import load_table
+
+        rows = embedding_anisotropy_probe(spark, sf_dir).collect()
+        assert len(rows) == DIMS
+        # rebuild the exact normalized covariance in python
+        emb = np.stack([np.array(r.embedding) for r in
+                        load_table(spark, sf_dir, "embeddings").collect()])
+        xi = (emb.astype(np.float64) * 1e6).astype(np.int64)
+        n = len(xi)
+        cov = n * (xi.T @ xi).astype(object) - np.outer(
+            xi.sum(0).astype(object), xi.sum(0).astype(object))
+        cmax = int(np.abs(cov).max())
+        cn = np.vectorize(lambda v: _tdiv(int(v) * C_SCALE, cmax))(cov)
+        evals = np.linalg.eigvalsh(cn.astype(np.float64))
+        ray = rows[0].rayleigh_lb_micro / 1e6
+        # the bound: mean eigenvalue <= rayleigh(any iterate) <= lambda_1
+        assert ray <= evals[-1] * (1 + 1e-9)
+        assert ray >= evals.mean() - 1  # power steps only improve on w0
+        # the probe's trace agrees with numpy's
+        assert rows[0].mean_eig_micro == _tdiv(
+            int(np.trace(cn.astype(object))) * 1_000_000, DIMS)
+        # anisotropy ratio consistent and >= 1e6 by the bound chain
+        assert rows[0].anisotropy_lb_ppm == _tdiv(
+            rows[0].rayleigh_lb_micro * 1_000_000, rows[0].mean_eig_micro)
+
+    def test_tdiv_truncates_toward_zero(self):
+        from porcupine_spark.operators.linalg import _tdiv
+
+        assert _tdiv(7, 2) == 3 and _tdiv(-7, 2) == -3
+        assert _tdiv(7, -2) == -3 and _tdiv(-7, -2) == 3
