@@ -134,3 +134,61 @@ class TestCatalogRouting:
             assert df.select("doc_id").distinct().count() == 40
         finally:
             unregister_accessor("synth")
+
+
+class TestJsonlWriteProtocol:
+    SCHEMA = "a long, b string"
+
+    def _register(self, spark):
+        from porcupine_spark.sources.jsonl import register_jsonl_source
+
+        register_jsonl_source(spark)
+
+    def test_roundtrip_and_partition_per_file(self, spark, tmp_path):
+        self._register(spark)
+        path = str(tmp_path / "out")
+        df = spark.createDataFrame([(i, f"x{i}") for i in range(100)], self.SCHEMA)
+        df.repartition(4).write.format("porcupine_jsonl").option(
+            "path", path).mode("append").save()
+        import os
+        files = [f for f in os.listdir(path) if f.endswith(".jsonl")]
+        assert len(files) == 4
+        assert not any(f.startswith(".staging-") for f in os.listdir(path))
+        back = (spark.read.format("porcupine_jsonl").schema(self.SCHEMA)
+                .option("path", path).load())
+        assert back.rdd.getNumPartitions() == 4
+        assert sorted((r.a, r.b) for r in back.collect()) == [
+            (i, f"x{i}") for i in range(100)]
+
+    def test_overwrite_replaces_visible_files(self, spark, tmp_path):
+        self._register(spark)
+        path = str(tmp_path / "out2")
+        w = lambda rows, mode: (spark.createDataFrame(rows, self.SCHEMA)
+                                .coalesce(1).write.format("porcupine_jsonl")
+                                .option("path", path).mode(mode).save())
+        w([(1, "old")], "append")
+        w([(2, "new")], "overwrite")
+        back = (spark.read.format("porcupine_jsonl").schema(self.SCHEMA)
+                .option("path", path).load())
+        assert [(r.a, r.b) for r in back.collect()] == [(2, "new")]
+
+    def test_failed_job_leaves_no_visible_output(self, spark, tmp_path):
+        self._register(spark)
+        import os
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "out3")
+        os.makedirs(path)
+        df = spark.createDataFrame([(i, "x") for i in range(10)], self.SCHEMA)
+        from pyspark.sql.functions import udf
+        boom = udf(lambda a: (_ for _ in ()).throw(ValueError("boom")) if a == 7
+                   else "ok")
+        failing = df.select("a", boom("a").alias("b"))
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            (failing.write.format("porcupine_jsonl")
+             .option("path", path).mode("append").save())
+        visible = [f for f in os.listdir(path) if f.endswith(".jsonl")]
+        assert visible == []  # nothing published
+        # abort removed the whole job staging dir (incl. killed tasks')
+        assert [f for f in os.listdir(path) if f.startswith(".staging-")] == []
