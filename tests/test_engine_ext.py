@@ -201,3 +201,54 @@ class TestIntervalOverlap:
         # sessions for user 1; each overlaps the one incident once
         assert out[(1, 1)].n_incidents == 1
         assert out[(1, 1)].overlap_us == 1  # [t, t+1) inside incident
+
+
+class TestTransformWithState:
+    def test_transform_with_state_counts(self, spark, sf_dir):
+        """Spark 4's arbitrary-state API (transformWithStateInPandas,
+        the applyInPandasWithState successor with timers/TTL). Its
+        Python worker needs google.protobuf, which this container does
+        not ship (no pip installs) — gate on the import so the test
+        runs wherever the dependency exists; streaming/stateful.py's
+        applyInPandasWithState coverage is the proven path here."""
+        pytest.importorskip("google.protobuf.descriptor")
+        import pandas as pd
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor, StatefulProcessorHandle)
+        from pyspark.sql.types import LongType, StructField, StructType
+        from porcupine_spark.tables import load_events_stream, load_table
+
+        class CountProc(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle):
+                self.count = handle.getValueState(
+                    "count", StructType([StructField("n", LongType())]))
+
+            def handleInputRows(self, key, rows, timerValues):
+                n = self.count.get()[0] if self.count.exists() else 0
+                for pdf in rows:
+                    n += len(pdf)
+                self.count.update((n,))
+                yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+            def close(self):
+                pass
+
+        ns = spark.newSession()
+        ns.conf.set("spark.sql.shuffle.partitions", "8")
+        stream = load_events_stream(ns, sf_dir)
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            CountProc(), outputStructType="user_id long, n long",
+            outputMode="Update", timeMode="None")
+        q = (out.writeStream.format("memory").queryName("tws_counts")
+             .outputMode("update").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        latest = {}
+        for r in ns.table("tws_counts").collect():
+            latest[r.user_id] = max(latest.get(r.user_id, 0), r.n)
+        want = {r.user_id: r.n for r in
+                load_table(ns, sf_dir, "events").groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert latest == want
