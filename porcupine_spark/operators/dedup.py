@@ -1963,3 +1963,74 @@ REGISTRY["dedup_source_shift"].oracle = """
                 - b.n_before * 1000000 // tb.tb AS BIGINT) AS shift_ppm
     FROM before b LEFT JOIN after a ON b.source = a.source, tb, ta
 """.replace("{KEEP}", REGISTRY["dedup_keep_canonical"].oracle)
+
+
+DUP_EMB_COSINE_T = 0.5  # below this, a verified text near-dup is suspect
+
+
+@query(
+    "dup_embedding_consistency",
+    None,  # late-bound below: composes the minhash-pairs oracle
+    tags=("dedup", "similarity", "quality", "monitoring"),
+    doc="Cross-modal consistency audit — the stale-embedding detector: "
+    "every VERIFIED text near-dup pair (exact jaccard >= 0.5 on the "
+    "LSH candidate path, the keep-canonical threshold) is re-checked "
+    "in embedding space with the exact-decimal cosine. Two documents "
+    "that are textual near-copies but embed far apart "
+    f"(cosine < {DUP_EMB_COSINE_T}) mean the embedding column is "
+    "stale, mis-joined, or the encoder is broken for that slice — the "
+    "failure neither dedup nor ANN audits catch alone, because each "
+    "trusts its own modality. Cost at 100 TB: the LSH pass (already "
+    "the designated scale path) plus two vec_id-keyed lookups on the "
+    "CANDIDATE pairs only — never a vector-vector sweep. Pairs "
+    "lacking an embedding on either side drop out (inner join; "
+    "dq_doc_embedding_coverage owns that gap).",
+)
+def dup_embedding_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.similarity import dot_exact, norm2_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    cos = dot_exact(F.col("va"), F.col("vb")) / (
+        F.sqrt(norm2_exact(F.col("va"))) * F.sqrt(norm2_exact(F.col("vb")))
+    )
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            cos.alias("cosine"),
+            F.when(cos < DUP_EMB_COSINE_T, 1).otherwise(0).alias("suspect"),
+        )
+    )
+
+
+from porcupine_spark.operators.similarity import sql_dot as _sql_dot  # noqa: E402
+
+REGISTRY["dup_embedding_consistency"].oracle = f"""
+    WITH pairs AS (
+      SELECT doc_a, doc_b, jaccard
+      FROM ({REGISTRY["dedup_minhash_lsh"].oracle})
+      WHERE jaccard >= {DEDUP_CANON_T}
+    ),
+    j AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             ea.embedding AS va, eb.embedding AS vb
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.doc_a
+      JOIN embeddings eb ON eb.vec_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard,
+           {_sql_dot('va', 'vb')}
+             / (SQRT({_sql_dot('va', 'va')}) * SQRT({_sql_dot('vb', 'vb')}))
+             AS cosine,
+           CASE WHEN {_sql_dot('va', 'vb')}
+                  / (SQRT({_sql_dot('va', 'va')}) * SQRT({_sql_dot('vb', 'vb')}))
+                < {DUP_EMB_COSINE_T} THEN 1 ELSE 0 END AS suspect
+    FROM j
+"""
