@@ -252,3 +252,102 @@ def span_dup_stats(docs: DataFrame, k: int) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("dup_fraction"),
     )
+
+
+@query(
+    "quality_gate_kappa",
+    None,  # late-bound below: composes both gates' oracles verbatim
+    tags=("curation", "evaluation", "monitoring"),
+    doc="Cohen's kappa between the two quality gates this engine ships "
+    "(the heuristic quality_score keep and the Gopher-rule keep) on "
+    "the per-document keep/drop decision — the filter-redundancy "
+    "audit: kappa near 1 means the cheaper gate can stand in for the "
+    "expensive one; kappa near 0 means they encode DIFFERENT notions "
+    "of quality and stacking them actually changes the corpus (raw "
+    "agreement flatters whichever decision dominates; kappa subtracts "
+    "the chance floor). Same cross-multiplied integer kappa recipe as "
+    "lang_id_kappa; composes both gates' oracles verbatim so the "
+    "audit can't drift from the gates it compares. Two per-row gate "
+    "passes + one 2x2 cell count.",
+)
+def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.text import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("y")
+    )
+    g = gopher_flags(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("keep").alias("p")
+    )
+    cells = (
+        q.join(g, "doc_id")
+        .groupBy("y", "p")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cells.agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("y") == F.col("p"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+        F.expr(
+            "CAST(sum(CASE WHEN y = p THEN n ELSE 0 END) * 1000000"
+            " div sum(n) AS BIGINT)"
+        ).alias("po_micro"),
+        F.expr(
+            "CAST((sum(CASE WHEN y = 1 THEN n ELSE 0 END)"
+            "      * CAST(sum(CASE WHEN p = 1 THEN n ELSE 0 END) AS DECIMAL(38,0))"
+            "    + sum(CASE WHEN y = 0 THEN n ELSE 0 END)"
+            "      * CAST(sum(CASE WHEN p = 0 THEN n ELSE 0 END) AS DECIMAL(38,0)))"
+            " * 1000000 div (CAST(sum(n) AS DECIMAL(38,0)) * sum(n)) AS BIGINT)"
+        ).alias("pe_micro"),
+        F.expr(
+            "CAST((CAST(sum(CASE WHEN y = p THEN n ELSE 0 END) AS DECIMAL(38,0)) * sum(n)"
+            "    - (sum(CASE WHEN y = 1 THEN n ELSE 0 END)"
+            "       * CAST(sum(CASE WHEN p = 1 THEN n ELSE 0 END) AS DECIMAL(38,0))"
+            "     + sum(CASE WHEN y = 0 THEN n ELSE 0 END)"
+            "       * CAST(sum(CASE WHEN p = 0 THEN n ELSE 0 END) AS DECIMAL(38,0))))"
+            " * 1000000"
+            " div (CAST(sum(n) AS DECIMAL(38,0)) * sum(n)"
+            "    - (sum(CASE WHEN y = 1 THEN n ELSE 0 END)"
+            "       * CAST(sum(CASE WHEN p = 1 THEN n ELSE 0 END) AS DECIMAL(38,0))"
+            "     + sum(CASE WHEN y = 0 THEN n ELSE 0 END)"
+            "       * CAST(sum(CASE WHEN p = 0 THEN n ELSE 0 END) AS DECIMAL(38,0))))"
+            " AS BIGINT)"
+        ).alias("kappa_micro"),
+    )
+
+
+from porcupine_spark.plans.registry import REGISTRY as _R  # noqa: E402
+
+_R["quality_gate_kappa"].oracle = f"""
+    WITH qg AS ({_R["quality_score"].oracle}),
+    gg AS ({_R["gopher_quality_filter"].oracle}),
+    b AS (
+      SELECT qg.keep AS y, gg.keep AS p
+      FROM qg JOIN gg ON qg.doc_id = gg.doc_id
+    ),
+    cells AS (SELECT y, p, COUNT(*) AS n FROM b GROUP BY y, p)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN y = p THEN n ELSE 0 END) AS BIGINT) AS n_agree,
+           CAST(SUM(CASE WHEN y = p THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS po_micro,
+           CAST((SUM(CASE WHEN y = 1 THEN n ELSE 0 END)
+                 * CAST(SUM(CASE WHEN p = 1 THEN n ELSE 0 END) AS HUGEINT)
+               + SUM(CASE WHEN y = 0 THEN n ELSE 0 END)
+                 * CAST(SUM(CASE WHEN p = 0 THEN n ELSE 0 END) AS HUGEINT))
+               * 1000000 // (CAST(SUM(n) AS HUGEINT) * SUM(n)) AS BIGINT)
+             AS pe_micro,
+           CAST((CAST(SUM(CASE WHEN y = p THEN n ELSE 0 END) AS HUGEINT) * SUM(n)
+               - (SUM(CASE WHEN y = 1 THEN n ELSE 0 END)
+                  * CAST(SUM(CASE WHEN p = 1 THEN n ELSE 0 END) AS HUGEINT)
+                + SUM(CASE WHEN y = 0 THEN n ELSE 0 END)
+                  * CAST(SUM(CASE WHEN p = 0 THEN n ELSE 0 END) AS HUGEINT)))
+               * 1000000
+               // (CAST(SUM(n) AS HUGEINT) * SUM(n)
+                 - (SUM(CASE WHEN y = 1 THEN n ELSE 0 END)
+                    * CAST(SUM(CASE WHEN p = 1 THEN n ELSE 0 END) AS HUGEINT)
+                  + SUM(CASE WHEN y = 0 THEN n ELSE 0 END)
+                    * CAST(SUM(CASE WHEN p = 0 THEN n ELSE 0 END) AS HUGEINT)))
+               AS BIGINT) AS kappa_micro
+    FROM cells
+"""

@@ -935,3 +935,49 @@ def doc_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_over_median_micro"),
         )
     )
+
+
+VERBATIM_PROBE_TOKENS = 5
+
+
+@query(
+    "verbatim_contamination",
+    f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id,
+             array_to_string(
+               (string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+                 [1:{VERBATIM_PROBE_TOKENS}], ' ') AS probe
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT d.doc_id, bench.bench_id, bench.probe
+    FROM documents d, bench
+    WHERE d.doc_id >= 10 AND position(bench.probe IN d.text) > 0
+    """,
+    tags=("text", "contamination"),
+    doc=f"VERBATIM contamination probe — the strict complement of the "
+    "n-gram check (contamination_check flags shared vocabulary; this "
+    "flags literal copying): corpus documents containing a benchmark "
+    f"document's opening {VERBATIM_PROBE_TOKENS}-token span as an "
+    "exact substring. Exact-substring sweeps (the Lee et al. "
+    "suffix-array discipline) are what decontamination standards "
+    "actually require; the opening-span probe is the streaming-"
+    "friendly form — one broadcast of |bench| probe strings, one "
+    "contains() per (doc, probe), no index build. The 10-row bench "
+    "side is the allowlisted bounded-broadcast class.",
+)
+def verbatim_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    probe = F.concat_ws(
+        " ", F.slice(tokens(F.col("text")), 1, VERBATIM_PROBE_TOKENS)
+    )
+    bench = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(F.col("doc_id").alias("bench_id"), probe.alias("probe"))
+    )
+    return (
+        docs.filter(F.col("doc_id") >= 10)
+        .crossJoin(F.broadcast(bench))
+        .filter(F.expr("position(probe IN text) > 0"))
+        .select("doc_id", "bench_id", "probe")
+    )
