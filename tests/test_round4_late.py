@@ -1,0 +1,95 @@
+"""Sanity/bounds tests for the late round-4 report queries — the
+oracle gate proves cross-engine equality; these pin invariants the
+hash can't see (bounds, flag logic, composition consistency)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_stream_incident_matches_batch_islands(spark, sf_dir):
+    from porcupine_spark.streaming.windows import stream_incident_detect
+
+    rows = stream_incident_detect(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_errors >= 5
+        assert r.incident_end > r.incident_start
+
+
+def test_stream_hll_bounds(spark, sf_dir):
+    from porcupine_spark.operators.sketches import HLL_M
+    from porcupine_spark.streaming.windows import stream_hourly_hll_users
+
+    rows = stream_hourly_hll_users(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.n_buckets_hit <= HLL_M
+        assert r.hll_estimate_raw > 0
+        # raw HLL (no small-range correction) is within its coarse
+        # error envelope for these cardinalities
+        assert r.hll_estimate_raw <= 4 * r.n_exact + 200
+
+
+def test_priority_drift_grid_consistency(spark, sf_dir):
+    from porcupine_spark.operators.quality import priority_mix_drift_chi2
+    from porcupine_spark.tables import load_table
+
+    rows = priority_mix_drift_chi2(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == orders
+    prios = {
+        r.o_orderpriority
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority").distinct().collect()
+    }
+    for r in rows:
+        assert r.chi2_micro >= 0
+        assert r.top_drifted_priority in prios
+
+
+def test_dup_embedding_consistency_bounds(spark, sf_dir):
+    from porcupine_spark.operators.dedup import (
+        DEDUP_CANON_T, dup_embedding_consistency)
+
+    rows = dup_embedding_consistency(spark, sf_dir).collect()
+    for r in rows:
+        assert r.jaccard >= DEDUP_CANON_T
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        assert r.suspect == (1 if r.cosine < 0.5 else 0)
+
+
+def test_quality_gate_kappa_identities(spark, sf_dir):
+    from porcupine_spark.operators.curation import quality_gate_kappa
+
+    r = quality_gate_kappa(spark, sf_dir).first()
+    assert 0 <= r.n_agree <= r.n_docs
+    assert 0 <= r.po_micro <= 1_000_000
+    assert 0 <= r.pe_micro <= 1_000_000
+    assert -1_000_000 <= r.kappa_micro <= 1_000_000
+    # kappa's sign agrees with po vs pe
+    assert (r.kappa_micro >= 0) == (r.po_micro >= r.pe_micro)
+
+
+def test_verbatim_contamination_is_substring(spark, sf_dir):
+    from porcupine_spark.operators.text import verbatim_contamination
+    from porcupine_spark.tables import load_table
+
+    rows = verbatim_contamination(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert r.doc_id >= 10 and r.bench_id < 10
+        assert r.probe in texts[r.doc_id]
+        assert texts[r.bench_id].startswith(r.probe)
+
+
+def test_dedup_source_shift_shares_balance(spark, sf_dir):
+    from porcupine_spark.operators.dedup import dedup_source_shift
+
+    rows = dedup_source_shift(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.n_after <= r.n_before
+    tot_shift = sum(r.shift_ppm for r in rows)
+    # shifts are zero-sum up to per-source truncation slack
+    assert abs(tot_shift) <= 2 * len(rows)
