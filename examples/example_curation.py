@@ -7,9 +7,12 @@ Stages (each a Task, composed with >>):
   1. load the raw document corpus through the catalog;
   2. quality gate — per-row text statistics (JVM expressions only),
      keep docs inside length/word-length/alpha-ratio bounds;
-  3. near-dup removal — minhash-LSH candidate pairs, verified Jaccard,
+  3. segment gate — CCNet-style paragraph dedup at segment
+     granularity: drop docs whose cross-document duplicated-segment
+     share exceeds the keep threshold (operators/segments.py);
+  4. near-dup removal — minhash-LSH candidate pairs, verified Jaccard,
      keep-first canonical policy (one broadcast anti-join);
-  4. write the curated corpus + a per-source audit summary through two
+  5. write the curated corpus + a per-source audit summary through two
      catalog sinks (rebindable to s3a:// etc. via config, like any
      porcupine pipeline).
 
@@ -57,6 +60,31 @@ def quality_gate(df):
     )
 
 
+def drop_segment_spam(df):
+    """CCNet-style gate: drop docs whose share of cross-document
+    duplicated segments exceeds DUP_FRAC_KEEP_PPM (boilerplate-heavy
+    pages). Two hash-keyed shuffles of (doc_id, 60-bit hash) longs."""
+    from porcupine_spark.operators.segments import (
+        DUP_FRAC_KEEP_PPM, _segments)
+
+    perdoc = (
+        _segments(df).groupBy("doc_id", "seg_hash")
+        .agg(F.count(F.lit(1)).alias("n_inst"))
+    )
+    dfreq = perdoc.groupBy("seg_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_ppm = F.floor(
+        F.sum(F.when(F.col("n_docs") >= 2, F.col("n_inst")).otherwise(0))
+        * F.lit(1_000_000) / F.sum("n_inst")
+    )
+    keep_ids = (
+        perdoc.join(dfreq, "seg_hash").groupBy("doc_id")
+        .agg(dup_ppm.alias("dup_ppm"))
+        .filter(F.col("dup_ppm") <= DUP_FRAC_KEEP_PPM)
+        .select("doc_id")
+    )
+    return df.join(keep_ids, "doc_id", "left_semi")
+
+
 def drop_near_dups(df):
     """Keep-first canonical policy over verified minhash-LSH pairs."""
     dropped = (
@@ -79,7 +107,8 @@ def audit(df):
 def build_task():
     from porcupine_spark.task_ext import tee
 
-    curate = load("corpus/raw") >> arr(quality_gate) >> arr(drop_near_dups)
+    curate = (load("corpus/raw") >> arr(quality_gate)
+              >> arr(drop_segment_spam) >> arr(drop_near_dups))
     # tee (mapCopy): the curated frame computes once and feeds both
     # sinks — verbatim to one, through the audit agg to the other
     return curate >> tee(("corpus/curated", None), ("corpus/audit", audit))
