@@ -439,3 +439,80 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_ppm"),
     )
+
+
+@query(
+    "length_variance_decomposition",
+    """
+    WITH st AS (
+      SELECT source, COUNT(*) AS nh,
+             SUM(CAST(n_chars AS HUGEINT)) AS sx,
+             SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(nh) AS HUGEINT) AS n, SUM(sx) AS sx, SUM(sxx) AS sxx
+      FROM st
+    ),
+    parts AS (
+      SELECT
+        (SELECT n FROM tot) * (SELECT sxx FROM tot)
+          - (SELECT sx FROM tot) * (SELECT sx FROM tot) AS ss_total,
+        (SELECT SUM((CAST(st.sx AS HUGEINT) * (SELECT n FROM tot)
+                     - CAST(st.nh AS HUGEINT) * (SELECT sx FROM tot))
+                    * (CAST(st.sx AS HUGEINT) * (SELECT n FROM tot)
+                       - CAST(st.nh AS HUGEINT) * (SELECT sx FROM tot))
+                    // (CAST(st.nh AS HUGEINT) * (SELECT n FROM tot)))
+         FROM st) AS ss_between
+    )
+    SELECT CAST((SELECT COUNT(*) FROM st) AS BIGINT) AS n_sources,
+           CAST(ss_between * 1000000 // ss_total AS BIGINT) AS eta2_ppm,
+           CAST((ss_total - ss_between) * 1000000 // ss_total AS BIGINT)
+             AS within_ppm
+    FROM parts
+    """,
+    tags=("statistics", "monitoring", "corpus"),
+    doc="Variance decomposition of document length across sources "
+    "(one-way ANOVA's eta-squared, in ppm): how much of corpus length "
+    "variation the source label EXPLAINS. eta2 near 0 means one global "
+    "length policy (truncation budget, packing bin size) fits "
+    "everything; eta2 high means per-source policies are warranted "
+    "and a pooled length histogram is misleading. Exact integers via "
+    "the n-scaled sums-of-squares identities: ss_total = n*Sxx - Sx^2, "
+    "ss_between = sum_h (n*sx_h - nh*Sx)^2 / (nh*n) — each group term "
+    "one truncating division, mirrored on both engines. One groupBy "
+    "over documents (map-side partials) + |sources|-row arithmetic.",
+)
+def length_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("decimal(38,0)")
+    st = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("nh"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    tot = st.agg(
+        F.sum("nh").alias("n"), F.sum("sx").alias("tsx"), F.sum("sxx").alias("tsxx")
+    )
+    j = st.crossJoin(F.broadcast(tot))
+    per = j.select(
+        "n",
+        "tsx",
+        "tsxx",
+        F.expr(
+            "(sx * n - nh * tsx) * (sx * n - nh * tsx) div (nh * n)"
+        ).alias("term"),
+    )
+    return per.groupBy("n", "tsx", "tsxx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("term").alias("ssb"),
+    ).select(
+        "n_sources",
+        F.expr(
+            "CAST(ssb * 1000000 div (n * tsxx - tsx * tsx) AS BIGINT)"
+        ).alias("eta2_ppm"),
+        F.expr(
+            "CAST((n * tsxx - tsx * tsx - ssb) * 1000000"
+            " div (n * tsxx - tsx * tsx) AS BIGINT)"
+        ).alias("within_ppm"),
+    )

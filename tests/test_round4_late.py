@@ -93,3 +93,13 @@ def test_dedup_source_shift_shares_balance(spark, sf_dir):
     tot_shift = sum(r.shift_ppm for r in rows)
     # shifts are zero-sum up to per-source truncation slack
     assert abs(tot_shift) <= 2 * len(rows)
+
+
+def test_length_variance_decomposition_identities(spark, sf_dir):
+    from porcupine_spark.operators.vocabstats import (
+        length_variance_decomposition)
+
+    r = length_variance_decomposition(spark, sf_dir).first()
+    assert 0 <= r.eta2_ppm <= 1_000_000
+    # eta2 + within = 1e6 up to the per-group truncation slack
+    assert 1_000_000 - r.n_sources <= r.eta2_ppm + r.within_ppm <= 1_000_000
