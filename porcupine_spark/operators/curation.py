@@ -317,6 +317,7 @@ def quality_gate_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import porcupine_spark.operators.text  # noqa: E402,F401 — registers quality_score
 from porcupine_spark.plans.registry import REGISTRY as _R  # noqa: E402
 
 _R["quality_gate_kappa"].oracle = f"""
