@@ -228,3 +228,86 @@ def embedding_anisotropy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim long, iterate_micro long, rayleigh_lb_micro long,"
         " mean_eig_micro long, anisotropy_lb_ppm long, cov_max_abs double",
     )
+
+
+def _sql_isqrt(x: str) -> str:
+    s = f"CAST(FLOOR(SQRT(CAST({x} AS DOUBLE))) AS HUGEINT)"
+    return (
+        f"(CASE WHEN ({s}+1)*({s}+1) <= {x} THEN {s}+1 "
+        f"WHEN {s}*{s} > {x} THEN {s}-1 ELSE {s} END)"
+    )
+
+
+@query(
+    "embedding_dim_scaling_plan",
+    f"""
+    WITH elems AS (
+      SELECT g.i - 1 AS d,
+             CAST(TRUNC(CAST(embedding[g.i] AS DOUBLE) * 1e6) AS HUGEINT) AS x
+      FROM embeddings,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, {DIMS})) AS i) g
+    ),
+    st AS (
+      SELECT d, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      FROM elems GROUP BY d
+    ),
+    v AS (
+      SELECT d, n, sx,
+             (n * sxx - sx * sx) // (n * (n - 1)) AS var_micro2
+      FROM st
+    )
+    SELECT CAST(d AS BIGINT) AS dim,
+           CAST(sx // n AS BIGINT) AS mean_micro,
+           CAST(var_micro2 AS BIGINT) AS var_micro2,
+           CAST({_sql_isqrt('var_micro2')} AS BIGINT) AS std_micro,
+           CAST(CASE WHEN {_sql_isqrt('var_micro2')} > 0
+                THEN 1000000000000 // {_sql_isqrt('var_micro2')}
+                ELSE 0 END AS BIGINT) AS inv_scale_micro
+    FROM v
+    """,
+    tags=("similarity", "linalg", "planning", "monitoring"),
+    doc="Per-dimension standardization plan (diagonal whitening): mean, "
+    "sample variance, std and 1/std per embedding dimension — the "
+    "feature-scaling table applied before scalar quantization or IVF "
+    "when dimensions carry wildly different energies (a hot dimension "
+    "dominates every integer dot product; sq8_topk's single global "
+    "scale silently wastes bits on the quiet dims — this plan is the "
+    "fix). All integer-exact: micro elements, cross-multiplied "
+    "variance (n*Sxx - Sx^2)/(n(n-1)) with one truncating division, "
+    "std by the exact isqrt (float sqrt + two-arm correction), 1/std "
+    "as 1e12-scaled truncating reciprocal. One posexplode pass, one "
+    "(dim)-keyed aggregation — rows = model dims, not data.",
+)
+def embedding_dim_scaling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(F.posexplode("embedding").alias("d", "v")).select(
+        "d", F.expr("CAST(CAST(v AS DOUBLE) * 1e6 AS BIGINT)").alias("x")
+    )
+    st = elems.groupBy("d").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    v = st.select(
+        "d",
+        "n",
+        "sx",
+        F.expr("(n * sxx - sx * sx) div (n * (n - 1))").alias("var_micro2"),
+    )
+    # exact integer sqrt: float sqrt + two-arm correction (< 2^52 safe)
+    s = F.floor(F.sqrt(F.col("var_micro2").cast("double"))).cast("long")
+    std = (
+        F.when((s + 1) * (s + 1) <= F.col("var_micro2"), s + 1)
+        .when(s * s > F.col("var_micro2"), s - 1)
+        .otherwise(s)
+    )
+    return v.select(
+        F.col("d").cast("long").alias("dim"),
+        F.expr("CAST(sx div n AS BIGINT)").alias("mean_micro"),
+        F.col("var_micro2").cast("long").alias("var_micro2"),
+        std.cast("long").alias("std_micro"),
+        F.when(std > 0, F.floor(F.lit(1_000_000_000_000) / std))
+        .otherwise(0)
+        .cast("long")
+        .alias("inv_scale_micro"),
+    )

@@ -103,3 +103,23 @@ def test_length_variance_decomposition_identities(spark, sf_dir):
     assert 0 <= r.eta2_ppm <= 1_000_000
     # eta2 + within = 1e6 up to the per-group truncation slack
     assert 1_000_000 - r.n_sources <= r.eta2_ppm + r.within_ppm <= 1_000_000
+
+
+def test_dim_scaling_plan_matches_numpy(spark, sf_dir):
+    import math
+    import numpy as np
+    from porcupine_spark.operators.linalg import embedding_dim_scaling_plan
+    from porcupine_spark.tables import load_table
+
+    rows = {r.dim: r for r in embedding_dim_scaling_plan(spark, sf_dir).collect()}
+    emb = np.stack([np.array(r.embedding) for r in
+                    load_table(spark, sf_dir, "embeddings").collect()])
+    xi = (emb.astype(np.float64) * 1e6).astype(np.int64)
+    n = len(xi)
+    for d in (0, 13, 63):
+        sx = int(xi[:, d].astype(object).sum())
+        sxx = int((xi[:, d].astype(object) ** 2).sum())
+        var = (n * sxx - sx * sx) // (n * (n - 1))  # positive: floor==trunc
+        assert rows[d].var_micro2 == var
+        assert rows[d].std_micro == math.isqrt(var)
+        assert rows[d].inv_scale_micro == 10**12 // math.isqrt(var)
