@@ -284,3 +284,115 @@ def stream_sessionize_with_timeout(
     finally:
         q.stop()
     return spark.table(name), name
+
+
+# --- streaming SCD2 apply -------------------------------------------
+
+SCD2_OUT_SCHEMA = (
+    "user_id long, attr string, valid_from_us long, valid_to_us long,"
+    " n_events long"
+)
+SCD2_STATE_SCHEMA = "cur string, start_us long, n long"
+
+
+def scd2_apply(key, pdfs, state):
+    """Per-user SCD2 version builder: a new version opens whenever the
+    tracked attribute (event_type) CHANGES; each closed version is
+    emitted exactly once with its [valid_from, valid_to) span in exact
+    integer microseconds. State = the one open version. Relies on
+    per-key event-time order across microbatches (the file stream
+    preserves it per user; a Kafka deployment keys partitions by user
+    for the same guarantee)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:  # GroupState.exists is a property, not a method
+        cur, start_us, n = state.get
+    else:
+        cur, start_us, n = None, None, 0
+    out = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["tsu", "event_id"])
+        for tsu, etype in zip(pdf["tsu"], pdf["event_type"]):
+            tsu = int(tsu)
+            if cur is None:
+                cur, start_us, n = etype, tsu, 1
+            elif etype == cur:
+                n += 1
+            else:
+                out.append((user_id, cur, start_us, tsu, n))
+                cur, start_us, n = etype, tsu, 1
+    state.update((cur, start_us, n))
+    yield pd.DataFrame(
+        out, columns=["user_id", "attr", "valid_from_us", "valid_to_us", "n_events"]
+    )
+
+
+@query(
+    "stream_scd2_apply",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tsu,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    vers AS (
+      SELECT user_id, event_type, tsu,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_type
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ver
+      FROM seq
+    ),
+    spans AS (
+      SELECT user_id, event_type AS attr, ver,
+             MIN(tsu) AS valid_from_us, COUNT(*) AS n_events,
+             MAX(ver) OVER (PARTITION BY user_id) AS last_ver
+      FROM vers GROUP BY user_id, event_type, ver
+    )
+    SELECT s.user_id, s.attr,
+           CAST(s.valid_from_us AS BIGINT) AS valid_from_us,
+           CAST(nx.valid_from_us AS BIGINT) AS valid_to_us,
+           CAST(s.n_events AS BIGINT) AS n_events
+    FROM spans s
+    JOIN spans nx ON nx.user_id = s.user_id AND nx.ver = s.ver + 1
+    WHERE s.ver < s.last_ver
+    """,
+    tags=("streaming", "stateful", "scd2", "merge"),
+    doc="Streaming SCD2 APPLY — the real-time twin of the batch "
+    "scd2_customer_segments build: as change events arrive, each "
+    "user's open version closes the moment the tracked attribute "
+    "(event_type) changes, emitting the finished [valid_from, "
+    "valid_to) row exactly once; the open version lives in state "
+    "(3 scalars per user). This is how a feature-store history table "
+    "stays current without re-running the batch build. Closed "
+    "versions are emission-stable across microbatch boundaries "
+    "(append-like), so the oracle — change-flag islands + next-island "
+    "start via a self-join, minus each user's open last version — "
+    "hash-matches the streamed output exactly. Integer microseconds "
+    "end to end.",
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = load_events_stream(ns, sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tsu")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        scd2_apply,
+        outputStructType=SCD2_OUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"scd2_{uuid.uuid4().hex[:8]}"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ns.table(name)

@@ -123,3 +123,24 @@ def test_dim_scaling_plan_matches_numpy(spark, sf_dir):
         assert rows[d].var_micro2 == var
         assert rows[d].std_micro == math.isqrt(var)
         assert rows[d].inv_scale_micro == 10**12 // math.isqrt(var)
+
+
+def test_stream_scd2_versions_partition_history(spark, sf_dir):
+    from porcupine_spark.streaming.stateful import stream_scd2_apply
+    from porcupine_spark.tables import load_table
+
+    rows = stream_scd2_apply(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        assert r.valid_from_us < r.valid_to_us
+        assert r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, vs in by_user.items():
+        vs.sort(key=lambda r: r.valid_from_us)
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to_us == b.valid_from_us  # contiguous history
+            assert a.attr != b.attr  # each version is a real change
+    # closed-version event counts + each user's open version = all events
+    n_events = load_table(spark, sf_dir, "events").count()
+    closed = sum(r.n_events for r in rows)
+    assert closed < n_events
