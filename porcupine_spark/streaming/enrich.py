@@ -226,3 +226,62 @@ _REG["stream_quality_gate"].oracle = f"""
     FROM f JOIN documents d USING (doc_id)
     GROUP BY d.source
 """
+
+
+@query(
+    "stream_segment_gate",
+    None,  # late-bound below: composes segment_dup_fraction's oracle
+    tags=("streaming", "dedup", "segments", "curation"),
+    doc="Streaming twin of the CCNet segment-dedup gate "
+    "(segment_dup_fraction): arriving documents are scored against a "
+    "BROADCAST corpus segment-frequency index (the batch-built "
+    "per-hash doc counts — refreshed per ingest cycle in production), "
+    "exactly the stream_near_dedup topology: ZERO streaming state, "
+    "per-row segmentation + one broadcast join, so an unbounded crawl "
+    "costs one scan. Note the semantics wrinkle inherited honestly "
+    "from the index design: the index counts each stream doc itself "
+    "(the corpus IS the stream here), matching the batch query "
+    "exactly; a production deployment scores new docs against "
+    "yesterday's index and re-batches nightly. Oracle = "
+    "segment_dup_fraction's verbatim.",
+)
+def stream_segment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.segments import (
+        DUP_FRAC_KEEP_PPM,
+        _segments,
+    )
+    from porcupine_spark.tables import load_docs_stream
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    # batch-built broadcast index: per-hash distinct-doc counts
+    docs = load_table(ns, sf_dir, "documents")
+    df_index = (
+        _segments(docs)
+        .select("doc_id", "seg_hash")
+        .distinct()
+        .groupBy("seg_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    stream = load_docs_stream(ns, sf_dir)
+    segs = _segments(stream)
+    scored = segs.join(F.broadcast(df_index), "seg_hash")
+    dup_inst = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    tot = F.count(F.lit(1))
+    dup_ppm = F.floor((dup_inst * F.lit(1_000_000)).cast("long") / tot).cast("long")
+    agg = scored.groupBy("doc_id").agg(
+        tot.cast("long").alias("n_segments"),
+        dup_inst.cast("long").alias("n_dup_segments"),
+        dup_ppm.alias("dup_frac_ppm"),
+        F.when(dup_ppm <= DUP_FRAC_KEEP_PPM, 1).otherwise(0).alias("keep"),
+    )
+    name = f"seggate_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ns.table(name)
+
+
+_REG["stream_segment_gate"].oracle = _REG["segment_dup_fraction"].oracle
