@@ -408,8 +408,12 @@ _REG2["pagerank_supplier_graph"].oracle = _pr_oracle_sql()
     "policy - the curation-grade dedup, since boilerplate-heavy copies "
     "often have smaller ids than the clean original. One row_number "
     "window over cluster members (cluster table is LSH output, orders "
-    "of magnitude smaller than the corpus) and one broadcast anti-join "
-    "of the corpus against the dropped set. Oracle composes the "
+    "of magnitude smaller than the corpus) and one UNHINTED anti-join "
+    "of the corpus against the dropped set — the dropped set is "
+    "O(dup_rate * corpus) at real crawl dup rates, so a forced "
+    "broadcast would OOM at 100 TB; AQE broadcasts only when the "
+    "runtime size is genuinely small, else shuffles on doc_id. "
+    "Oracle composes the "
     "clustering's recursive CTE and the quality score's SQL verbatim, "
     "so policy, cluster definition, and score can never drift apart.",
 )
@@ -432,7 +436,8 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"))
     )
     docs = load_table(spark, sf_dir, "documents")
-    return docs.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+    # Deliberately unhinted (see docstring): dropped ~ dup_rate * |corpus|.
+    return docs.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
 

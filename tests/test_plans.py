@@ -164,13 +164,69 @@ def test_embedding_neardup_distributed_block_pairs(spark, sf_dir):
     assert "NestedLoop" not in plan
 
 
-def test_dedup_keep_canonical_broadcast_anti(spark, sf_dir):
-    """The corpus-sized final step is ONE broadcast anti-join against
-    the tiny dropped set — the full documents table never shuffles for
-    the dedup decision."""
+def test_dedup_keep_canonical_anti_join_shape(spark, sf_dir):
+    """The corpus-sized final step is ONE anti-join against the dropped
+    set — the full documents table never cartesians for the dedup
+    decision. No broadcast assertion here: the hint was deliberately
+    removed (the dropped set is corpus-sized at real dup rates) and the
+    join strategy is AQE's call — see the adversarial test below."""
     plan = plan_of(spark, sf_dir, "dedup_keep_canonical")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_keep_policies_no_forced_broadcast(spark, tmp_path):
+    """Adversarial 100 TB guard for BOTH keep-policy dedups: at web-crawl
+    dup rates the dropped-doc set is O(dup_rate * corpus) — billions of
+    ids at 100 TB, over Spark's 8 GB broadcast hard limit — so the final
+    anti-join must NOT carry a mandatory broadcast hint. A join hint
+    overrides autoBroadcastJoinThreshold, so with both the static and
+    the AQE thresholds pinned to -1 any BroadcastHashJoin surviving in
+    the EXECUTED plan can only come from a hint: on a synthetic 60 %
+    dup-rate corpus, assert none does (the anti-join degrades to a
+    shuffled join) and that the kept set is exactly the canonical
+    originals."""
+    import pyspark.sql.functions as F
+
+    from porcupine_spark.operators.components import dedup_keep_best_quality
+    from porcupine_spark.operators.dedup import dedup_keep_canonical
+
+    # 60 % duplicate corpus: 800 originals, each with 1-2 verbatim copies
+    rows, did = [], 0
+    for i in range(800):
+        text = " ".join(f"w{i}x{j}" for j in range(12))
+        n_copies = 2 if i % 2 == 0 else 1
+        for _ in range(1 + n_copies):
+            rows.append((did, text, "en", f"src{i % 5}", len(text)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        for fn in (dedup_keep_canonical, dedup_keep_best_quality):
+            kept = fn(spark, str(tmp_path))
+            n_kept = kept.count()  # materializes -> AQE final plan
+            plan = kept._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, f"{fn.__name__} forces broadcast"
+            assert "LeftAnti" in plan
+            assert "CartesianProduct" not in plan
+            # every dup group collapses to exactly one kept doc
+            assert n_kept == 800, f"{fn.__name__}: kept {n_kept}, want 800"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_partitioned_write_prunes_on_read(spark, tmp_path):
