@@ -67,6 +67,12 @@ class Dataset:
     serials: SerialSet = field(default_factory=lambda: SerialSet(parquet_serial()))
     schema: Any = None  # pyspark StructType or DDL string, enforced on read
     embedded_default: list | None = None  # rows for createDataFrame fallback
+    # per-layer embedded rows when config data used {"$layers": [...]}
+    # (PorcupineTree.hs:495-503); embedded_default then holds their
+    # concatenation (the list semigroup, VirtualFile.hs:377-397) so
+    # plain read() works unchanged while read_merged() keeps layer
+    # precedence
+    embedded_layers: tuple | None = None
     readable: bool = True
     writable: bool = True
     doc: str = ""
@@ -172,6 +178,24 @@ class Catalog:
     def names(self) -> list[str]:
         return sorted(self._ds)
 
+    def zip_with(self, other: "Catalog", fn=None) -> dict:
+        """apLocationTree (LocationTree.hs:98-101): node-wise zip of two
+        catalogs on their VIRTUAL-PATH intersection — names present in
+        only one catalog are ABANDONED, exactly the reference's
+        ``HM.intersectionWith`` recursion (our names are flat
+        slash-paths, so leaf intersection equals tree intersection).
+        ``fn(a, b)`` combines the two Datasets; the default pairs them.
+        The catalog introspection/diff utility:
+        ``left.zip_with(right, lambda a, b: a.schema == b.schema)``
+        answers 'where do these two pipelines disagree on shared
+        resources'."""
+        if fn is None:
+            fn = lambda a, b: (a, b)  # noqa: E731
+        return {
+            name: fn(self._ds[name], other._ds[name])
+            for name in sorted(set(self._ds) & set(other._ds))
+        }
+
     def bind(
         self,
         root: str,
@@ -188,7 +212,14 @@ class Catalog:
         ``data`` is the config ``data:`` section
         (replaceWithDataFromConfig, PorcupineTree.hs:440-503): literal
         rows for a dataset, overriding its declared embedded default;
-        a dataset with config data needs no physical mapping."""
+        a dataset with config data needs no physical mapping. A value
+        of ``{"$layers": [rows, rows, ...]}`` declares PER-LAYER
+        embedded data (getMergedLayersFromAesonValue,
+        PorcupineTree.hs:495-503): plain reads see the layers'
+        concatenation (the list semigroup — tryMergeLayersForVFile's
+        sconcat, VirtualFile.hs:377-397) and ``read_merged`` applies
+        the same right-biased per-key precedence as physical layers,
+        later ``$layers`` entries overriding earlier ones."""
         mappings = dict(mappings or {})
         variables = variables or {}
         target: Catalog = self
@@ -196,12 +227,35 @@ class Catalog:
             unknown_data = set(data) - set(self._ds)
             if unknown_data:
                 raise KeyError(f"config data for unknown datasets: {sorted(unknown_data)}")
+
+            def with_config_data(name: str, ds: Dataset) -> Dataset:
+                if name not in data:
+                    return ds
+                val = data[name]
+                if isinstance(val, dict):
+                    if set(val) != {"$layers"}:
+                        raise ValueError(
+                            f"config data for {name!r}: a dict value must be "
+                            f"exactly {{'$layers': [...]}}, got keys {sorted(val)}"
+                        )
+                    layers = val["$layers"]
+                    if not isinstance(layers, (list, tuple)) or not all(
+                        isinstance(l, (list, tuple)) for l in layers
+                    ):
+                        raise ValueError(
+                            f"config data for {name!r}: $layers must contain "
+                            "an array of row arrays"
+                        )
+                    return replace(
+                        ds,
+                        embedded_default=[r for layer in layers for r in layer],
+                        embedded_layers=tuple(list(l) for l in layers),
+                    )
+                return replace(ds, embedded_default=val, embedded_layers=None)
+
             # non-destructive: bind against a copy carrying the config rows
             target = Catalog(
-                [
-                    replace(ds, embedded_default=data.get(name, ds.embedded_default))
-                    for name, ds in self._ds.items()
-                ]
+                [with_config_data(name, ds) for name, ds in self._ds.items()]
             )
             for name in data:
                 mappings.setdefault(name, None)
@@ -445,7 +499,13 @@ class BoundCatalog:
         locs = self._bound[name] or []
         dfs = []
         base = 0
-        if ds.embedded_default is not None:
+        if ds.embedded_layers is not None:
+            # config {"$layers": [...]}: each embedded layer keeps its
+            # own precedence slot, later entries overriding earlier
+            # ones exactly like physical layers
+            for layer in ds.embedded_layers:
+                dfs.append(spark.createDataFrame(layer, schema=ds.schema))
+        elif ds.embedded_default is not None:
             dfs.append(spark.createDataFrame(ds.embedded_default, schema=ds.schema))
         for loc in locs:
             serial = ds.serials.for_ext(loc.ext)

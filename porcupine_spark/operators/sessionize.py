@@ -576,11 +576,15 @@ def rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "- so sessions spanning a whole day (no boundary that day) still "
     "hold its level up, which a boundary-only group-by silently "
     "drops. Ties order +1 before -1, so touching sessions count as "
-    "concurrent (mirrored in the oracle). The ordered sweep runs over "
-    "SESSION BOUNDARIES (2 rows per session, not events) and the "
-    "carry windows over the bounded day spine; at extreme session "
-    "counts the sweep becomes hierarchical - per-bucket delta sums, "
-    "prefix over the bounded bucket table, bucket-local re-sweep.",
+    "concurrent (mirrored in the oracle). The sweep is HIERARCHICAL "
+    "so no window ever sees the whole boundary stream: a DAY-KEYED "
+    "window computes each day's RELATIVE running sum (within-day sum "
+    "= global running sum minus that day's carry-in, since carry-in "
+    "is exactly the cumulative delta through the previous midnight), "
+    "the only global window is the prefix sum over the BOUNDED day "
+    "spine, and peak(day) = carry_in + max(relative_max, 0) — "
+    "identical results to the single global sweep, but every "
+    "unbounded window is partitioned by day.",
 )
 def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -588,13 +592,21 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
-    deltas = sessions.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
-        sessions.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    deltas = (
+        sessions.select(F.col("s").alias("t"), F.lit(1).alias("d"))
+        .unionByName(sessions.select(F.col("e").alias("t"), F.lit(-1).alias("d")))
+        .withColumn("day", F.date_trunc("day", F.col("t")))
     )
+    # day-keyed sweep: relative concurrency within the day (starts at 0
+    # each midnight); the global level is recovered by adding carry_in.
+    # Partitioning by day keeps every boundary window bounded by one
+    # day's sessions instead of the whole corpus (the W-flag fix).
     wsweep = (
-        W.orderBy("t", F.col("d").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+        W.partitionBy("day")
+        .orderBy("t", F.col("d").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    swept = deltas.select("t", "d", F.sum("d").over(wsweep).alias("concurrency"))
+    swept = deltas.select("day", "d", F.sum("d").over(wsweep).alias("rel"))
     # a day's CLOSING concurrency = cumulative delta total through the
     # end of that day. Deriving it as a prefix sum of per-day SUM(d)
     # over the day spine is tie-free; picking the "last" sweep row via
@@ -602,10 +614,8 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a boundary instant and direction — among tied rows the running
     # sums differ, so max_by/arg_max choose arbitrarily and the
     # carry-in could be off by up to k-1 (both engines, independently).
-    day_summary = swept.groupBy(
-        F.date_trunc("day", F.col("t")).alias("day")
-    ).agg(
-        F.max("concurrency").alias("within_max"),
+    day_summary = swept.groupBy("day").agg(
+        F.max("rel").alias("max_rel"),
         F.sum("d").alias("day_delta"),
     )
     bounds = day_summary.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
@@ -620,11 +630,15 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("day_delta").over(wcarry), F.lit(0)).cast("long"),
         )
     )
+    # peak = max(carry_in + max_rel, carry_in): a day of only session
+    # ends has max_rel < 0 and peaks at its carry-in; an empty spine
+    # day peaks at carry-in too (max_rel -> 0)
     return carried.select(
         "day",
-        F.greatest(F.coalesce("within_max", F.lit(0)), F.col("carry_in")).alias(
-            "peak_concurrent"
-        ),
+        (
+            F.col("carry_in")
+            + F.greatest(F.coalesce("max_rel", F.lit(0)), F.lit(0))
+        ).alias("peak_concurrent"),
     )
 
 
@@ -1110,7 +1124,10 @@ def session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         s_b.join(i_b, "bucket")
         .filter((F.col("s_lo") < F.col("i_hi")) & (F.col("i_lo") < F.col("s_hi")))
-        .dropDuplicates(["user_id", "session_id", "i_lo"])
+        # key on the FULL incident interval: two distinct incidents can
+        # start at the same microsecond (different days/islands), and a
+        # start-only key would silently merge them
+        .dropDuplicates(["user_id", "session_id", "i_lo", "i_hi"])
     )
     overlap = F.least("s_hi", "i_hi") - F.greatest("s_lo", "i_lo")
     return pairs.groupBy("user_id", "session_id").agg(

@@ -462,6 +462,111 @@ def ivf_topk_generic(
     )
 
 
+def ivf_index_build(
+    emb: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = 16,
+) -> None:
+    """Persist the IVF index: the assignment table (cid, vec_id,
+    embedding, vn) written CID-BUCKETED via bucketing.write_bucketed.
+
+    This is the 100 TB ANN *serving* story: assignment is the one
+    corpus-sized pass (every vector × the broadcast centroid table),
+    so pay it ONCE at index-build time. Every later query batch served
+    through ivf_topk_from touches only the probed buckets of a layout
+    that is already partitioned by cid — the corpus is never
+    re-assigned, re-shuffled, or re-normed per query. Same artifact
+    discipline as the dedup trio (cluster table / keep-set / flagged
+    ids): the expensive derivation is a persisted, re-servable table.
+    """
+    from porcupine_spark.bucketing import write_bucketed
+
+    vecs = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("vn"),
+    )
+    cent = centroids.select(
+        "cid", "cent_e",
+        F.sqrt(dot_double(F.col("cent_e"), F.col("cent_e"))).alias("cn"),
+    )
+    sim = dot_double(F.col("embedding"), F.col("cent_e")) / (F.col("vn") * F.col("cn"))
+    assign_w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = (
+        vecs.join(F.broadcast(cent), how="cross")
+        .select("vec_id", "embedding", "vn", "cid", sim.alias("sim"))
+        .withColumn("arn", F.row_number().over(assign_w))
+        .filter(F.col("arn") == 1)
+        .select("cid", "vec_id", "embedding", "vn")
+    )
+    write_bucketed(assigned, table, key="cid", n_buckets=n_buckets, path=path)
+
+
+def ivf_topk_from(
+    spark: SparkSession,
+    table: str,
+    centroids: DataFrame,
+    query_ids,
+    k: int = 5,
+    probes: int = 2,
+) -> DataFrame:
+    """Artifact-mode IVF top-k: serve queries from a PERSISTED
+    cid-bucketed assignment table (ivf_index_build) instead of
+    re-deriving assignments per query — result-identical to
+    ivf_topk_generic(emb, centroids, ...) on the same inputs (same
+    double cosine, same (desc sim, asc cid) probe tie-break, same
+    per-query top-k window).
+
+    Plan shape at scale: the query rows are looked up IN the index
+    (|Q| rows), ranked against the broadcast centroid table, and the
+    bucket probe is a join against the bucketed layout — the
+    corpus-side scan needs no Exchange (bucket metadata proves
+    cid-partitioning; Spark prunes to SelectedBucketsCount = the
+    probed cids when the probe list is a literal filter, and at worst
+    streams buckets through the join with zero corpus shuffle). Only
+    candidate rows (≤ |Q|·bucket_size) ever move."""
+    assigned = spark.table(table)
+    qids = [int(q) for q in query_ids]
+    qrows = assigned.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("vn").alias("qn"),
+    )
+    cent = centroids.select(
+        "cid", "cent_e",
+        F.sqrt(dot_double(F.col("cent_e"), F.col("cent_e"))).alias("cn"),
+    )
+    qsim = dot_double(F.col("qe"), F.col("cent_e")) / (F.col("qn") * F.col("cn"))
+    probe_w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes_df = (
+        qrows.join(F.broadcast(cent), how="cross")
+        .select("query_id", "qe", "qn", "cid", qsim.alias("sim"))
+        .withColumn("prn", F.row_number().over(probe_w))
+        .filter(F.col("prn") <= probes)
+        .select("query_id", "qe", "qn", "cid")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes_df), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot_double(F.col("qe"), F.col("embedding"))
+                / (F.col("qn") * F.col("vn"))
+            ).alias("cosine"),
+        )
+        .distinct()  # a neighbor probed via 2 buckets appears once
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 @query(
     "ivf_kmeans_recall",
     None,  # rows-only by design: k-means centroids aren't SQL-expressible

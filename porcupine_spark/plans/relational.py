@@ -1826,11 +1826,17 @@ def seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_variant_typed",
     """
     WITH t AS (
+      -- TRY_CAST mirrors the Spark side's try_variant_get(..., 'long')
+      -- exactly: both sides test LONG-CASTABILITY, not mere key
+      -- presence, so a non-integer props.k diverges on neither side
+      -- (and CAST would error where TRY_CAST yields NULL)
       SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-             CASE WHEN json_type(props::JSON, '$.k') IS NOT NULL
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       IS NOT NULL
                   THEN 1 ELSE 0 END AS has_k,
-             CASE WHEN json_type(props::JSON, '$.missing') IS NOT NULL
+             CASE WHEN TRY_CAST(json_extract_string(props, '$.missing') AS BIGINT)
+                       IS NOT NULL
                   THEN 1 ELSE 0 END AS has_missing
       FROM events
     )

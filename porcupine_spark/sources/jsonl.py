@@ -4,13 +4,19 @@ JSONL directories, including the two-phase commit protocol.
 sources/pyds.py proves the READ half of Spark 4's Python DataSource
 surface (partitions, pushdown, streaming offsets); this module proves
 the WRITE half, which is where correctness actually lives: executors
-write to STAGED files and return commit messages; the driver makes the
-job visible atomically by renaming staged files into place on
-``commit()`` and deletes them on ``abort()`` — so a half-failed job
-leaves NO partial output visible (the same stage-and-swap discipline
-as functions/maintenance.compact_partition, here through Spark's own
-DataSourceWriter hooks). A real REST/database backend swaps the file
-I/O for its client and keeps the exact same protocol shape.
+write to STAGED files and return commit messages; the driver publishes
+on ``commit()`` by renaming staged files into place and deletes them
+on ``abort()`` — so a job that fails BEFORE commit() leaves no partial
+output visible (the same stage-and-swap discipline as
+functions/maintenance.compact_partition, here through Spark's own
+DataSourceWriter hooks). Atomicity is TASK-level, not job-level:
+``commit()`` itself is the non-atomic window — it deletes prior
+``.jsonl`` files (overwrite mode) then renames staged files one by
+one, so a driver crash MID-COMMIT can lose prior data and expose a
+partially published directory. That matches Hadoop's
+FileOutputCommitter v2 semantics on plain filesystems; a real
+REST/database backend swaps the file I/O for a transactional client
+to close that window and keeps the same protocol shape.
 
 Layout: one ``part-<uuid>.jsonl`` per write task, staged inside a
 hidden per-JOB ``.staging-<uuid>/`` dir until commit (so abort() can

@@ -334,7 +334,7 @@ def scd2_apply(key, pdfs, state):
     "stream_scd2_apply",
     """
     WITH seq AS (
-      SELECT user_id, event_type, epoch_us(ts) AS tsu,
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu,
              CASE WHEN lag(event_type) OVER w IS NULL
                     OR event_type <> lag(event_type) OVER w
                   THEN 1 ELSE 0 END AS chg
@@ -342,8 +342,11 @@ def scd2_apply(key, pdfs, state):
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     vers AS (
+      -- running sum ordered EXACTLY like the flag window (tsu, event_id):
+      -- with per-user timestamp ties any other tiebreak can scramble
+      -- version numbering vs both the flag pass and the streamed output
       SELECT user_id, event_type, tsu,
-             SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_type
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS ver
       FROM seq

@@ -389,7 +389,7 @@ def stream_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT ts, event_id FROM events WHERE event_type = 'error'
     ),
     flagged AS (
-      SELECT ts,
+      SELECT ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                        > 300 * 1000000
@@ -398,8 +398,11 @@ def stream_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (ORDER BY ts, event_id)
     ),
     islands AS (
+      -- running sum ordered EXACTLY like the flag window (ts, event_id):
+      -- duplicate error timestamps at an island boundary would otherwise
+      -- scramble island assignment vs the session_window result
       SELECT ts,
-             SUM(is_new) OVER (ORDER BY ts
+             SUM(is_new) OVER (ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS island
       FROM flagged

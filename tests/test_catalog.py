@@ -131,6 +131,81 @@ def test_read_unmapped_falls_back_to_embedded(spark):
     assert rows[0].k == "a"
 
 
+def test_zip_with_intersection_on_path():
+    """apLocationTree (LocationTree.hs:98-101): zip two catalogs
+    node-wise on their virtual-path intersection; non-matching branches
+    are abandoned."""
+    left = Catalog(
+        [
+            Dataset("inputs/users", schema="id long"),
+            Dataset("inputs/only_left", schema="x long"),
+            Dataset("outputs/report", schema="id long, v string"),
+        ]
+    )
+    right = Catalog(
+        [
+            Dataset("inputs/users", schema="id long"),
+            Dataset("outputs/report", schema="id long"),
+            Dataset("outputs/only_right", schema="y long"),
+        ]
+    )
+    pairs = left.zip_with(right)
+    # intersection only, sorted by path; unmatched branches abandoned
+    assert list(pairs) == ["inputs/users", "outputs/report"]
+    assert pairs["inputs/users"] == (left["inputs/users"], right["inputs/users"])
+    # the diff shape: where do the two pipelines disagree on schema?
+    same_schema = left.zip_with(right, lambda a, b: a.schema == b.schema)
+    assert same_schema == {"inputs/users": True, "outputs/report": False}
+
+
+def test_config_data_dollar_layers(spark, tmp_path):
+    """PorcupineTree.hs:495-503: the config ``data:`` section may
+    declare per-layer values via ``{"$layers": [...]}``. Plain read()
+    sees the layers' concatenation (list semigroup,
+    VirtualFile.hs:377-397 sconcat); read_merged() applies the same
+    right-biased per-key precedence as physical layers — later $layers
+    entries override earlier ones, and physical layers override both."""
+    c = Catalog([Dataset("layered", schema="id long, v string")])
+    bound = c.bind(
+        ".",
+        data={
+            "layered": {
+                "$layers": [
+                    [(1, "l0"), (2, "l0")],
+                    [(2, "l1"), (3, "l1")],
+                ]
+            }
+        },
+    )
+    # plain read: concatenation, all 4 rows
+    assert bound.read(spark, "layered").count() == 4
+    merged = {
+        r.id: r.v for r in bound.read_merged(spark, "layered", key="id").collect()
+    }
+    assert merged == {1: "l0", 2: "l1", 3: "l1"}
+
+    # physical layers still take precedence over ALL embedded layers
+    over = spark.createDataFrame([(3, "phys"), (4, "phys")], "id long, v string")
+    over.write.parquet(str(tmp_path / "over.parquet"))
+    bound2 = c.bind(
+        ".",
+        {"layered": str(tmp_path / "over.parquet")},
+        data={"layered": {"$layers": [[(1, "l0"), (2, "l0")], [(2, "l1"), (3, "l1")]]}},
+    )
+    merged2 = {
+        r.id: r.v for r in bound2.read_merged(spark, "layered", key="id").collect()
+    }
+    assert merged2 == {1: "l0", 2: "l1", 3: "phys", 4: "phys"}
+
+    # malformed $layers payloads are rejected at bind time
+    with pytest.raises(ValueError):
+        c.bind(".", data={"layered": {"$layers": "not-an-array"}})
+    with pytest.raises(ValueError):
+        c.bind(".", data={"layered": {"$layers": [123]}})
+    with pytest.raises(ValueError):
+        c.bind(".", data={"layered": {"other": []}})
+
+
 def test_csv_serial_roundtrip_with_transforms(spark, tmp_path):
     """dimap/lmap/rmap: pre-write + post-read transforms compose
     (example0.1: one sink plain, one transformed)."""

@@ -699,6 +699,45 @@ def test_ivf_kmeans_recall_query(spark):
     assert mean_recall >= 0.9, f"mean recall@5 {mean_recall} < 0.9"
 
 
+def test_ivf_index_persistence_artifact_mode(spark, sf_dir, tmp_path):
+    """The 100 TB ANN serving path: ivf_index_build persists the
+    cid-bucketed assignment table ONCE; ivf_topk_from serves query
+    batches from the artifact and must return EXACTLY what the
+    from-scratch ivf_topk_generic computes on the same inputs. The
+    corpus-side scan must come from the bucketed layout (no Exchange
+    needed on the index side — bucket metadata proves
+    cid-partitioning)."""
+    from porcupine_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_index_build,
+        ivf_topk_from,
+        ivf_topk_generic,
+    )
+    from porcupine_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", widen=False)
+    cents = ivf_centroids(emb, 8)
+    ivf_index_build(emb, cents, "ivf_idx_test", path=str(tmp_path / "ivf_idx"))
+    try:
+        qids = list(range(10))
+        fresh = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in ivf_topk_generic(emb, cents, qids, k=5, probes=2).collect()
+        }
+        served_df = ivf_topk_from(spark, "ivf_idx_test", cents, qids, k=5, probes=2)
+        served = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in served_df.collect()
+        }
+        assert served == fresh
+        # the artifact read is the bucketed layout: the scan advertises
+        # its buckets and the probe join needs no corpus-side Exchange
+        plan = served_df._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
 def test_ivf_generic_with_kmeans_centroids(spark, sf_dir):
     """The IVF stages are centroid-agnostic: swapping the deterministic
     first-k provider for pyspark.ml KMeans changes one stage and the

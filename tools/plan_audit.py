@@ -24,6 +24,106 @@ from porcupine_spark.session import get_spark
 STREAM_PREFIX = "stream_"  # streaming queries execute on build; skip plans
 
 
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Split a plan line's top-level ``[...]`` groups (window spec lists
+    nest brackets inside expressions, so count depth)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start + 1 : i])
+                start = -1
+    return groups
+
+
+_ORDER_RE = __import__("re").compile(r"\b(ASC|DESC) NULLS")
+
+
+def has_global_window(plan: str) -> bool:
+    """True if the plan contains a WINDOW with no partition spec — the
+    whole input lands on ONE task (Exchange SinglePartition), Spark's
+    'WindowExec: No Partition Defined' warning and the classic
+    single-executor scale killer. Global ORDER BY is deliberately NOT
+    flagged: it plans as a distributed rangepartitioning exchange (and
+    top-k becomes TakeOrderedAndProject, plan-guarded in
+    tests/test_plans.py), so it scales; a partition-less window does
+    not.
+
+    A Window line prints ``Window [fns], [part], [order]`` when
+    partitioned and ``Window [fns], [order]`` when global — two
+    top-level bracket groups with ordering syntax in the last one mean
+    no partition spec. WindowGroupLimit differs: it prints
+    ``WindowGroupLimit [part], [order], fn, k, mode`` when partitioned
+    and ``WindowGroupLimit [order], fn, k, mode`` when global — one
+    group fewer on each side (verified against Spark 4.1 plans)."""
+    for raw in plan.splitlines():
+        s = raw.strip().lstrip("+-:* ").strip()
+        if s.startswith("WindowGroupLimit"):
+            if len(_top_level_bracket_groups(s)) == 1:
+                return True
+        elif s.startswith("Window"):
+            groups = _top_level_bracket_groups(s)
+            if len(groups) == 2 and _ORDER_RE.search(groups[1]):
+                return True
+            if len(groups) == 1:  # global, unordered (degenerate)
+                return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# W-flag allowlist: queries whose partition-less window runs over a table
+# whose size is BOUNDED by something other than the corpus. Categories
+# (each entry traced to its window input, mirroring the N-flag
+# discipline). Any W-flagged query NOT listed here fails the audit —
+# the next unbounded global window must not sail through.
+# ---------------------------------------------------------------------------
+W_ALLOWLIST: dict[str, str] = {
+    # (a) day/month spines — calendar-bounded (|days|, never the corpus)
+    "cusum_changepoint": "prefix sum over the day spine",
+    "daily_new_users_cumulative": "cumulative count over the day spine",
+    "daily_orders_autocorr": "lag window over the day spine",
+    "global_watermark_audit": "running max over the day spine",
+    "order_backlog_daily": "open/close prefix over the day spine",
+    "revenue_mom_growth": "lag over the month spine",
+    "peak_concurrent_sessions": "carry prefix over the day spine (the "
+    "boundary sweep itself is day-PARTITIONED — hierarchical form)",
+    # (b) dimension-aggregate tables — per-customer rollups, orders of
+    # magnitude under the fact data; docstrings carry the 100 TB escape
+    # hatch (range-partitioned sort / approx quantile cuts)
+    "ntile_quartiles": "NTILE over the customer dimension",
+    "rfm_segmentation": "NTILE over per-customer aggregates",
+    "revenue_gini": "rank over per-customer revenue aggregates",
+    "revenue_pareto_8020": "cumulative share over per-customer aggregates",
+    "pareto_revenue_concentration": "cumulative share over per-customer aggregates",
+    # (c) distinct-value / vocab / histogram tables — value-bounded
+    "bigram_collocations": "rank over the scored bigram vocab table",
+    "bpe_merge_candidates": "rank over the symbol-pair vocab table",
+    "cms_frequency_estimate": "rank over the heavy-hitter token table",
+    "length_decile_assign": "cumulative count over DISTINCT length values",
+    "quantile_sketch_calibration": "rank over the 1024-bin histogram",
+    "zipf_rank_freq": "rank over the ZIPF_TOPK-limited token table",
+    "rank_corr_tokens_distinct": "rank over per-source aggregates",
+    "sorted_neighborhood_pairs": "rank over the distinct-name table "
+    "(sharded by rank div window at scale)",
+    # (d) |sources| / sample / boundary grids — bounded by config size
+    "epoch_expansion_plan": "water-fill rank over the |sources| grid",
+    "token_budget_waterfill": "water-fill rank over the |sources| grid",
+    "training_shard_manifest": "shard prefix over the |sources| grid",
+    "pps_systematic_sample": "systematic skip over the |sources| bucket grid",
+    "vocab_coverage_curve": "prefix over the K-value grid",
+    "range_partition_plan": "rank over the bounded boundary/sample grid",
+    # (e) pre-reduced / top-k candidate tables
+    "skyline_orders": "frontier window AFTER per-partition reduction "
+    "(plan-guarded in tests/test_plans.py)",
+    "rrf_fusion_topk": "rank fusion over per-ranker top-k lists",
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -61,7 +161,8 @@ def main() -> int:
                     ("P", "BatchEvalPython"),  # row-at-a-time python UDF
                 )
                 if marker in plan
-            ),
+            )
+            + ("W" if has_global_window(plan) else ""),
         }
         rows.append((name, stats))
         spark.catalog.clearCache()
@@ -124,6 +225,29 @@ def main() -> int:
         "length_variance_decomposition's and quality_gate_kappa's 1-row",
         "census broadcasts.",
         "Any other N is a regression.",
+        "W = a WINDOW with no PARTITION BY (single-task 'WindowExec: No",
+        "Partition Defined') — acceptable ONLY over tables bounded by",
+        "something other than the corpus. The allowlist (see",
+        "tools/plan_audit.py W_ALLOWLIST for per-query traces): day/month",
+        "spines (cusum_changepoint, daily_new_users_cumulative,",
+        "daily_orders_autocorr, global_watermark_audit,",
+        "order_backlog_daily, revenue_mom_growth,",
+        "peak_concurrent_sessions' carry step — its boundary sweep is",
+        "day-partitioned); per-customer dimension aggregates",
+        "(ntile_quartiles, rfm_segmentation, revenue_gini,",
+        "revenue_pareto_8020, pareto_revenue_concentration);",
+        "distinct-value / vocab / histogram tables (bigram_collocations,",
+        "bpe_merge_candidates, cms_frequency_estimate,",
+        "length_decile_assign, quantile_sketch_calibration,",
+        "zipf_rank_freq, rank_corr_tokens_distinct,",
+        "sorted_neighborhood_pairs); |sources| / sample / boundary grids",
+        "(epoch_expansion_plan, token_budget_waterfill,",
+        "training_shard_manifest, pps_systematic_sample,",
+        "vocab_coverage_curve, range_partition_plan); pre-reduced / top-k",
+        "tables (skyline_orders, rrf_fusion_topk). Global ORDER BY is not",
+        "flagged (it plans as distributed rangepartitioning; top-k is",
+        "TakeOrderedAndProject). Any W outside the allowlist FAILS the",
+        "audit.",
         "Streaming queries execute on build and are audited by their tests",
         "instead.",
         "",
@@ -149,11 +273,20 @@ def main() -> int:
         if isinstance(s, dict) and (set(s["flags"]) & {"X", "P"})
     )
     n_soft = sum(1 for _, s in rows if isinstance(s, dict) and "N" in s["flags"])
+    w_bad = sorted(
+        name
+        for name, s in rows
+        if isinstance(s, dict) and "W" in s["flags"] and name not in W_ALLOWLIST
+    )
+    n_w = sum(1 for _, s in rows if isinstance(s, dict) and "W" in s["flags"])
     print(
         f"wrote {path}: {len(rows)} queries, {n_hard} hard-flagged (X/P), "
-        f"{n_soft} with scalar-subquery NLJ"
+        f"{n_soft} with scalar-subquery NLJ, {n_w} global-window (W, "
+        f"{len(w_bad)} OUTSIDE allowlist)"
     )
-    return 1 if n_hard else 0
+    if w_bad:
+        print(f"UNLISTED global windows (fix or trace+allowlist): {w_bad}")
+    return 1 if (n_hard or w_bad) else 0
 
 
 if __name__ == "__main__":
