@@ -126,8 +126,9 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (150-1500 users here), not the session's shuffle width. A cloned
     # session scopes the conf change to this query. On a real cluster
     # this is executors-sized instead.
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     stream = load_events_stream(ns, sf_dir)
     raw = stateful_user_stats(ns, stream)
     # keep only each user's final emission (latest n_events wins) so the
@@ -380,8 +381,9 @@ def scd2_apply(key, pdfs, state):
     "end to end.",
 )
 def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     stream = load_events_stream(ns, sf_dir).select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tsu")
     )

@@ -22,9 +22,28 @@ from porcupine_spark.tables import load_events_stream, load_table
 
 def _state_sized_session(spark: SparkSession) -> SparkSession:
     """Clone the session with a state-cardinality-sized shuffle width so
-    the conf change is scoped to the one streaming query."""
+    the conf change is scoped to the one streaming query.
+
+    State-store provider: ``PORCUPINE_SPARK_STATESTORE=rocksdb``
+    switches the clone to RocksDBStateStoreProvider. The default stays
+    the HDFS-backed in-memory provider because it WINS at this
+    deployment's state sizes — measured head-to-head at 10x sf0.1
+    (SCALE.md round-5 note): per-key state here is a handful of
+    scalars x <=15k keys, far under executor memory, so RocksDB's
+    per-microbatch checkpoint/compaction overhead buys nothing. The
+    knob is for cluster deployments whose keyspace (1e8+ sessions)
+    outgrows heap — flipping the env var changes every stateful query
+    at once, no code edits."""
+    import os
+
     ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
+    if os.environ.get("PORCUPINE_SPARK_STATESTORE", "").lower() == "rocksdb":
+        ns.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     return ns
 
 
