@@ -30,6 +30,27 @@ from porcupine_spark.session import get_spark
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
+
+def _shuffle_read_bytes(spark) -> int:
+    """Cumulative shuffle-read bytes across executors from the live
+    AppStatusStore (the UI's data source; local mode = one 'driver'
+    executor row). Per-query deltas make plan regressions show up as
+    BYTES, not just seconds — a lost broadcast turns a ~0 MB query
+    into a table-sized shuffle even when wall time hides it in noise."""
+    try:
+        total = 0
+        it = (
+            spark.sparkContext._jsc.sc()
+            .statusStore()
+            .executorList(True)
+            .iterator()
+        )
+        while it.hasNext():
+            total += it.next().totalShuffleRead()
+        return total
+    except Exception:  # noqa: BLE001 — metrics are best-effort, never fatal
+        return -1
+
 # Headline set: every registered query (correctness surface == bench
 # surface), ordered cheap-first so failures surface early.
 EXCLUDE: set[str] = set()
@@ -54,11 +75,13 @@ def main() -> int:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
+    shuffle_mb: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         if name in EXCLUDE:
             continue
         best: float | None = None
         for _ in range(RUNS):
+            sh0 = _shuffle_read_bytes(spark)
             t0 = time.perf_counter()
             try:
                 df = spec.builder(spark, sf_dir)
@@ -67,7 +90,13 @@ def main() -> int:
                 errors[name] = f"{type(e).__name__}: {e}"[:200]
                 break
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            sh1 = _shuffle_read_bytes(spark)
+            if best is None or dt < best:
+                best = dt
+                if sh0 >= 0 and sh1 >= 0:
+                    # bytes from the best-time run (same plan each run;
+                    # AQE wobble is sub-percent)
+                    shuffle_mb[name] = round((sh1 - sh0) / 1e6, 2)
             rows[name] = n
         if best is not None:
             timings[name] = round(best, 4)
@@ -114,6 +143,8 @@ def main() -> int:
         "runs_per_query": RUNS,
         "sf": sf_val,
         "errors": errors,
+        "shuffle_read_mb": shuffle_mb,
+        "total_shuffle_read_mb": round(sum(shuffle_mb.values()), 1),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -131,6 +162,7 @@ def main() -> int:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "total_shuffle_read_mb": round(sum(shuffle_mb.values()), 1),
         "sf": sf_val,
     }
     line = json.dumps(out, separators=(",", ":"))

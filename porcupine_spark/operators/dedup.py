@@ -2042,3 +2042,144 @@ REGISTRY["dup_embedding_consistency"].oracle = f"""
                 < {DUP_EMB_COSINE_T} THEN 1 ELSE 0 END AS suspect
     FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr verbatim span detection (the Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better" shape): find MAXIMAL runs of
+# verbatim-identical tokens shared between document pairs — the exact
+# complement to the approximate fingerprint overlap of winnow_dup_pairs.
+# Suffix arrays don't distribute; the equivalent shuffle-friendly plan is
+# an exact K-token-window inverted index + per-pair DIAGONAL island merge:
+# two windows at positions (pa, pb) belong to the same maximal run iff
+# they match and share the alignment diagonal pa - pb, so consecutive-pa
+# islands within a (pair, diagonal) group ARE the maximal spans, each of
+# run_len + K - 1 tokens.
+#
+# Scale shape: window hashes are 60-bit longs (8-byte shuffle keys, never
+# the window text); the hot-window occurrence cap (same hot_df_cutoff
+# discipline as the shingle index) bounds per-key self-join fan-out to
+# <= cutoff^2/2 regardless of corpus size — one boilerplate sentence in
+# 1% of a 100 TB corpus would otherwise alone produce ~1e16 matches; the
+# island window is keyed by (doc_a, doc_b, diagonal) — bounded by a
+# pair's matched windows, never the corpus. At 100 TB swap md5 for a
+# rolling xxhash64 (the md5 here buys the exact cross-engine oracle).
+# ---------------------------------------------------------------------------
+
+VSPAN_K = 8  # window length in tokens (ExactSubstr uses 50 on real crawls)
+VSPAN_MIN_RUN = 2  # only report spans STRICTLY longer than one window
+
+
+def verbatim_window_table(docs: DataFrame, k: int = VSPAN_K) -> DataFrame:
+    """(doc_id, pos, h): 60-bit md5 hash of every k-token window at every
+    token position (1-based), empty for docs shorter than k tokens."""
+    from porcupine_spark.functions.hashing import md5_long60
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    wins = F.transform(
+        seq1(F.size(toks) - (k - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            md5_long60(F.concat_ws(" ", F.slice(toks, i, k))).alias("h"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h")
+    )
+
+
+_VSPAN_WIN_COLS = ", ".join(f"t[i+{j}]" for j in range(VSPAN_K))
+
+_SQL_VSPAN_CTES = f"""
+  vtoks AS (
+    SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+    FROM documents
+  ),
+  vwins AS (
+    SELECT doc_id, i AS pos,
+           CAST(concat('0x', substr(md5(concat_ws(' ', {_VSPAN_WIN_COLS})), 1, 15)) AS BIGINT) AS h
+    FROM vtoks,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(t) - {VSPAN_K - 1}, 0))) AS i) s
+  ),
+  vhot AS (SELECT h FROM vwins GROUP BY h HAVING COUNT(*) > {SQL_HOT_DF_CUTOFF}),
+  vw AS (SELECT * FROM vwins WHERE h NOT IN (SELECT h FROM vhot)),
+  vmatch AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+    FROM vw a JOIN vw b ON a.h = b.h AND a.doc_id < b.doc_id
+  ),
+  visl AS (
+    SELECT doc_a, doc_b, diag, pa,
+           pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp
+    FROM vmatch
+  ),
+  vspans AS (
+    SELECT doc_a, doc_b, COUNT(*) + {VSPAN_K - 1} AS span_tokens
+    FROM visl GROUP BY doc_a, doc_b, diag, grp
+    HAVING COUNT(*) >= {VSPAN_MIN_RUN}
+  )
+"""
+
+
+@query(
+    "verbatim_span_pairs",
+    f"""
+    WITH {_SQL_VSPAN_CTES}
+    SELECT doc_a, doc_b,
+           COUNT(*) AS n_spans,
+           MAX(span_tokens) AS max_span_tokens,
+           CAST(SUM(span_tokens) AS BIGINT) AS total_span_tokens
+    FROM vspans
+    GROUP BY doc_a, doc_b
+    """,
+    tags=("dedup", "exact-substring", "contamination"),
+    doc=f"ExactSubstr verbatim span detection: per document pair, the "
+    f"maximal runs of >= {VSPAN_K + VSPAN_MIN_RUN - 1} verbatim-identical "
+    f"tokens, via an exact {VSPAN_K}-token-window inverted index (60-bit "
+    "hashed, 8-byte shuffle keys) + per-pair diagonal island merge — "
+    "the distributed equivalent of the suffix-array pass in 'Deduplicating "
+    "Training Data Makes Language Models Better'. Hot-window occurrence "
+    "cap bounds self-join fan-out under boilerplate skew (same "
+    "hot_df_cutoff discipline as the shingle index); island windows are "
+    "keyed by (pair, diagonal), never global.",
+)
+def verbatim_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return verbatim_span_pairs_over(docs, df_cutoff=hot_df_cutoff(corpus_n_docs(spark, sf_dir)))
+
+
+def verbatim_span_pairs_over(
+    docs: DataFrame, df_cutoff: int, k: int = VSPAN_K, min_run: int = VSPAN_MIN_RUN
+) -> DataFrame:
+    """The engine entry point (any corpus, explicit cap)."""
+    from pyspark.sql import Window as W
+
+    wins = verbatim_window_table(docs, k)
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > df_cutoff)
+        .select("h")
+    )
+    # hot set is tiny by definition; anti-join without moving the index
+    w = wins.join(F.broadcast(hot), "h", "left_anti")
+    a, b = w.alias("a"), w.alias("b")
+    matches = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    wisl = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    spans = (
+        matches.withColumn("grp", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("span_tokens"))
+        .filter(F.col("span_tokens") >= k + min_run - 1)
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
+        F.sum("span_tokens").cast("long").alias("total_span_tokens"),
+    )

@@ -1140,7 +1140,36 @@ def test_dedup_cap_bounds_skewed_corpus_at_scale(spark):
     assert wall < 180
 
 
-def test_asof_join_tolerance(spark):
+def test_verbatim_span_pairs_semantics(spark):
+    """ExactSubstr span merge on hand-built rows: a planted 12-token
+    verbatim run shared by two docs must surface as ONE maximal span of
+    exactly 12 tokens (5 consecutive matching 8-token windows on one
+    diagonal); a doc with no 8-token overlap must produce no pair; and
+    a single isolated window match (run_len 1 < MIN_RUN) is filtered."""
+    from porcupine_spark.operators.dedup import (
+        VSPAN_K,
+        verbatim_span_pairs_over,
+    )
+
+    assert VSPAN_K == 8  # the arithmetic below assumes K=8
+    run = " ".join(f"shared{i}" for i in range(12))  # 12-token run
+    one_win = " ".join(f"once{i}" for i in range(8))  # exactly 1 window
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {run} gamma delta"),
+            (2, f"{run} epsilon zeta eta theta"),
+            (3, "totally different words with no overlap at all here"),
+            (4, f"prefix {one_win} suffix0 suffix1"),
+            (5, f"{one_win} other tail words here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.n_spans, r.max_span_tokens, r.total_span_tokens)
+        for r in verbatim_span_pairs_over(docs, df_cutoff=100).collect()
+    }
+    # the 12-token run: windows at 5 consecutive positions, one diagonal
+    assert out == {(1, 2): (1, 12, 12)}
     """merge_asof's tolerance: a directional match farther than the
     tolerance nulls out; within-tolerance matches are unchanged; works
     for nearest too."""
