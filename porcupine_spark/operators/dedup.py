@@ -2183,3 +2183,42 @@ def verbatim_span_pairs_over(
         F.max("span_tokens").cast("long").alias("max_span_tokens"),
         F.sum("span_tokens").cast("long").alias("total_span_tokens"),
     )
+
+
+VSPAN_DROP_TOKENS = 12  # drop a doc sharing a >=12-token verbatim run
+
+
+@query(
+    "verbatim_span_dedup",
+    f"""
+    WITH {_SQL_VSPAN_CTES},
+    vdropped AS (
+      SELECT DISTINCT doc_b FROM vspans WHERE span_tokens >= {VSPAN_DROP_TOKENS}
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM vdropped)
+    """,
+    tags=("dedup", "exact-substring"),
+    doc=f"The ExactSubstr doc-level keep policy: drop every document "
+    f"sharing a verbatim run of >= {VSPAN_DROP_TOKENS} tokens with a "
+    "smaller-id document (keep-first canonical, the span-based twin of "
+    "dedup_keep_canonical's jaccard policy — catches templated/quoted "
+    "copies whose shingle-set jaccard stays low). Same AQE contract as "
+    "the other keep policies: NO broadcast hint on the dropped set — "
+    "it is O(dup_rate * corpus) at real crawl dup rates.",
+)
+def verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dropped = (
+        verbatim_span_pairs_over(
+            docs, df_cutoff=hot_df_cutoff(corpus_n_docs(spark, sf_dir))
+        )
+        .filter(F.col("max_span_tokens") >= VSPAN_DROP_TOKENS)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # Deliberately unhinted (see docstring): dropped ~ dup_rate * |corpus|.
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
