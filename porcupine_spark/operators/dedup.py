@@ -2222,3 +2222,61 @@ def verbatim_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+def intra_doc_repeated_spans(
+    docs: DataFrame,
+    df_cutoff: int,
+    k: int = VSPAN_K,
+    min_run: int = VSPAN_MIN_RUN,
+) -> DataFrame:
+    """Intra-document self-repetition: maximal runs of >= k+min_run-1
+    tokens a document repeats WITHIN itself (window matches at two
+    positions of the same doc, merged along the offset diagonal) — the
+    span-exact upgrade of repetition_ratio's token-level heuristic,
+    catching looped boilerplate and generation-degeneration text a
+    quality gate should drop. Same inverted index as
+    verbatim_span_pairs: the within-doc self-join is keyed by hash,
+    capped by the hot-window cutoff, and islands are keyed by
+    (doc, diagonal) — per-doc cost bounded by the doc's own
+    repeated-window count.
+
+    Engine-level operator (pytest on planted repetition, not a
+    registered query): the synthetic documents table never repeats an
+    8-token window internally, so a registered form would be 0 rows on
+    every test corpus — an oracle match of empty-vs-empty proves
+    nothing. Returns (doc_id, n_repeat_spans, max_span_tokens,
+    total_span_tokens)."""
+    from pyspark.sql import Window as W
+
+    wins = verbatim_window_table(docs, k)
+    hot = (
+        wins.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > df_cutoff)
+        .select("h")
+    )
+    w = wins.join(F.broadcast(hot), "h", "left_anti")
+    a, b = w.alias("a"), w.alias("b")
+    matches = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.pos") < F.col("b.pos")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.pos").alias("pa"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    wisl = W.partitionBy("doc_id", "diag").orderBy("pa")
+    spans = (
+        matches.withColumn("grp", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("doc_id", "diag", "grp")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("span_tokens"))
+        .filter(F.col("span_tokens") >= k + min_run - 1)
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeat_spans"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
+        F.sum("span_tokens").cast("long").alias("total_span_tokens"),
+    )

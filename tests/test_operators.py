@@ -1140,6 +1140,32 @@ def test_dedup_cap_bounds_skewed_corpus_at_scale(spark):
     assert wall < 180
 
 
+def test_intra_doc_repeated_spans_planted(spark):
+    """Self-repetition detector on planted rows: a doc that repeats a
+    10-token block (looped boilerplate) yields one maximal repeated
+    span of 10 tokens on diagonal = block offset; a clean doc yields
+    nothing; a doc repeating only a single 8-token window (run 1 <
+    MIN_RUN) is filtered."""
+    from porcupine_spark.operators.dedup import intra_doc_repeated_spans
+
+    block = " ".join(f"loop{i}" for i in range(10))
+    one_win = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{block} middle filler {block} tail"),
+            (2, "a perfectly clean document with no internal repeats"),
+            (3, f"{one_win} gap word {one_win} end"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_repeat_spans, r.max_span_tokens, r.total_span_tokens)
+        for r in intra_doc_repeated_spans(docs, df_cutoff=100).collect()
+    }
+    # doc 1: 3 consecutive window matches on one diagonal -> 10 tokens
+    assert out == {1: (1, 10, 10)}
+
+
 def test_verbatim_span_pairs_semantics(spark):
     """ExactSubstr span merge on hand-built rows: a planted 12-token
     verbatim run shared by two docs must surface as ONE maximal span of
