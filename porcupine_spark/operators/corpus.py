@@ -1907,3 +1907,67 @@ def split_source_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chi2").cast("long").alias("chi2_micro"),
         )
     )
+
+
+PACK_WINDOW = 2048  # context-window length in tokens
+
+
+@query(
+    "context_window_packing",
+    f"""
+    WITH lens AS (
+      SELECT source, doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS nt
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, nt,
+             SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM lens
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           CAST((MAX(cum) + {PACK_WINDOW} - 1) // {PACK_WINDOW} AS BIGINT)
+             AS n_windows,
+           CAST(SUM(CASE WHEN (cum - 1) // {PACK_WINDOW}
+                              > (cum - nt) // {PACK_WINDOW}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+           CAST((MAX(cum) + {PACK_WINDOW} - 1) // {PACK_WINDOW} * {PACK_WINDOW}
+                - MAX(cum) AS BIGINT) AS tail_padding_tokens
+    FROM packed
+    GROUP BY source
+    """,
+    tags=("corpus", "curation", "packing"),
+    doc=f"Concat-then-chunk packing accounting — the GPT-style "
+    f"pretraining layout: per source, documents in doc_id order are "
+    f"concatenated and cut into {PACK_WINDOW}-token context windows; "
+    "reports windows needed, documents split across a window boundary "
+    "(whose loss masking / attention resets the trainer must handle) "
+    "and tail padding waste. The prefix sum is keyed by source (the "
+    "shard unit), never global; everything else is one aggregate. "
+    "Exact integers throughout (truncating div on both engines).",
+)
+def context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    wc = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = lens.withColumn("cum", F.sum("nt").over(wc))
+    crosses = (
+        F.expr(f"(cum - 1) div {PACK_WINDOW}")
+        > F.expr(f"(cum - nt) div {PACK_WINDOW}")
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+        F.expr(f"(MAX(cum) + {PACK_WINDOW} - 1) div {PACK_WINDOW}").alias("n_windows"),
+        F.sum(crosses.cast("long")).cast("long").alias("n_boundary_docs"),
+        F.expr(
+            f"(MAX(cum) + {PACK_WINDOW} - 1) div {PACK_WINDOW} * {PACK_WINDOW} - MAX(cum)"
+        ).alias("tail_padding_tokens"),
+    )

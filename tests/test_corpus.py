@@ -84,3 +84,29 @@ def test_vocab_top_tokens_sorted(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert r.n_docs <= r.n_occurrences
+
+
+def test_context_window_packing_semantics(spark):
+    """Concat-then-chunk accounting on hand-built rows: four 1000-token
+    docs in one source pack into ceil(4000/2048)=2 windows; only the
+    third doc (cum 2001..3000) straddles the 2048 boundary; tail
+    padding is 2*2048-4000=96."""
+    import pyspark.sql.functions as F
+
+    from porcupine_spark.operators.corpus import PACK_WINDOW, context_window_packing
+    from porcupine_spark.plans.registry import load_all_plans
+
+    assert PACK_WINDOW == 2048  # the arithmetic below assumes it
+    text = " ".join(f"t{i}" for i in range(1000))
+    docs = spark.createDataFrame(
+        [(i, text, "en", "a", len(text)) for i in range(1, 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # call the inner logic through a temp dir-less path: build directly
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.source: r for r in context_window_packing(spark, d).collect()}
+    r = out["a"]
+    assert (r.n_docs, r.total_tokens, r.n_windows, r.n_boundary_docs,
+            r.tail_padding_tokens) == (4, 4000, 2, 1, 96)
