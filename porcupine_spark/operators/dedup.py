@@ -2147,10 +2147,14 @@ def verbatim_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verbatim_span_pairs_over(docs, df_cutoff=hot_df_cutoff(corpus_n_docs(spark, sf_dir)))
 
 
-def verbatim_span_pairs_over(
+def verbatim_spans_over(
     docs: DataFrame, df_cutoff: int, k: int = VSPAN_K, min_run: int = VSPAN_MIN_RUN
 ) -> DataFrame:
-    """The engine entry point (any corpus, explicit cap)."""
+    """The SPAN-grain engine entry point: (doc_a, doc_b, span_tokens),
+    one row per maximal verbatim run of >= k+min_run-1 tokens — the
+    exact Spark twin of the oracle's ``vspans`` CTE. Pair-level
+    aggregates (verbatim_span_pairs_over) and the contamination audit
+    (split_verbatim_leakage) both derive from this grain."""
     from pyspark.sql import Window as W
 
     wins = verbatim_window_table(docs, k)
@@ -2172,12 +2176,20 @@ def verbatim_span_pairs_over(
         (F.col("a.pos") - F.col("b.pos")).alias("diag"),
     )
     wisl = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    spans = (
+    return (
         matches.withColumn("grp", F.col("pa") - F.row_number().over(wisl))
         .groupBy("doc_a", "doc_b", "diag", "grp")
         .agg((F.count(F.lit(1)) + (k - 1)).alias("span_tokens"))
         .filter(F.col("span_tokens") >= k + min_run - 1)
+        .select("doc_a", "doc_b", "span_tokens")
     )
+
+
+def verbatim_span_pairs_over(
+    docs: DataFrame, df_cutoff: int, k: int = VSPAN_K, min_run: int = VSPAN_MIN_RUN
+) -> DataFrame:
+    """Pair-grain aggregate over verbatim_spans_over."""
+    spans = verbatim_spans_over(docs, df_cutoff, k, min_run)
     return spans.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.max("span_tokens").cast("long").alias("max_span_tokens"),
@@ -2279,4 +2291,80 @@ def intra_doc_repeated_spans(
         F.count(F.lit(1)).cast("long").alias("n_repeat_spans"),
         F.max("span_tokens").cast("long").alias("max_span_tokens"),
         F.sum("span_tokens").cast("long").alias("total_span_tokens"),
+    )
+
+
+@query(
+    "split_verbatim_leakage",
+    f"""
+    WITH {_SQL_VSPAN_CTES},
+    {SQL_SPLIT_CTE},
+    leaks AS (
+      SELECT s.doc_a, s.doc_b, s.span_tokens,
+             spa.split AS split_a, spb.split AS split_b
+      FROM vspans s
+      JOIN sp spa ON spa.doc_id = s.doc_a
+      JOIN sp spb ON spb.doc_id = s.doc_b
+      WHERE spa.split <> spb.split
+        AND s.span_tokens >= {VSPAN_DROP_TOKENS}
+    ),
+    per_eval AS (
+      SELECT CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
+             CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS eval_split,
+             CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_doc,
+             span_tokens
+      FROM leaks
+      WHERE split_a = 'train' OR split_b = 'train'
+    )
+    SELECT eval_split,
+           COUNT(DISTINCT eval_doc) AS n_leaked_docs,
+           COUNT(DISTINCT train_doc) AS n_train_sources,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+           COUNT(*) AS n_leak_spans
+    FROM per_eval
+    GROUP BY eval_split
+    """,
+    tags=("dedup", "exact-substring", "contamination", "eval"),
+    doc=f"Span-level train/eval contamination audit: val/test documents "
+    f"sharing a VERBATIM run of >= {VSPAN_DROP_TOKENS} tokens with any "
+    "train document under the canonical hash split — the exact-"
+    "substring decontamination pass of Lee et al. applied across split "
+    "boundaries, catching the leakage that embedding-level "
+    "cross_split_leakage (cosine) and probe-level "
+    "verbatim_contamination (fixed benchmark strings) both miss: "
+    "literal shared passages between arbitrary train and eval docs. "
+    "Same capped inverted-index + diagonal-island plan as "
+    "verbatim_span_pairs plus two split-table joins (doc_id-keyed); "
+    "reports per eval split: leaked docs, distinct train sources, "
+    "worst span, span count.",
+)
+def split_verbatim_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.corpus import split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    # SPAN grain (one row per maximal run), exactly the oracle's vspans
+    spans = verbatim_spans_over(
+        docs, df_cutoff=hot_df_cutoff(corpus_n_docs(spark, sf_dir))
+    ).filter(F.col("span_tokens") >= VSPAN_DROP_TOKENS)
+    sp = docs.select("doc_id", split_col().alias("split"))
+    spa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    spb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leaks = (
+        spans.join(spa, "doc_a")
+        .join(spb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .filter((F.col("split_a") == "train") | (F.col("split_b") == "train"))
+    )
+    a_is_train = F.col("split_a") == "train"
+    per_eval = leaks.select(
+        F.when(a_is_train, F.col("doc_b")).otherwise(F.col("doc_a")).alias("eval_doc"),
+        F.when(a_is_train, F.col("split_b")).otherwise(F.col("split_a")).alias("eval_split"),
+        F.when(a_is_train, F.col("doc_a")).otherwise(F.col("doc_b")).alias("train_doc"),
+        "span_tokens",
+    )
+    return per_eval.groupBy("eval_split").agg(
+        F.countDistinct("eval_doc").cast("long").alias("n_leaked_docs"),
+        F.countDistinct("train_doc").cast("long").alias("n_train_sources"),
+        F.max("span_tokens").cast("long").alias("max_span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_leak_spans"),
     )
