@@ -462,3 +462,161 @@ _REG2["dedup_keep_best_quality"].oracle = f"""
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT node FROM dropped)
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting / local clustering coefficient (degree orientation)
+
+TRI_MIN_SUPPORT = 2  # an edge = co-purchased in >= 2 distinct orders
+TRI_LCC_SCALE = 1_000_000  # lcc as exact parts-per-million (integer recipe)
+
+
+def triangle_counts(edges: DataFrame, scale: int = TRI_LCC_SCALE) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over an undirected simple graph given as DISTINCT canonical edges
+    ``(u, v)`` with ``u < v``.
+
+    The degree-orientation algorithm (Suri & Vassilvitskii's MR-friendly
+    node-iterator; also Cohen 2009): orient every edge from its lower
+    (degree, id) endpoint to the higher, generate wedges only from each
+    node's OUT-edges, and close them against the oriented edge list.
+    Every triangle is emitted exactly once, at its lowest-rank corner.
+
+    Why this survives 100x: out-degree under this orientation is at most
+    O(sqrt(m)) for ANY graph — a celebrity node with 10^7 neighbors gets
+    almost no out-edges (its neighbors mostly out-rank to it), so the
+    wedge fan-out is bounded by sum C(outdeg, 2) = O(m^1.5) total work,
+    immune to degree skew that would square the hot key in a naive
+    neighbor-join. All joins are plain hash joins on node/edge keys.
+
+    lcc_ppm = floor(2 * triangles * scale / (deg * (deg - 1))) — exact
+    integer truncating division (the repo's cross-engine-exact ratio
+    recipe), 0 for degree < 2.
+    """
+    edges = edges.select("u", "v").localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # reused: rank join + final output
+    )
+    # total orientation order: r = deg * 2^32 + node (ties broken by id;
+    # node ids are < 2^32 here — a string-keyed graph would rank by
+    # (deg, xxhash64(node)) instead, same shape)
+    rk = deg.select(
+        "node", (F.col("deg").cast("long") * F.lit(2**32) + F.col("node")).alias("r")
+    )
+    er = (
+        edges.join(rk.select(F.col("node").alias("u"), F.col("r").alias("ru")), "u")
+        .join(rk.select(F.col("node").alias("v"), F.col("r").alias("rv")), "v")
+        .select(
+            F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("d"),
+            F.greatest("ru", "rv").alias("rd"),
+        )
+        .localCheckpoint(eager=True)  # scanned 3x (two wedge sides + close)
+    )
+    x, y = er.alias("x"), er.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.rd") < F.col("y.rd")))
+        .select(
+            F.col("x.s").alias("tu"), F.col("x.d").alias("tv"), F.col("y.d").alias("tw")
+        )
+    )
+    # close each wedge against the oriented edges: since rank(tv) <
+    # rank(tw), the closing edge — if present — is stored as (tv, tw)
+    tri = wedges.join(
+        er.select(F.col("s").alias("tv"), F.col("d").alias("tw")), ["tv", "tw"], "left_semi"
+    )
+    corners = (
+        tri.select(F.col("tu").alias("node"))
+        .unionByName(tri.select(F.col("tv").alias("node")))
+        .unionByName(tri.select(F.col("tw").alias("node")))
+    )
+    tc = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    out = deg.join(tc, "node", "left").select(
+        "node",
+        F.col("deg").alias("degree"),
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.expr(
+                f"(2 * coalesce(triangles, 0) * CAST({scale} AS BIGINT))"
+                f" div (deg * (deg - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lcc_ppm"),
+    )
+    return out
+
+
+@query(
+    "triangle_count_parts",
+    f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node
+    ),
+    rk AS (SELECT node, deg * 4294967296 + node AS r FROM deg),
+    er AS (
+      SELECT CASE WHEN ru.r < rv.r THEN e.u ELSE e.v END AS s,
+             CASE WHEN ru.r < rv.r THEN e.v ELSE e.u END AS d,
+             GREATEST(ru.r, rv.r) AS rd
+      FROM e JOIN rk ru ON ru.node = e.u JOIN rk rv ON rv.node = e.v
+    ),
+    tri AS (
+      SELECT x.s AS tu, x.d AS tv, y.d AS tw
+      FROM er x JOIN er y ON y.s = x.s AND x.rd < y.rd
+      WHERE EXISTS (SELECT 1 FROM er z WHERE z.s = x.d AND z.d = y.d)
+    ),
+    corners AS (
+      SELECT tu AS node FROM tri
+      UNION ALL SELECT tv AS node FROM tri
+      UNION ALL SELECT tw AS node FROM tri
+    ),
+    tc AS (SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node)
+    SELECT d.node AS part_key, d.deg AS degree,
+           COALESCE(tc.triangles, 0) AS triangles,
+           CASE WHEN d.deg >= 2 THEN
+             CAST((2 * COALESCE(tc.triangles, 0) * CAST({TRI_LCC_SCALE} AS HUGEINT))
+                  // (CAST(d.deg AS HUGEINT) * (d.deg - 1)) AS BIGINT)
+           ELSE 0 END AS lcc_ppm
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+    """,
+    tags=("graph",),
+    doc="Exact triangle count + local clustering coefficient per part "
+    "over the co-purchase graph (parts co-ordered in >= 2 distinct "
+    "orders). Degree-orientation node-iterator: wedges generated only "
+    "from out-edges under the (deg, id) total order, so total work is "
+    "O(m^1.5) for ANY degree distribution — the skew-immune MapReduce "
+    "triangle algorithm (Suri-Vassilvitskii). Edge derivation fan-out "
+    "is per-basket (C(basket,2)), same bound as basket_pair_lift. "
+    "lcc as exact ppm via truncating integer division.",
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    return triangle_counts(e).withColumnRenamed("node", "part_key")

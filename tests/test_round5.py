@@ -48,3 +48,39 @@ def test_statestore_knob_switches_provider_and_preserves_results(spark, sf_dir):
             "HDFSBackedStateStoreProvider",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts: degree-orientation exactness on planted graphs
+
+
+def test_triangle_counts_planted(spark):
+    """K4 plus a pendant: every corner of K4 sits on C(3,2)=3 triangles,
+    lcc=1.0 for the degree-3 corners; the pendant node has none."""
+    from porcupine_spark.operators.components import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 9)], "u long, v long")
+    out = {r.node: r for r in triangle_counts(edges).collect()}
+    for n in (1, 2, 3):
+        assert out[n].triangles == 3 and out[n].degree == 3
+        assert out[n].lcc_ppm == 1_000_000
+    # node 4 has degree 4 (extra pendant edge): 3 triangles over C(4,2)=6
+    assert out[4].triangles == 3 and out[4].degree == 4
+    assert out[4].lcc_ppm == 500_000
+    assert out[9].triangles == 0 and out[9].lcc_ppm == 0
+
+
+def test_triangle_counts_skew_star(spark):
+    """A star graph (max-skew hub) has ZERO triangles and — the scale
+    property under test — the hub generates no wedge blowup: orientation
+    sends every spoke->hub edge INTO the hub (spokes have lower degree),
+    so the hub's out-degree is 0 and the wedge join emits nothing."""
+    from porcupine_spark.operators.components import triangle_counts
+
+    star = [(i, 100) for i in range(1, 40)]
+    out = triangle_counts(spark.createDataFrame(star, "u long, v long"))
+    rows = out.collect()
+    assert all(r.triangles == 0 for r in rows)
+    hub = next(r for r in rows if r.node == 100)
+    assert hub.degree == 39 and hub.lcc_ppm == 0
