@@ -292,3 +292,86 @@ def length_decile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decile"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit (query-backed face of functions/zorder.py)
+
+from porcupine_spark.plans.relational import sql_dsum  # noqa: E402
+
+ZO_BITS = 8  # 8 bits per dimension -> 16-bit Morton code
+ZO_TILE_SHIFT = 8  # keep the top 4 bits of each dim -> 16x16 grid of tiles
+
+
+def _sql_morton(x: str, y: str, bits: int = ZO_BITS) -> str:
+    """DuckDB mirror of functions.zorder.z_interleave: explicit
+    shift/and/or chain, bit 2i = x's bit i, bit 2i+1 = y's bit i."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_layout_audit",
+    f"""
+    WITH coded AS (
+      SELECT o_custkey % 256 AS x,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS y,
+             o_totalprice
+      FROM orders
+    ),
+    z AS (
+      SELECT x, y, o_totalprice,
+             ({_sql_morton('x', 'y')}) >> {ZO_TILE_SHIFT} AS tile
+      FROM coded
+    )
+    SELECT tile,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM z GROUP BY tile
+    """,
+    tags=("layout", "zorder", "profiling"),
+    doc="Z-order (Morton) layout audit for the 2-hot-column case "
+    "(customer x order-day): interleave the low 8 bits of each, key "
+    "files by the top 4+4 bits -> 256 tiles. The audit PROVES the "
+    "data-skipping property the write path (functions/zorder.py "
+    "write_zordered) relies on: every tile's min/max span is <= 16 in "
+    "BOTH dimensions, so a predicate on EITHER column prunes ~15/16 "
+    "of the files via parquet footer stats - the Delta OPTIMIZE "
+    "ZORDER / Hudi clustering idea, built from plain codegen'd bit "
+    "arithmetic (no UDF). One shuffle (the 256-key agg); at 100 TB "
+    "the same expression feeds repartitionByRange(z) at write time.",
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions.zorder import z_interleave
+    from porcupine_spark.plans.relational import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    coded = o.select(
+        F.pmod(F.col("o_custkey"), F.lit(256)).alias("x"),
+        F.pmod(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")),
+            F.lit(256),
+        ).alias("y"),
+        "o_totalprice",
+    )
+    z = coded.select(
+        "x",
+        "y",
+        "o_totalprice",
+        F.shiftright(z_interleave(F.col("x"), F.col("y"), bits=ZO_BITS), ZO_TILE_SHIFT).alias(
+            "tile"
+        ),
+    )
+    return z.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )

@@ -84,3 +84,17 @@ def test_triangle_counts_skew_star(spark):
     assert all(r.triangles == 0 for r in rows)
     hub = next(r for r in rows if r.node == 100)
     assert hub.degree == 39 and hub.lcc_ppm == 0
+
+
+def test_zorder_layout_audit_tile_spans(spark):
+    """Every tile's value span is <= 16 in BOTH dimensions — the
+    data-skipping property the write path depends on."""
+    from porcupine_spark.plans.registry import load_all_plans
+
+    out = load_all_plans()["zorder_layout_audit"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.max_x - r.min_x <= 15
+        assert r.max_y - r.min_y <= 15
