@@ -352,3 +352,141 @@ _R["quality_gate_kappa"].oracle = f"""
                AS BIGINT) AS kappa_micro
     FROM cells
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") — exact-integer proxy
+
+DSIR_BUCKETS = 1024  # hashed-feature space (DSIR uses 10k; 1k is plenty here)
+DSIR_TARGET_LANG = "en"  # the "trusted slice" standing in for Wikipedia
+DSIR_SCALE = 1_000_000
+DSIR_KEEP_PPM = 500_000  # keep docs whose tokens lean majority-target
+
+
+def dsir_lean_scores(docs: DataFrame, is_target: F.Column, buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Per-doc DSIR-style importance score as an EXACT integer.
+
+    True DSIR scores log w(doc) = sum_f c_f * (log p_f - log q_f) over
+    hashed n-gram features, with p/q the add-one-smoothed target/raw
+    unigram-bucket distributions, then Gumbel-top-k resamples. Floating
+    logs can't be exact-oracled (engine libm ulp drift), so this op
+    keeps the exact SIGN of every per-feature log-ratio — a token
+    occurrence is target-leaning iff p_f > q_f, decided by integer
+    cross-multiplication (t_f+1)(R+B) > (r_f+1)(T+B) — and scores each
+    doc by its target-leaning token fraction in exact ppm. Same
+    decision boundary family, bit-identical across engines; swap in
+    float log-weights + Gumbel keys for the production resampler.
+
+    Scale shape: one map-side-combined agg to (doc, bucket) counts, a
+    B-row (=1024) broadcast of the bucket distribution table, one agg
+    back to docs. Nothing shuffles raw text; the hashed bucket id is
+    the only wide key. 100 TB counts overflow int64 in the
+    cross-multiplication, so both operands widen to decimal(38,0).
+    """
+    toks = docs.select(
+        "doc_id",
+        is_target.alias("is_t"),
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+    )
+    occ = toks.select(
+        "doc_id",
+        "is_t",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+            % buckets
+        ).alias("b"),
+    )
+    per_doc_bucket = occ.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("c"), F.max("is_t").alias("is_t")
+    )
+    bucket_stats = (
+        occ.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("r"),
+            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t"),
+        )
+    )
+    totals = bucket_stats.agg(
+        F.sum("r").alias("r_tot"), F.sum("t").alias("t_tot")
+    )
+    dist = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            (F.col("t") + 1).cast("decimal(38,0)") * (F.col("r_tot") + buckets)
+            > (F.col("r") + 1).cast("decimal(38,0)") * (F.col("t_tot") + buckets)
+        ).alias("lean"),
+    )
+    scored = (
+        per_doc_bucket.join(F.broadcast(dist), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.when(F.col("lean"), F.col("c")).otherwise(0)).alias("n_lean"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "n_lean",
+        F.expr(f"(n_lean * CAST({DSIR_SCALE} AS BIGINT)) div n_tokens").alias("lean_ppm"),
+        (
+            F.expr(f"(n_lean * CAST({DSIR_SCALE} AS BIGINT)) div n_tokens")
+            >= DSIR_KEEP_PPM
+        ).alias("keep"),
+    )
+
+
+@query(
+    "dsir_proxy_selection",
+    f"""
+    WITH occ AS (
+      SELECT doc_id,
+             (lang = '{DSIR_TARGET_LANG}') AS is_t,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, lang,
+                   UNNEST(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents)
+    ),
+    pdb AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM occ GROUP BY doc_id, b
+    ),
+    bs AS (
+      SELECT b, COUNT(*) AS r,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t
+      FROM occ GROUP BY b
+    ),
+    tot AS (SELECT SUM(r) AS "R", SUM(t) AS "T" FROM bs),
+    dist AS (
+      SELECT b,
+             CAST(t + 1 AS HUGEINT) * ((SELECT "R" FROM tot) + {DSIR_BUCKETS})
+               > CAST(r + 1 AS HUGEINT) * ((SELECT "T" FROM tot) + {DSIR_BUCKETS})
+               AS lean
+      FROM bs
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(p.c) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN d.lean THEN p.c ELSE 0 END) AS BIGINT) AS n_lean
+      FROM pdb p JOIN dist d USING (b)
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_tokens, n_lean,
+           (n_lean * {DSIR_SCALE}) // n_tokens AS lean_ppm,
+           (n_lean * {DSIR_SCALE}) // n_tokens >= {DSIR_KEEP_PPM} AS keep
+    FROM scored
+    """,
+    tags=("curation", "selection", "dsir"),
+    doc=f"DSIR-style data selection (hashed unigram features into "
+    f"{DSIR_BUCKETS} buckets, target slice = lang {DSIR_TARGET_LANG}): "
+    f"per-doc target-leaning token fraction in exact ppm with the "
+    f"per-feature target-vs-raw decision made by integer "
+    f"cross-multiplication of add-one-smoothed distributions - the "
+    f"importance-resampling selection signal with a bit-exact oracle. "
+    f"Bucket distribution table is {DSIR_BUCKETS} rows broadcast; "
+    f"token counts combine map-side; decimal(38,0) widening keeps the "
+    f"cross-multiplication exact at 100 TB token counts.",
+)
+def dsir_proxy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_lean_scores(docs, F.col("lang") == DSIR_TARGET_LANG)
