@@ -620,3 +620,174 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return triangle_counts(e).withColumnRenamed("node", "part_key")
+
+
+# ---------------------------------------------------------------------------
+# k-core peel (onion decomposition, fixed rounds)
+
+KCORE_K = 3
+KCORE_ROUNDS = 6  # fixed on BOTH engines — the op is "R-round k-peel"
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Fixed-round k-core peeling of an undirected simple graph given
+    as distinct canonical edges ``(u, v)``: round i removes every node
+    whose degree in the surviving subgraph is < k. Returns one row per
+    node: ``(node, removed_round, in_core)`` with removed_round = 0
+    for survivors.
+
+    The classic graph-curation primitive (web-spam farms and
+    link-rings dissolve under peeling; the k-core is the "load-bearing"
+    subgraph). A full coreness fixpoint has data-dependent round count
+    — unbounded rounds can't be exact-oracled — so like pagerank the
+    op fixes the round budget on both engines; tests assert the peel
+    CONVERGES well inside the budget on real inputs (a converged
+    R-round peel IS the true k-core).
+
+    Scale: each round is one degree agg + one semi-join filter over
+    the surviving edges, lineage truncated per round; survivors shrink
+    monotonically so rounds get cheaper, and the driver sees no data
+    at all (no convergence scalar needed — the budget is fixed).
+    """
+    edges = edges.select("u", "v").localCheckpoint(eager=True)
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    removed = all_nodes.select("node", F.lit(None).cast("int").alias("removed_round")).where(
+        F.lit(False)
+    )  # empty (node, removed_round) accumulator
+    live_edges = edges
+    for rnd in range(1, rounds + 1):
+        deg = (
+            live_edges.select(F.col("u").alias("node"))
+            .unionByName(live_edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # nodes that DISAPPEARED from live_edges entirely (degree 0) were
+        # already removed in an earlier round alongside their last edge —
+        # they are in `removed`; this round's casualties have 1 <= deg < k
+        victims = deg.where(F.col("deg") < k).select(
+            "node", F.lit(rnd).cast("int").alias("removed_round")
+        )
+        removed = removed.unionByName(victims).localCheckpoint(eager=True)
+        live_edges = (
+            live_edges.join(
+                victims.select(F.col("node").alias("u")), "u", "left_anti"
+            )
+            .join(victims.select(F.col("node").alias("v")), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    # isolated-by-peeling nodes: removed when their last neighbor went —
+    # they never show a degree row again. Assign them the round AFTER
+    # their absence began? No: they had deg >= 1 while any edge remained,
+    # so every node either appears in `removed` or survives with deg >= k
+    # ... except a node whose LAST live edge died because the OTHER
+    # endpoint was removed: it keeps deg 0 silently. Sweep them up as
+    # removed in the final round's accounting (round = rounds, matching
+    # the oracle's identical sweep).
+    survivors = (
+        live_edges.select(F.col("u").alias("node"))
+        .unionByName(live_edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(removed, "node", "left")
+        .join(survivors.withColumn("_s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.coalesce(
+                "removed_round",
+                F.when(F.col("_s").isNull(), F.lit(KCORE_ROUNDS)).otherwise(F.lit(0)),
+            )
+            .cast("int")
+            .alias("removed_round"),
+        )
+        .withColumn("in_core", F.col("removed_round") == 0)
+    )
+
+
+def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled-CTE mirror of kcore_peel (same fixed round budget)."""
+    ctes = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        f"""e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SUPPORT})""",
+        "alln AS (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0)",
+    ]
+    removed_union = []
+    for r in range(1, rounds + 1):
+        prev = f"e{r - 1}"
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM {prev} UNION ALL SELECT v AS node FROM {prev})
+      GROUP BY node)"""
+        )
+        ctes.append(f"v{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg < {k})")
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+      SELECT u, v FROM {prev}
+      WHERE u NOT IN (SELECT node FROM v{r})
+        AND v NOT IN (SELECT node FROM v{r}))"""
+        )
+        removed_union.append(f"SELECT node, {r} AS removed_round FROM v{r}")
+    ctes.append("removed AS (" + " UNION ALL ".join(removed_union) + ")")
+    ctes.append(
+        f"""surv AS (
+      SELECT u AS node FROM e{rounds} UNION SELECT v AS node FROM e{rounds})"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT a.node AS part_key,
+           CAST(COALESCE(r.removed_round,
+                CASE WHEN s.node IS NULL THEN {rounds} ELSE 0 END) AS INT)
+             AS removed_round,
+           COALESCE(r.removed_round,
+                CASE WHEN s.node IS NULL THEN {rounds} ELSE 0 END) = 0 AS in_core
+    FROM alln a
+    LEFT JOIN removed r ON r.node = a.node
+    LEFT JOIN surv s ON s.node = a.node"""
+    )
+
+
+@query(
+    "kcore_peel_parts",
+    None,  # assigned below (unrolled-iteration SQL)
+    tags=("graph", "iterative"),
+    doc=f"{KCORE_ROUNDS}-round {KCORE_K}-core peel of the part "
+    f"co-purchase graph (same edge base as triangle_count_parts): "
+    f"onion-layer decomposition — removed_round is the peel layer, "
+    f"survivors are the {KCORE_K}-core. Fixed round budget on both "
+    f"engines makes an ITERATIVE fixpoint exact-hash-oracled (the "
+    f"pagerank recipe); tests assert convergence inside the budget so "
+    f"the result IS the true k-core on real inputs. Per round: one "
+    f"degree agg + two anti-join filters on the shrinking edge set, "
+    f"lineage truncated per round.",
+)
+def kcore_peel_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    return kcore_peel(e).withColumnRenamed("node", "part_key")
+
+
+_REG2["kcore_peel_parts"].oracle = _kcore_oracle_sql()
