@@ -167,3 +167,18 @@ def test_kcore_peel_converges_within_budget(spark):
     assert {t for t in base if 0 < t[1] < KCORE_ROUNDS} == {
         t for t in more if 0 < t[1] < KCORE_ROUNDS
     }
+
+
+def test_jl_distortion_concentrates(spark):
+    """JL with m=16 keeps squared-distance ratios within a constant
+    band of 1 (std ~ sqrt(2/m) ~ 0.35) — the audit's reason to exist."""
+    from porcupine_spark.plans.registry import load_all_plans
+
+    rows = load_all_plans()["jl_distortion_audit"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) >= 10
+    ppm = [r.distortion_ppm for r in rows]
+    assert all(100_000 < p < 4_000_000 for p in ppm)
+    mean = sum(ppm) / len(ppm)
+    assert 600_000 < mean < 1_600_000
