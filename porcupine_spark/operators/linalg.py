@@ -318,7 +318,7 @@ def embedding_dim_scaling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JL_M = 16  # projected dimensionality (from d=64)
 JL_DIMS = 64
-JL_PAIR_MOD = 40  # md5-keyed id sample -> ~C(n/40, 2) audited pairs
+JL_PROBES = 48  # fixed probe-set size -> <= C(48,2) audited pairs at ANY corpus size
 JL_SCALE = 1_000_000
 
 
@@ -344,120 +344,122 @@ def _jl_signs(m: int = JL_M, d: int = JL_DIMS) -> list[list[int]]:
     doc=f"Johnson-Lindenstrauss distortion audit: project d={JL_DIMS} "
     f"embeddings to m={JL_M} dims with a deterministic +/-1 sign "
     f"matrix (the Achlioptas database-friendly JL construction) and "
-    f"measure, on an md5-sampled pair set, the squared-distance ratio "
+    f"measure, on a fixed {JL_PROBES}-probe pair set (the ids with "
+    f"the smallest md5 keys — CONSTANT size at any corpus scale, like "
+    f"cosine_topk's bounded query set), the squared-distance ratio "
     f"proj/(m*orig) in exact ppm — the certificate that the cheap "
-    f"16-dim sketch preserves geometry before it replaces the 64-dim "
-    f"column in first-pass ANN/dedup at 100 TB (4x less shuffle per "
-    f"vector). Float discipline: every per-element product quantizes "
-    f"to DECIMAL(38,12) before the order-independent decimal sum "
-    f"(the engine's exact-dot recipe); the distortion ratio is one "
-    f"truncating integer division at the end. The sign matrix is a "
-    f"{JL_M}x{JL_DIMS} literal in BOTH plans — no RNG, no state.",
+    f"{JL_M}-dim sketch preserves geometry before it replaces the "
+    f"{JL_DIMS}-dim column in first-pass ANN/dedup at 100 TB (4x "
+    f"less shuffle per vector). Exactness: elements truncate to "
+    f"int64 micro units (the anisotropy probe's recipe — TRUNC and "
+    f"a long cast agree on both engines), so projections, squared "
+    f"distances and the final truncating-division ppm are ALL "
+    f"integer arithmetic; squared projected sums widen to "
+    f"decimal(38,0) (16 x (1e9)^2 exceeds int64). No decimal "
+    f"rescaling anywhere — Spark rounds HALF_UP where DuckDB "
+    f"truncates on decimal scale-down, so cross-engine-exact code "
+    f"must never change a decimal's scale.",
 )
 def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.tables import load_table
 
     signs = _jl_signs()
     emb = load_table(spark, sf_dir, "embeddings")
-    sampled = emb.filter(
+    h = (
         F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long")
-        % JL_PAIR_MOD
-        == 0
+        .alias("_h")
     )
-    # projected vector: m exact-decimal sums of +/- x_i (sign flip is
-    # exact in IEEE; the DECIMAL(38,12) quantization then matches the
-    # oracle bit for bit)
+    # micro-unit elements: trunc(x * 1e6) as int64 (exact cross-engine)
+    xu = F.transform(
+        F.col("embedding"), lambda x: (x.cast("double") * 1e6).cast("long")
+    ).alias("_xu")
+    # deterministic bounded probe set: the JL_PROBES smallest hash keys
+    # (TakeOrderedAndProject — no global sort materializes)
+    sampled = emb.select("vec_id", xu, h).orderBy("_h", "vec_id").limit(JL_PROBES)
+    # projected coordinates: signed int64 sums of micro elements
     proj_cols = [
-        F.aggregate(
-            F.array(
-                *[
-                    (F.element_at("embedding", i + 1).cast("double") * signs[j][i]).cast(
-                        "decimal(30,12)"
-                    )
-                    for i in range(JL_DIMS)
-                ]
-            ),
-            F.lit(0).cast("decimal(30,12)"),
-            lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        F.expr(
+            "("
+            + " + ".join(
+                f"({signs[j][i]}) * element_at(_xu, {i + 1})" for i in range(JL_DIMS)
+            )
+            + ")"
         ).alias(f"y{j}")
         for j in range(JL_M)
     ]
-    p = sampled.select("vec_id", "embedding", *proj_cols)
+    p = sampled.select("vec_id", "_xu", *proj_cols)
     a = p.alias("a")
     b = p.alias("b")
     pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    # original squared distance: quantize each (xa-xb)^2 double product
+    # original squared distance in micro^2 units: 64 x (1.6e7)^2 < 2^63
     d2_orig = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: (
-                (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
-            ).cast("decimal(30,12)"),
-        ),
-        F.lit(0).cast("decimal(30,12)"),
-        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+        F.zip_with(F.col("a._xu"), F.col("b._xu"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    # projected squared distance: 16 x (1e9)^2 overflows int64 -> decimal(38,0)
     d2_proj = None
     for j in range(JL_M):
-        diff = F.col(f"a.y{j}") - F.col(f"b.y{j}")
-        term = (diff.cast("double") * diff.cast("double")).cast("decimal(30,12)")
-        d2_proj = term if d2_proj is None else (d2_proj + term).cast("decimal(30,12)")
+        term = F.expr(
+            f"CAST(a.y{j} - b.y{j} AS DECIMAL(38,0)) * CAST(a.y{j} - b.y{j} AS DECIMAL(38,0))"
+        )
+        d2_proj = term if d2_proj is None else (d2_proj + term)
     out = pairs.select(
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
         d2_orig.alias("_o"),
-        d2_proj.cast("decimal(30,12)").alias("_p"),
+        d2_proj.cast("decimal(38,0)").alias("_p"),
     )
     return out.select(
         "vec_a",
         "vec_b",
-        F.col("_o").cast("double").alias("orig_dist2"),
-        F.col("_p").cast("double").alias("proj_dist2"),
+        (F.col("_o").cast("double") / F.lit(1e12)).alias("orig_dist2"),
+        (F.col("_p").cast("double") / F.lit(1e12)).alias("proj_dist2"),
         F.expr(
-            f"CAST((CAST(_p * 1000000000000 AS DECIMAL(38,0)) * {JL_SCALE})"
-            f" div (CAST(_o * 1000000000000 AS DECIMAL(38,0)) * {JL_M}) AS BIGINT)"
+            f"CASE WHEN _o = 0 THEN NULL ELSE "
+            f"CAST((_p * CAST({JL_SCALE} AS DECIMAL(38,0)))"
+            f" div (CAST({JL_M} AS DECIMAL(38,0)) * CAST(_o AS DECIMAL(38,0)))"
+            f" AS BIGINT) END"
         ).alias("distortion_ppm"),
     )
 
 
 def _jl_oracle_sql() -> str:
     signs = _jl_signs()
-    proj_exprs = []
-    for j in range(JL_M):
-        terms = ", ".join(
-            f"CAST(CAST(embedding[{i + 1}] AS DOUBLE) * ({signs[j][i]}) AS DECIMAL(38,12))"
-            for i in range(JL_DIMS)
-        )
-        proj_exprs.append(f"list_sum([{terms}]) AS y{j}")
+    proj_exprs = [
+        "(" + " + ".join(f"({signs[j][i]}) * xu[{i + 1}]" for i in range(JL_DIMS)) + f") AS y{j}"
+        for j in range(JL_M)
+    ]
     proj_diff = " + ".join(
-        f"CAST(CAST(a.y{j} - b.y{j} AS DOUBLE) * CAST(a.y{j} - b.y{j} AS DOUBLE)"
-        f" AS DECIMAL(38,12))"
+        f"CAST(a.y{j} - b.y{j} AS HUGEINT) * CAST(a.y{j} - b.y{j} AS HUGEINT)"
         for j in range(JL_M)
     )
     return f"""
     WITH s AS MATERIALIZED (
-      SELECT vec_id, embedding, {", ".join(proj_exprs)}
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(TRUNC(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS xu
       FROM embeddings
-      WHERE CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
-            % {JL_PAIR_MOD} = 0
+      QUALIFY row_number() OVER (
+        ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 vec_id) <= {JL_PROBES}
+    ),
+    sy AS MATERIALIZED (
+      SELECT vec_id, xu, {", ".join(proj_exprs)} FROM s
     ),
     pr AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-               p -> CAST((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-                         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
-                         AS DECIMAL(38,12)))) AS o,
-             CAST({proj_diff} AS DECIMAL(38,12)) AS p
-      FROM s a JOIN s b ON a.vec_id < b.vec_id
+             CAST(list_sum(list_transform(list_zip(a.xu, b.xu),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS HUGEINT) AS o,
+             ({proj_diff}) AS p
+      FROM sy a JOIN sy b ON a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b,
-           CAST(o AS DOUBLE) AS orig_dist2,
-           CAST(p AS DOUBLE) AS proj_dist2,
-           CAST((CAST(p * 1000000000000 AS HUGEINT) * {JL_SCALE})
-                // (CAST(o * 1000000000000 AS HUGEINT) * {JL_M}) AS BIGINT)
-             AS distortion_ppm
+           CAST(o AS DOUBLE) / 1e12 AS orig_dist2,
+           CAST(p AS DOUBLE) / 1e12 AS proj_dist2,
+           CASE WHEN o = 0 THEN NULL ELSE
+             CAST((p * {JL_SCALE}) // ({JL_M} * o) AS BIGINT) END AS distortion_ppm
     FROM pr
     """
 
