@@ -223,7 +223,10 @@ def main() -> int:
         "(12) verbatim_contamination's 10-row benchmark-probe broadcast",
         "(contains() predicate over a bounded eval set) and",
         "length_variance_decomposition's and quality_gate_kappa's 1-row",
-        "census broadcasts.",
+        "census broadcasts;",
+        "(13) dsir_proxy_selection's 1-row token-census broadcast (target/",
+        "raw totals) and jl_distortion_audit's pair join over the fixed",
+        "48-probe set (CONSTANT size at any corpus scale).",
         "Any other N is a regression.",
         "W = a WINDOW with no PARTITION BY (single-task 'WindowExec: No",
         "Partition Defined') — acceptable ONLY over tables bounded by",
