@@ -285,3 +285,117 @@ def stream_segment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["stream_segment_gate"].oracle = _REG["segment_dup_fraction"].oracle
+
+
+@query(
+    "stream_dsir_gate",
+    None,  # late-bound below: composes dsir_proxy_selection's oracle
+    tags=("streaming", "curation", "dsir", "selection"),
+    doc="Streaming twin of the DSIR selection gate "
+    "(dsir_proxy_selection): arriving documents are scored against "
+    "the batch-built 1024-bucket lean index, embedded as a LITERAL "
+    "boolean array in the streaming plan (1 KiB — the broadcast-index "
+    "topology of stream_segment_gate, shrunk to a constant because "
+    "the DSIR feature space is hashed to a FIXED width; production "
+    "refreshes it per ingest cycle). Per row everything is JVM array "
+    "expressions — tokenize, hash-bucket, count lean tokens — so the "
+    "gate has ZERO streaming state besides the |sources|-key rollup; "
+    "an unbounded crawl costs one scan. Same semantics wrinkle as "
+    "stream_segment_gate, inherited honestly: the index here is "
+    "built FROM the stream's own corpus so stream == batch exactly; "
+    "production scores today's crawl against yesterday's index. "
+    "Oracle = dsir_proxy_selection's, rolled up per source.",
+)
+def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_KEEP_PPM,
+        DSIR_SCALE,
+        DSIR_TARGET_LANG,
+    )
+    from porcupine_spark.tables import load_docs_stream
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    # batch phase: the 1024-bucket lean index (reuses the exact batch
+    # scorer's distribution logic via its public output: score every
+    # bucket's lean bit by probing one synthetic doc per bucket would
+    # drift — instead recompute the distribution table the same way)
+    docs = load_table(ns, sf_dir, "documents")
+    is_t = F.col("lang") == DSIR_TARGET_LANG
+    toks = docs.select(
+        is_t.alias("is_t"),
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+        ).alias("tok"),
+    )
+    occ = toks.select(
+        "is_t",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    bucket_stats = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t"),
+    )
+    totals = bucket_stats.agg(F.sum("r").alias("r_tot"), F.sum("t").alias("t_tot"))
+    dist = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            (F.col("t") + 1).cast("decimal(38,0)") * (F.col("r_tot") + DSIR_BUCKETS)
+            > (F.col("r") + 1).cast("decimal(38,0)") * (F.col("t_tot") + DSIR_BUCKETS)
+        ).alias("lean"),
+    )
+    # the whole feature space is DSIR_BUCKETS bools — collect once and
+    # embed as a literal array (the documented driver-side boundary:
+    # constant-width index, independent of corpus size)
+    lean = [False] * DSIR_BUCKETS
+    for row in dist.collect():
+        lean[row.b] = bool(row.lean)
+    lean_lit = F.array(*[F.lit(x) for x in lean])
+
+    stream = load_docs_stream(ns, sf_dir)
+    toks_col = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % DSIR_BUCKETS
+    )
+    scored = stream.select(
+        "source",
+        F.size(toks_col).alias("n_tokens"),
+        F.size(
+            F.filter(toks_col, lambda t: F.element_at(lean_lit, (bucket(t) + 1).cast("int")))
+        ).alias("n_lean"),
+    ).select(
+        "source",
+        (
+            F.expr(f"(n_lean * CAST({DSIR_SCALE} AS BIGINT)) div n_tokens")
+            >= DSIR_KEEP_PPM
+        ).cast("long").alias("keep"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("keep").alias("n_keep")
+    )
+    name = f"sdgate_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ns.table(name).select("source", "n_docs", "n_keep")
+
+
+def _late_bind_dsir_gate() -> None:
+    from porcupine_spark.operators import curation as _cur  # noqa: F401  (registers dsir_proxy_selection)
+
+    _REG["stream_dsir_gate"].oracle = f"""
+    WITH s AS ({_REG["dsir_proxy_selection"].oracle})
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM s JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+_late_bind_dsir_gate()
