@@ -501,11 +501,23 @@ def triangle_counts(edges: DataFrame, scale: int = TRI_LCC_SCALE) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=True)  # reused: rank join + final output
     )
-    # total orientation order: r = deg * 2^32 + node (ties broken by id;
-    # node ids are < 2^32 here — a string-keyed graph would rank by
-    # (deg, xxhash64(node)) instead, same shape)
+    # total orientation order: r = deg * 2^32 + node (ties broken by id).
+    # The packing requires node ids < 2^32 — an id past that would bleed
+    # into the degree field and SILENTLY mis-orient edges, so violations
+    # fail loudly instead (a string-keyed graph would rank by
+    # (deg, xxhash64(node)) instead, same shape).
+    guarded_node = F.when(
+        (F.col("node") >= 0) & (F.col("node") < F.lit(2**32)), F.col("node")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("triangle orientation rank requires 0 <= node id < 2^32, got "),
+                F.col("node").cast("string"),
+            )
+        )
+    )
     rk = deg.select(
-        "node", (F.col("deg").cast("long") * F.lit(2**32) + F.col("node")).alias("r")
+        "node", (F.col("deg").cast("long") * F.lit(2**32) + guarded_node).alias("r")
     )
     er = (
         edges.join(rk.select(F.col("node").alias("u"), F.col("r").alias("ru")), "u")
@@ -542,8 +554,10 @@ def triangle_counts(edges: DataFrame, scale: int = TRI_LCC_SCALE) -> DataFrame:
         F.when(
             F.col("deg") >= 2,
             F.expr(
-                f"(2 * coalesce(triangles, 0) * CAST({scale} AS BIGINT))"
-                f" div (deg * (deg - 1))"
+                # decimal(38,0) numerator: matches the oracle's HUGEINT
+                # widening — int64 would overflow past ~4.6e12 triangles
+                f"(CAST(2 AS DECIMAL(38,0)) * coalesce(triangles, 0)"
+                f" * CAST({scale} AS BIGINT)) div (deg * (deg - 1))"
             ),
         )
         .otherwise(F.lit(0))
@@ -702,7 +716,7 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -
             "node",
             F.coalesce(
                 "removed_round",
-                F.when(F.col("_s").isNull(), F.lit(KCORE_ROUNDS)).otherwise(F.lit(0)),
+                F.when(F.col("_s").isNull(), F.lit(rounds)).otherwise(F.lit(0)),
             )
             .cast("int")
             .alias("removed_round"),

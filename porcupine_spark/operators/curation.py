@@ -364,6 +364,41 @@ DSIR_SCALE = 1_000_000
 DSIR_KEEP_PPM = 500_000  # keep docs whose tokens lean majority-target
 
 
+def dsir_bucket(tok: F.Column, buckets: int = DSIR_BUCKETS) -> F.Column:
+    """Hashed-feature bucket id: 60-bit md5 prefix mod `buckets`.
+
+    The SINGLE definition of the DSIR feature hash — shared by the batch
+    scorer below and the streaming gate (streaming/enrich.py
+    stream_dsir_gate), and byte-identical to the oracle's
+    ``CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % buckets``.
+    Exactness across the batch op, the stream twin, and DuckDB depends on
+    this staying the one copy.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % buckets
+
+
+def dsir_lean_index(occ: DataFrame, buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(b, lean) sign table from token occurrences ``occ(is_t, b)``.
+
+    lean = add-one-smoothed p_target(b) > p_raw(b), decided by exact
+    integer cross-multiplication (t+1)(R+B) > (r+1)(T+B) in decimal(38,0)
+    so 100 TB token counts cannot overflow. One copy, shared by
+    dsir_lean_scores and the streaming gate's index build.
+    """
+    bucket_stats = occ.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t"),
+    )
+    totals = bucket_stats.agg(F.sum("r").alias("r_tot"), F.sum("t").alias("t_tot"))
+    return bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            (F.col("t") + 1).cast("decimal(38,0)") * (F.col("r_tot") + buckets)
+            > (F.col("r") + 1).cast("decimal(38,0)") * (F.col("t_tot") + buckets)
+        ).alias("lean"),
+    )
+
+
 def dsir_lean_scores(docs: DataFrame, is_target: F.Column, buckets: int = DSIR_BUCKETS) -> DataFrame:
     """Per-doc DSIR-style importance score as an EXACT integer.
 
@@ -392,31 +427,12 @@ def dsir_lean_scores(docs: DataFrame, is_target: F.Column, buckets: int = DSIR_B
     occ = toks.select(
         "doc_id",
         "is_t",
-        (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-            % buckets
-        ).alias("b"),
+        dsir_bucket(F.col("tok"), buckets).alias("b"),
     )
     per_doc_bucket = occ.groupBy("doc_id", "b").agg(
         F.count(F.lit(1)).alias("c"), F.max("is_t").alias("is_t")
     )
-    bucket_stats = (
-        occ.groupBy("b")
-        .agg(
-            F.count(F.lit(1)).alias("r"),
-            F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t"),
-        )
-    )
-    totals = bucket_stats.agg(
-        F.sum("r").alias("r_tot"), F.sum("t").alias("t_tot")
-    )
-    dist = bucket_stats.crossJoin(F.broadcast(totals)).select(
-        "b",
-        (
-            (F.col("t") + 1).cast("decimal(38,0)") * (F.col("r_tot") + buckets)
-            > (F.col("r") + 1).cast("decimal(38,0)") * (F.col("t_tot") + buckets)
-        ).alias("lean"),
-    )
+    dist = dsir_lean_index(occ.select("is_t", "b"), buckets)
     scored = (
         per_doc_bucket.join(F.broadcast(dist), "b")
         .groupBy("doc_id")

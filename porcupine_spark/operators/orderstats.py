@@ -372,6 +372,7 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice")).alias("revenue"),
         F.min("x").alias("min_x"),
         F.max("x").alias("max_x"),
-        F.min("y").alias("min_y"),
-        F.max("y").alias("max_y"),
+        # datediff yields int32 — widen to long to match the oracle's BIGINT
+        F.min("y").cast("long").alias("min_y"),
+        F.max("y").cast("long").alias("max_y"),
     )

@@ -312,42 +312,25 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         DSIR_KEEP_PPM,
         DSIR_SCALE,
         DSIR_TARGET_LANG,
+        _norm,
+        dsir_bucket,
+        dsir_lean_index,
     )
     from porcupine_spark.tables import load_docs_stream
 
     ns = spark.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
-    # batch phase: the 1024-bucket lean index (reuses the exact batch
-    # scorer's distribution logic via its public output: score every
-    # bucket's lean bit by probing one synthetic doc per bucket would
-    # drift — instead recompute the distribution table the same way)
+    # batch phase: the 1024-bucket lean index — built through the SAME
+    # shared helpers the batch scorer uses (curation._norm / dsir_bucket /
+    # dsir_lean_index), so the gate cannot drift from dsir_proxy_selection
+    # or the oracle by a stale expression copy
     docs = load_table(ns, sf_dir, "documents")
     is_t = F.col("lang") == DSIR_TARGET_LANG
-    toks = docs.select(
+    occ = docs.select(
         is_t.alias("is_t"),
-        F.explode(
-            F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
-        ).alias("tok"),
-    )
-    occ = toks.select(
-        "is_t",
-        (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-            % DSIR_BUCKETS
-        ).alias("b"),
-    )
-    bucket_stats = occ.groupBy("b").agg(
-        F.count(F.lit(1)).alias("r"),
-        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t"),
-    )
-    totals = bucket_stats.agg(F.sum("r").alias("r_tot"), F.sum("t").alias("t_tot"))
-    dist = bucket_stats.crossJoin(F.broadcast(totals)).select(
-        "b",
-        (
-            (F.col("t") + 1).cast("decimal(38,0)") * (F.col("r_tot") + DSIR_BUCKETS)
-            > (F.col("r") + 1).cast("decimal(38,0)") * (F.col("t_tot") + DSIR_BUCKETS)
-        ).alias("lean"),
-    )
+        F.explode(F.split(_norm(F.col("text")), " ")).alias("tok"),
+    ).select("is_t", dsir_bucket(F.col("tok"), DSIR_BUCKETS).alias("b"))
+    dist = dsir_lean_index(occ, DSIR_BUCKETS)
     # the whole feature space is DSIR_BUCKETS bools — collect once and
     # embed as a literal array (the documented driver-side boundary:
     # constant-width index, independent of corpus size)
@@ -357,10 +340,8 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lean_lit = F.array(*[F.lit(x) for x in lean])
 
     stream = load_docs_stream(ns, sf_dir)
-    toks_col = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
-    bucket = lambda t: (  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % DSIR_BUCKETS
-    )
+    toks_col = F.split(_norm(F.col("text")), " ")
+    bucket = lambda t: dsir_bucket(t, DSIR_BUCKETS)  # noqa: E731
     scored = stream.select(
         "source",
         F.size(toks_col).alias("n_tokens"),
