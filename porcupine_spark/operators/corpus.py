@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from porcupine_spark.functions.topk import ranked_topk
 from porcupine_spark.operators.text import tokens
 from porcupine_spark.plans.registry import query
 from porcupine_spark.tables import load_table
@@ -513,10 +514,13 @@ COVERAGE_KS = (10, 50, 100, 500)
     tags=("corpus", "curation"),
     doc="Tokenizer-budget planning: corpus token coverage of the top-K "
     "vocabulary for K in (10, 50, 100, 500) — the curve that decides "
-    "vocab size / OOV budget before training a tokenizer. One token "
-    "count shuffle (map-side combined), then every window/join runs on "
-    "the VOCAB-sized table (thousands of rows at any corpus size, the "
-    "same bounded-aggregate discipline as daily_new_users_cumulative).",
+    "vocab size / OOV budget before training a tokenizer. The raw "
+    "token vocab is NOT bounded (Heaps' law: billions of distinct "
+    "tokens at web scale — typos, URLs, numbers), so the plan never "
+    "ranks it globally: one token-count shuffle (map-side combined), "
+    "a TakeOrderedAndProject top-max(K) (per-partition heaps, only "
+    "500 rows merge), a separate 1-row grand-total aggregate, then "
+    "ranks + the per-K rollup over the <= 500 survivors.",
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -524,22 +528,23 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # scanned twice: top-k + grand total
     )
-    w_order = W.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = counts.select(
-        "n",
-        F.row_number().over(w_order).alias("rk"),
-        F.sum("n").over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_n"),
-        F.sum("n").over(W.partitionBy()).alias("total_n"),
-    )
+    top = ranked_topk(counts, "n", ["tok"], max(COVERAGE_KS))
+    total = counts.agg(F.sum("n").cast("long").alias("total_n"))
     ks = spark.createDataFrame([(k,) for k in COVERAGE_KS], "k long")
     return (
-        ranked.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
+        top.join(F.broadcast(ks), F.col("rk") <= F.col("k"))
         .groupBy(F.col("k").alias("vocab_size"))
-        .agg(
-            F.max("cum_n").alias("covered_tokens"),
-            F.max("total_n").alias("total_tokens"),
-            (F.max("cum_n").cast("double") / F.max("total_n")).alias("coverage"),
+        .agg(F.sum("n").cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            F.col("total_n").alias("total_tokens"),
+            (F.col("covered_tokens").cast("double") / F.col("total_n")).alias(
+                "coverage"
+            ),
         )
     )
 
@@ -932,11 +937,13 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("left_sym", "right_sym").agg(
         F.sum("freq").alias("n_occurrences")
     )
-    w = W.orderBy(F.desc("n_occurrences"), F.asc("left_sym"), F.asc("right_sym"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= BPE_TOP_PAIRS)
-        .select("left_sym", "right_sym", "n_occurrences", "rank")
+    # the observed-pair table is charset^2-bounded, which is NOT small for
+    # multilingual text — top-k via TakeOrderedAndProject, rank over <= k
+    return ranked_topk(
+        counts, "n_occurrences", ["left_sym", "right_sym"], BPE_TOP_PAIRS,
+        rank_col="rank",
+    ).select(
+        "left_sym", "right_sym", "n_occurrences", F.col("rank").cast("long").alias("rank")
     )
 
 
@@ -1652,9 +1659,10 @@ COLLOC_TOPK = 20
     f"magnitude bound: needs n_ab*N_uni^2*1e6 < 1e38, so rescale to "
     f"milli-units past ~1e13 corpus tokens). Shape: one bigram count "
     f"+ one unigram count (both map-side combined), two vocab-sized "
-    f"key joins, 1-row totals broadcast, top-k over the support-"
-    f"filtered survivors - the rank window runs on the >=min-support "
-    f"slice of the bigram table, never the corpus.",
+    f"key joins, 1-row totals broadcast, then TakeOrderedAndProject "
+    f"top-{COLLOC_TOPK} (per-partition heaps - the bigram vocab grows "
+    f"with the corpus, so no global rank window anywhere) with ranks "
+    f"assigned over the <= {COLLOC_TOPK} survivors.",
 )
 def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.functions import word_ngrams
@@ -1697,11 +1705,12 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_micro"),
         )
     )
-    r = scored.withColumn(
-        "rk",
-        F.row_number().over(W.orderBy(F.desc("lift_micro"), F.asc("gram"))).cast("long"),
+    # top-k + rank via TakeOrderedAndProject + bounded posexplode rank —
+    # the support-filtered bigram table still grows with the corpus, so
+    # a partition-less rank window here would single-task the vocab
+    return ranked_topk(scored, "lift_micro", ["gram"], COLLOC_TOPK).withColumn(
+        "rk", F.col("rk").cast("long")
     )
-    return r.filter(F.col("rk") <= COLLOC_TOPK)
 
 
 RRF_K = 60  # the standard RRF dampening constant (Cormack et al. 2009)
@@ -1732,25 +1741,30 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bm25 base already holds exactly the (doc_id, dl, matched)
     # projection the term-density ranking needs
     shared = _bm25_base(docs)
-    a = _bm25_scored(shared).select(
-        "doc_id",
-        F.row_number()
-        .over(W.orderBy(F.desc("score_scaled"), F.asc("doc_id")))
-        .alias("rank_a"),
-    )
+    # all three rankings go through ranked_topk (TakeOrderedAndProject +
+    # bounded posexplode rank): branch b's matched-doc set is corpus-sized
+    # for common terms, so a partition-less rank window there would sort
+    # the whole corpus slice on one task; branches a and the final fusion
+    # rank <= K-row lists, kept window-free for a uniformly clean plan
+    a = ranked_topk(
+        _bm25_scored(shared).select("doc_id", "score_scaled"),
+        "score_scaled",
+        ["doc_id"],
+        BM25_K,
+        rank_col="rank_a",
+    ).select("doc_id", "rank_a")
     base = shared.select(
         "doc_id", "dl", F.size("matched").alias("tf")
     ).filter(F.col("tf") > 0)
-    b = (
+    b = ranked_topk(
         base.select(
             "doc_id", F.expr("CAST(tf AS DECIMAL(38,0)) * 1000000 div dl").alias("s")
-        )
-        .withColumn(
-            "rank_b", F.row_number().over(W.orderBy(F.desc("s"), F.asc("doc_id")))
-        )
-        .filter(F.col("rank_b") <= BM25_K)
-        .select("doc_id", "rank_b")
-    )
+        ),
+        "s",
+        ["doc_id"],
+        BM25_K,
+        rank_col="rank_b",
+    ).select("doc_id", "rank_b")
     fused = (
         a.join(b, "doc_id", "full_outer")
         .select(
@@ -1767,12 +1781,12 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rrf_nano"),
         )
     )
-    return (
-        fused.withColumn(
-            "rk", F.row_number().over(W.orderBy(F.desc("rrf_nano"), F.asc("doc_id")))
-        )
-        .filter(F.col("rk") <= RRF_TOPK)
-        .select("doc_id", "rank_bm25", "rank_density", "rrf_nano", F.col("rk").cast("long").alias("rk"))
+    return ranked_topk(fused, "rrf_nano", ["doc_id"], RRF_TOPK).select(
+        "doc_id",
+        "rank_bm25",
+        "rank_density",
+        "rrf_nano",
+        F.col("rk").cast("long").alias("rk"),
     )
 
 

@@ -2253,12 +2253,13 @@ def intra_doc_repeated_spans(
     (doc, diagonal) — per-doc cost bounded by the doc's own
     repeated-window count.
 
-    Engine-level operator (pytest on planted repetition, not a
-    registered query): the synthetic documents table never repeats an
-    8-token window internally, so a registered form would be 0 rows on
-    every test corpus — an oracle match of empty-vs-empty proves
-    nothing. Returns (doc_id, n_repeat_spans, max_span_tokens,
-    total_span_tokens)."""
+    The synthetic documents table never repeats an 8-token window
+    internally, so the registered query form (intra_doc_repetition_spans
+    below) derives a deterministic self-repeating corpus first — for
+    doc_id % REP_PLANT_MOD == 0 the text is doubled, identically in
+    Spark and the DuckDB oracle — making the oracle comparison
+    non-trivially non-empty. Returns (doc_id, n_repeat_spans,
+    max_span_tokens, total_span_tokens)."""
     from pyspark.sql import Window as W
 
     wins = verbatim_window_table(docs, k)
@@ -2291,6 +2292,81 @@ def intra_doc_repeated_spans(
         F.count(F.lit(1)).cast("long").alias("n_repeat_spans"),
         F.max("span_tokens").cast("long").alias("max_span_tokens"),
         F.sum("span_tokens").cast("long").alias("total_span_tokens"),
+    )
+
+
+REP_PLANT_MOD = 16  # every 16th doc gets its text doubled (planted repeat)
+
+_IREP_WIN_COLS = ", ".join(f"t[i+{j}]" for j in range(VSPAN_K))
+
+
+@query(
+    "intra_doc_repetition_spans",
+    f"""
+    WITH pdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {REP_PLANT_MOD} = 0
+                  THEN text || ' ' || text ELSE text END AS text
+      FROM documents
+    ),
+    itoks AS (
+      SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM pdocs
+    ),
+    iwins AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substr(md5(concat_ws(' ', {_IREP_WIN_COLS})), 1, 15)) AS BIGINT) AS h
+      FROM itoks,
+           LATERAL (SELECT UNNEST(GENERATE_SERIES(1, GREATEST(len(t) - {VSPAN_K - 1}, 0))) AS i) s
+    ),
+    ihot AS (SELECT h FROM iwins GROUP BY h HAVING COUNT(*) > {SQL_HOT_DF_CUTOFF}),
+    iw AS (SELECT * FROM iwins WHERE h NOT IN (SELECT h FROM ihot)),
+    imatch AS (
+      SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos - a.pos AS diag
+      FROM iw a JOIN iw b ON a.h = b.h AND a.doc_id = b.doc_id AND a.pos < b.pos
+    ),
+    iisl AS (
+      SELECT doc_id, diag, pa,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_id, diag ORDER BY pa) AS grp
+      FROM imatch
+    ),
+    ispans AS (
+      SELECT doc_id, COUNT(*) + {VSPAN_K - 1} AS span_tokens
+      FROM iisl GROUP BY doc_id, diag, grp
+      HAVING COUNT(*) >= {VSPAN_MIN_RUN}
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_repeat_spans,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+           CAST(SUM(span_tokens) AS BIGINT) AS total_span_tokens
+    FROM ispans GROUP BY doc_id
+    """,
+    tags=("dedup", "exact-substring", "quality"),
+    doc=f"Intra-document self-repetition spans (the span-exact upgrade "
+    f"of repetition_ratio, catching looped boilerplate / degenerate "
+    f"generation): maximal runs of >= {VSPAN_K + VSPAN_MIN_RUN - 1} "
+    "tokens a document repeats WITHIN itself, from the same capped "
+    f"{VSPAN_K}-token-window inverted index as verbatim_span_pairs "
+    "with the self-join keyed by (hash, doc_id) and islands by "
+    "(doc, diagonal). The synthetic corpus never self-repeats, so the "
+    f"query plants repetition deterministically (doc_id % "
+    f"{REP_PLANT_MOD} == 0 -> text doubled) IDENTICALLY on both "
+    "engines — the oracle comparison is non-trivially non-empty "
+    "(every planted doc with >= 8 tokens must surface).",
+)
+def intra_doc_repetition_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % REP_PLANT_MOD == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return intra_doc_repeated_spans(
+        planted, df_cutoff=hot_df_cutoff(corpus_n_docs(spark, sf_dir))
     )
 
 

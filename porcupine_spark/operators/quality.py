@@ -189,13 +189,15 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per customer (exact-decimal monetary so quartile boundaries are "
     "engine-identical), NTILE windows with deterministic tie-breaks "
     "assign quartiles over the CUSTOMER-sized table, and the final "
-    "rollup is segment-bounded (<=64 rows). The unpartitioned NTILE "
-    "runs on per-customer aggregates, not raw orders - at 100 TB that "
-    "table is still range-partitionable by the sort key if one "
-    "reducer ever became the bottleneck.",
+    "rollup is segment-bounded (<=64 rows). No single-task NTILE "
+    "windows: each quartile comes from a DISTRIBUTED global rank "
+    "(functions/topk.global_rank — range-partition + partitioned "
+    "row_number + per-partition offsets) and exact integer NTILE "
+    "arithmetic on (rank, n) - byte-identical to the window function "
+    "at any customer count.",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from porcupine_spark.functions.topk import global_rank, ntile_from_rank
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -203,12 +205,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
     )
-    scored = per_cust.select(
-        "o_custkey",
+    r_rk, n, _ = global_rank(
+        per_cust, [F.desc("last_order"), F.asc("o_custkey")], rank_col="_r"
+    )
+    f_rk, _, _ = global_rank(
+        r_rk, [F.desc("frequency"), F.asc("o_custkey")], rank_col="_f"
+    )
+    m_rk, _, _ = global_rank(
+        f_rk, [F.desc("monetary"), F.asc("o_custkey")], rank_col="_m"
+    )
+    scored = m_rk.select(
         "monetary",
-        F.ntile(4).over(W.orderBy(F.desc("last_order"), F.asc("o_custkey"))).alias("r_quartile"),
-        F.ntile(4).over(W.orderBy(F.desc("frequency"), F.asc("o_custkey"))).alias("f_quartile"),
-        F.ntile(4).over(W.orderBy(F.desc("monetary"), F.asc("o_custkey"))).alias("m_quartile"),
+        ntile_from_rank("_r", n, 4).cast("int").alias("r_quartile"),
+        ntile_from_rank("_f", n, 4).cast("int").alias("f_quartile"),
+        ntile_from_rank("_m", n, 4).cast("int").alias("m_quartile"),
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -321,22 +331,25 @@ def order_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact form the salting/AQE decision needs. All integer: order "
     "cents from one IEEE multiply + trunc, rank-weighted sums in "
     "HUGEINT/decimal, micro-units by truncating division. Shape: one "
-    "customer aggregate (map-side combined), one rank window over the "
-    "|customers|-row aggregate (range-partitioned sort at scale - the "
-    "repo's range_partition_plan kernel), one final fold to a single "
+    "customer aggregate (map-side combined), one DISTRIBUTED rank "
+    "over the |customers|-row aggregate (functions/topk.global_rank: "
+    "range-partition + partitioned row_number + per-partition "
+    "offsets - no single-task window), one final fold to a single "
     "row.",
 )
 def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from porcupine_spark.functions.topk import global_rank
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.expr("CAST(o_totalprice * 100 AS BIGINT)")).alias("cents")
     )
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+    run, _, _ = global_rank(
+        per_cust.select("cents", "o_custkey"),
+        [F.asc("cents"), F.asc("o_custkey")],
+        rank_col="i",
     )
+    ranked = run.select("cents", "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").cast("long").alias("total_revenue_cents"),
@@ -460,28 +473,32 @@ PARETO_TOP = 10  # "top X% of customers" report
     f"threshold tests are integer cross-multiplications (cum*100 vs "
     f"total*{PARETO_PCT}) - no division until the final micro-unit "
     f"ratios, so the counts are bit-stable with the custkey tiebreak. "
-    f"Shape: one customer aggregate, one rank+prefix window over the "
-    f"|customers|-row table (range-partitioned sort at scale), a "
-    f"1-row totals broadcast, one fold.",
+    f"Shape: one customer aggregate, one DISTRIBUTED rank+prefix sum "
+    f"over the |customers|-row table (functions/topk.global_rank: "
+    f"range-partition + partitioned window + per-partition offsets - "
+    f"no single-task window), totals embedded as literals from the "
+    f"offset pass (no broadcast join needed), one fold.",
 )
 def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from porcupine_spark.functions.topk import global_rank
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.expr("CAST(o_totalprice * 100 AS BIGINT)")).alias("cents")
     )
-    w = W.orderBy(F.desc("cents"), F.asc("o_custkey"))
-    ranked = per_cust.select(
+    run, n, sums = global_rank(
+        per_cust.select("cents", "o_custkey"),
+        [F.desc("cents"), F.asc("o_custkey")],
+        rank_col="rk",
+        cumsum={"cum": "cents"},
+    )
+    flagged = run.select(
+        F.lit(n).cast("long").alias("n"),
+        F.lit(str(sums["cum"])).cast("decimal(38,0)").alias("total"),
         "cents",
-        F.row_number().over(w).alias("rk"),
-        F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
-    )
-    tot = per_cust.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").cast("decimal(38,0)").alias("total"),
-    )
-    flagged = ranked.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        "cum",
+    ).select(
         "n",
         "total",
         F.expr(

@@ -520,12 +520,12 @@ def ivf_topk_from(
 
     Plan shape at scale: the query rows are looked up IN the index
     (|Q| rows), ranked against the broadcast centroid table, and the
-    bucket probe is a join against the bucketed layout — the
-    corpus-side scan needs no Exchange (bucket metadata proves
-    cid-partitioning; Spark prunes to SelectedBucketsCount = the
-    probed cids when the probe list is a literal filter, and at worst
-    streams buckets through the join with zero corpus shuffle). Only
-    candidate rows (≤ |Q|·bucket_size) ever move."""
+    probed cid set (≤ |Q|·probes integers — a bounded driver-side
+    boundary like the centroid collects) is pushed into the scan as a
+    LITERAL IN-filter, so the bucketed layout prunes to
+    SelectedBucketsCount = |probed cids| in the FileScan itself (plan-
+    asserted in tests/test_operators.py) — unprobed buckets are never
+    read, and only candidate rows (≤ |Q|·bucket_size) ever move."""
     assigned = spark.table(table)
     qids = [int(q) for q in query_ids]
     qrows = assigned.filter(F.col("vec_id").isin(qids)).select(
@@ -545,9 +545,12 @@ def ivf_topk_from(
         .withColumn("prn", F.row_number().over(probe_w))
         .filter(F.col("prn") <= probes)
         .select("query_id", "qe", "qn", "cid")
+        .localCheckpoint(eager=True)  # scanned twice: cid collect + join
     )
+    probe_cids = sorted({r.cid for r in probes_df.select("cid").distinct().collect()})
     scored = (
-        assigned.join(F.broadcast(probes_df), "cid")
+        assigned.filter(F.col("cid").isin(probe_cids))
+        .join(F.broadcast(probes_df), "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from porcupine_spark.functions.hashing import md5_bucket, md5_long60
+from porcupine_spark.functions.topk import ranked_topk
 from porcupine_spark.operators.text import tokens
 from porcupine_spark.plans.registry import query
 from porcupine_spark.tables import load_table
@@ -664,13 +665,13 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ib"),
     ).select("tok", F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"))
     cells = hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    exact = (
-        clean.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .withColumn(
-            "rk", F.row_number().over(W.orderBy(F.desc("n_exact"), F.asc("tok")))
-        )
-        .filter(F.col("rk") <= CMS_TOPN)
+    # exact top-N probe tokens via TakeOrderedAndProject + bounded rank —
+    # the raw vocab is corpus-sized (Heaps' law), so no global window here
+    exact = ranked_topk(
+        clean.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact")),
+        "n_exact",
+        ["tok"],
+        CMS_TOPN,
     )
     probes = exact.select(
         "tok",

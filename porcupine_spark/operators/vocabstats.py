@@ -120,9 +120,10 @@ def zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    top = tf.orderBy(F.desc("freq"), F.asc("tok")).limit(ZIPF_TOPK)
-    w = Window.orderBy(F.desc("freq"), F.asc("tok"))  # bounded: ZIPF_TOPK rows
-    ranked = top.withColumn("rank", F.row_number().over(w))
+    from porcupine_spark.functions.topk import ranked_topk
+
+    # TakeOrderedAndProject top-k + bounded posexplode rank — no window
+    ranked = ranked_topk(tf, "freq", ["tok"], ZIPF_TOPK, rank_col="rank")
     c1 = ranked.filter(F.col("rank") == 1).select(F.col("freq").alias("f1"))
     rf = F.col("rank").cast("long") * F.col("freq")
     return (

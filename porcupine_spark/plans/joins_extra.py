@@ -319,23 +319,43 @@ SN_WINDOW = 3  # sorted-neighborhood rank distance
     "|names| x window regardless of name popularity - immune to the "
     "hot-block blowup token blocking can hit - at the cost of missing "
     "pairs that sort far apart (the methods are complementary and "
-    "production stacks run both). The global sort runs over the "
-    "distinct-name table, not rows; at extreme name counts the rank "
-    "join shards by rank div window.",
+    "production stacks run both). The rank is fully DISTRIBUTED "
+    "(zipWithIndex pattern: range-partition by name, row_number "
+    "within each partition - a PARTITIONED window - plus per-"
+    "partition offsets, a |partitions|-integer driver boundary "
+    "bounded by cluster config, never the data), and the neighbor "
+    "join is an EQUI-join on bucket = rank div window probing "
+    "{bucket, bucket+1} - every bucket holds <= window names, so "
+    "the join shards perfectly at any name count. No global window, "
+    "no nested-loop join (both plan-asserted in tests/test_plans.py).",
 )
 def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from porcupine_spark.functions.topk import global_rank
 
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
-    ranked = names.withColumn("rk", F.row_number().over(W.orderBy("p_name")))
-    a = ranked.select(F.col("p_name").alias("name_a"), F.col("rk").alias("rk_a"))
-    b = ranked.select(F.col("p_name").alias("name_b"), F.col("rk").alias("rk_b"))
+    # distributed global rank over the distinct-name space (zipWithIndex
+    # pattern — see functions/topk.global_rank)
+    run, _, _ = global_rank(names, [F.asc("p_name")])
+    ranked = run.select("p_name", "rk")
+    # neighbor pairs (0 < rk_b - rk_a <= SN_WINDOW) via an equi-join on
+    # bucket = rk div SN_WINDOW: any qualifying rk_b lives in the probe
+    # row's bucket or the next one, and each bucket holds <= SN_WINDOW
+    # names - sharded candidate generation, no inequality-only join
+    bkt = F.expr(f"rk div {SN_WINDOW}")
+    a = ranked.select(
+        F.col("p_name").alias("name_a"),
+        F.col("rk").alias("rk_a"),
+        F.explode(F.array(bkt, bkt + 1)).alias("jb"),
+    )
+    b = ranked.select(
+        F.col("p_name").alias("name_b"), F.col("rk").alias("rk_b"), bkt.alias("jb")
+    )
     return (
-        a.join(
-            b,
+        a.join(b, "jb")
+        .where(
             (F.col("rk_b") > F.col("rk_a"))
-            & (F.col("rk_b") <= F.col("rk_a") + SN_WINDOW),
+            & (F.col("rk_b") <= F.col("rk_a") + SN_WINDOW)
         )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("edit_dist") <= 4)

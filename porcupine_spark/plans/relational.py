@@ -899,14 +899,24 @@ def nation_segment_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window", "agg"),
     doc="NTILE bucketing + per-bucket rollup (deterministic global "
-    "order via acctbal+custkey tiebreak). A global window without "
-    "PARTITION BY funnels through one task - fine for bucket "
-    "boundaries, replaced by approx quantile cuts at 100 TB.",
+    "order via acctbal+custkey tiebreak). No single-task window: the "
+    "global rank is distributed (functions/topk.global_rank — range-"
+    "partition + partitioned row_number + |partitions|-integer "
+    "offsets, the zipWithIndex pattern) and the NTILE bucket is exact "
+    "integer arithmetic on (rank, n), byte-identical to the window "
+    "function at any customer count.",
 )
 def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions.topk import global_rank, ntile_from_rank
+
     c = load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    q = c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
+    ranked, n, _ = global_rank(
+        c.select("c_custkey", "c_acctbal"),
+        [F.asc("c_acctbal"), F.asc("c_custkey")],
+    )
+    q = ranked.select(
+        "c_acctbal", ntile_from_rank("rk", n, 4).cast("long").alias("quartile")
+    )
     return q.groupBy("quartile").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("c_acctbal").alias("lo"),
@@ -1394,25 +1404,29 @@ PARETO_NUM, PARETO_DEN = 4, 5  # the "80" in 80/20
     "integer arithmetic (a customer is in the cover while the "
     "PRECEDING cumulative is still short of 4/5 of total), and the "
     "share of customers needed comes out in integer micro-units via "
-    "truncating division. The ranking window runs over the per-"
-    "customer aggregate (|customers| rows, not orders); 1-row output.",
+    "truncating division. No single-task window: the running sum is "
+    "distributed (functions/topk.global_rank — range-partition + "
+    "partitioned prefix sums + exact per-partition offsets), and the "
+    "grand totals fall out of the offset pass as literals; 1-row "
+    "output.",
 )
 def revenue_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from porcupine_spark.functions.topk import global_rank
 
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
     )
-    wrank = W.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    run, n, sums = global_rank(
+        per_cust,
+        [F.desc("rev"), F.asc("o_custkey")],
+        cumsum={"cum": "rev"},
     )
-    wall = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = per_cust.select(
+    ranked = run.select(
         "rev",
-        F.sum("rev").over(wrank).alias("cum"),
-        F.sum("rev").over(wall).alias("total"),
-        F.count(F.lit(1)).over(wall).alias("n_cust"),
+        "cum",
+        F.lit(str(sums["cum"])).cast("decimal(38,6)").alias("total"),
+        F.lit(n).cast("long").alias("n_cust"),
     )
     in_cover = (F.col("cum") * PARETO_DEN <= F.col("total") * PARETO_NUM) | (
         (F.col("cum") - F.col("rev")) * PARETO_DEN < F.col("total") * PARETO_NUM

@@ -734,6 +734,18 @@ def test_ivf_index_persistence_artifact_mode(spark, sf_dir, tmp_path):
         # its buckets and the probe join needs no corpus-side Exchange
         plan = served_df._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan
+        # probe-side pruning is REAL: the literal probed-cid filter makes
+        # the FileScan read only the probed buckets of the 16-bucket
+        # layout (SelectedBucketsCount), never the whole index
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, "bucketed scan must advertise bucket pruning"
+        n_probed_cids = served_df.sparkSession.table("ivf_idx_test").select(
+            "cid"
+        ).distinct().count()
+        assert int(m.group(1)) < int(m.group(2)), plan[:400]
+        assert int(m.group(1)) <= n_probed_cids
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
 

@@ -77,50 +77,68 @@ def has_global_window(plan: str) -> bool:
 
 # ---------------------------------------------------------------------------
 # W-flag allowlist: queries whose partition-less window runs over a table
-# whose size is BOUNDED by something other than the corpus. Categories
-# (each entry traced to its window input, mirroring the N-flag
-# discipline). Any W-flagged query NOT listed here fails the audit —
-# the next unbounded global window must not sail through.
+# whose size is BOUNDED by something other than the corpus. Every entry
+# carries a PROOF naming exactly what bounds the window's input and why
+# that bound is corpus-independent — an entry whose bound is "a
+# dimension that grows with the data" does not belong here (the round-5
+# lesson: the corpus-derived ranking class had been mislabeled
+# "bounded"; all of those now use functions/topk.ranked_topk /
+# global_rank and are OFF this list). The audit fails BOTH ways: a
+# W-flagged query not listed here, and a listed query that no longer
+# shows a W (stale entry) — the list cannot absorb wrong labels
+# silently in either direction.
 # ---------------------------------------------------------------------------
 W_ALLOWLIST: dict[str, str] = {
-    # (a) day/month spines — calendar-bounded (|days|, never the corpus)
-    "cusum_changepoint": "prefix sum over the day spine",
-    "daily_new_users_cumulative": "cumulative count over the day spine",
-    "daily_orders_autocorr": "lag window over the day spine",
-    "global_watermark_audit": "running max over the day spine",
-    "order_backlog_daily": "open/close prefix over the day spine",
-    "revenue_mom_growth": "lag over the month spine",
-    "peak_concurrent_sessions": "carry prefix over the day spine (the "
-    "boundary sweep itself is day-PARTITIONED — hierarchical form)",
-    # (b) dimension-aggregate tables — per-customer rollups, orders of
-    # magnitude under the fact data; docstrings carry the 100 TB escape
-    # hatch (range-partitioned sort / approx quantile cuts)
-    "ntile_quartiles": "NTILE over the customer dimension",
-    "rfm_segmentation": "NTILE over per-customer aggregates",
-    "revenue_gini": "rank over per-customer revenue aggregates",
-    "revenue_pareto_8020": "cumulative share over per-customer aggregates",
-    "pareto_revenue_concentration": "cumulative share over per-customer aggregates",
-    # (c) distinct-value / vocab / histogram tables — value-bounded
-    "bigram_collocations": "rank over the scored bigram vocab table",
-    "bpe_merge_candidates": "rank over the symbol-pair vocab table",
-    "cms_frequency_estimate": "rank over the heavy-hitter token table",
-    "length_decile_assign": "cumulative count over DISTINCT length values",
-    "quantile_sketch_calibration": "rank over the 1024-bin histogram",
-    "zipf_rank_freq": "rank over the ZIPF_TOPK-limited token table",
-    "rank_corr_tokens_distinct": "rank over per-source aggregates",
-    "sorted_neighborhood_pairs": "rank over the distinct-name table "
-    "(sharded by rank div window at scale)",
-    # (d) |sources| / sample / boundary grids — bounded by config size
-    "epoch_expansion_plan": "water-fill rank over the |sources| grid",
-    "token_budget_waterfill": "water-fill rank over the |sources| grid",
-    "training_shard_manifest": "shard prefix over the |sources| grid",
-    "pps_systematic_sample": "systematic skip over the |sources| bucket grid",
-    "vocab_coverage_curve": "prefix over the K-value grid",
-    "range_partition_plan": "rank over the bounded boundary/sample grid",
-    # (e) pre-reduced / top-k candidate tables
-    "skyline_orders": "frontier window AFTER per-partition reduction "
-    "(plan-guarded in tests/test_plans.py)",
-    "rrf_fusion_topk": "rank fusion over per-ranker top-k lists",
+    # (a) calendar spines — the window input has exactly one row per
+    # day/month of the business calendar: |rows| = days in the data's
+    # date RANGE (a few thousand for decades of data), invariant to how
+    # many facts fall on each day. 100 TB of orders still spans the
+    # same calendar.
+    "cusum_changepoint": "BOUND=|days in date range| (day spine from one "
+    "groupBy(day) agg; adding data adds rows per day, not days)",
+    "daily_new_users_cumulative": "BOUND=|days in date range| (first-seen "
+    "day per user is aggregated to the day grain before the window)",
+    "daily_orders_autocorr": "BOUND=|days in date range| (lag runs on the "
+    "per-day count table)",
+    "global_watermark_audit": "BOUND=|days in date range| (running max "
+    "over per-day event-time maxima)",
+    "order_backlog_daily": "BOUND=|days in date range| (open/close deltas "
+    "are day-aggregated before the prefix sum)",
+    "revenue_mom_growth": "BOUND=|months in date range| x |nations<=25| "
+    "(lag over the month-grain rollup)",
+    "peak_concurrent_sessions": "BOUND=|days| for the carry prefix; the "
+    "within-day boundary sweep is day-PARTITIONED (hierarchical form)",
+    # (b) value-range-bounded histograms — the window input is one row
+    # per DISTINCT VALUE of a domain whose range is physically capped
+    # (a document's length in chars/tokens is bounded by the ingest
+    # format's max record size), so |rows| <= |value range| no matter
+    # how many documents exist.
+    "length_decile_assign": "BOUND=|distinct n_chars| <= max document "
+    "length (value histogram; corpus growth adds count, not values)",
+    "rank_corr_tokens_distinct": "BOUND=|distinct n_tokens| + |distinct "
+    "n_distinct| <= max document length (two value histograms; the "
+    "doc-level table is never windowed)",
+    "quantile_sketch_calibration": "BOUND=1024 bins (constant sketch "
+    "width) + |distinct n_chars| <= max document length for the exact "
+    "check",
+    # (c) census / config grids — the window input is one row per
+    # source / bucket, bounded by the catalog (tens of sources) or a
+    # module constant, never by row count.
+    "epoch_expansion_plan": "BOUND=|sources| (water-fill rank over the "
+    "per-source aggregate; the source census is a catalog property)",
+    "token_budget_waterfill": "BOUND=|sources| (same water-fill grid)",
+    "training_shard_manifest": "BOUND=|sources| x SHARDS const (shard "
+    "prefix over the per-source grid)",
+    "pps_systematic_sample": "BOUND=|sources| x PPS_BUCKETS const "
+    "(systematic skip over the bucket grid)",
+    "range_partition_plan": "BOUND=RANGE_BUCKETS=16 const (boundary-grid "
+    "rank); the order-statistic windows are bin-PARTITIONED",
+    # (d) pre-reduced frontiers — the window runs AFTER a per-partition
+    # reduction whose output is provably tiny, and a plan test pins the
+    # reduction's presence.
+    "skyline_orders": "BOUND=union of per-partition skyline frontiers "
+    "(each <= frontier of its partition; reduction plan-guarded in "
+    "tests/test_plans.py)",
 }
 
 
@@ -189,7 +207,6 @@ def main() -> int:
         "bloom_fpr_calibration and hll_union_estimate (1-row",
         "member/bit/register-sum counts),",
         "cusum_changepoint (1-row day-count/total broadcast),",
-        "pareto_revenue_concentration (1-row totals broadcast),",
         "split_source_balance_chi2 (|sources|x3 grid + 1-row census",
         "broadcasts),",
         "frequent_tokens_mg, vocab_growth_curve, pps_systematic_sample,",
@@ -198,15 +215,13 @@ def main() -> int:
         "(5) ks_drift_doc_length's source-dimension grid densification",
         "and kmv_overlap_estimate's source-pair grid (|sources| or",
         "|sources|^2 rows, bounded by the source count, not the corpus);",
-        "(6) sorted_neighborhood_pairs' rank-window join over the",
-        "distinct-name table (sharded by rank div window at scale);",
-        "(7) range_partition_plan's 1-row sample-count / boundary-array /",
+        "(6) range_partition_plan's 1-row sample-count / boundary-array /",
         "corpus-total broadcasts and its <=16-row rank-grid joins on a",
         "constant key (bounded by the bucket count, not the data);",
-        "(8) the water-fill family's exact cap/weight ratio rank — a",
+        "(7) the water-fill family's exact cap/weight ratio rank — a",
         "cross-multiplied self-join on the |sources|-row per-source",
         "aggregate (bounded by the source count, never the corpus);",
-        "(9) more 1-row corpus-scalar broadcasts: zipf_rank_freq (rank-1",
+        "(8) more 1-row corpus-scalar broadcasts: zipf_rank_freq (rank-1",
         "frequency), neyman_allocation (weight total),",
         "shingle_df_spectrum (shingle/pair-mass totals),",
         "global_watermark_audit (event total), cms_join_size (exact/",
@@ -214,43 +229,43 @@ def main() -> int:
         "dedup_source_shift (before/after totals), sq8_topk and",
         "sq8_adc_recall and ivf_cell_balance (1-row quantization-scale /",
         "cell-total broadcasts + the <=10-vector broadcast query set);",
-        "(10) quantile_sketch_calibration's target-rank inequality joins —",
+        "(9) quantile_sketch_calibration's target-rank inequality joins —",
         "3 target rows against the 1024-bin histogram and the bounded",
         "distinct-value table (both value-bounded, never the corpus);",
-        "(11) priority_mix_drift_chi2's 1-row census broadcast over the",
+        "(10) priority_mix_drift_chi2's 1-row census broadcast over the",
         "|years|x|priorities| grid (same class as",
         "split_source_balance_chi2's);",
-        "(12) verbatim_contamination's 10-row benchmark-probe broadcast",
+        "(11) verbatim_contamination's 10-row benchmark-probe broadcast",
         "(contains() predicate over a bounded eval set) and",
         "length_variance_decomposition's and quality_gate_kappa's 1-row",
         "census broadcasts;",
-        "(13) dsir_proxy_selection's 1-row token-census broadcast (target/",
+        "(12) dsir_proxy_selection's 1-row token-census broadcast (target/",
         "raw totals) and jl_distortion_audit's pair join over the fixed",
         "48-probe set (CONSTANT size at any corpus scale).",
         "Any other N is a regression.",
         "W = a WINDOW with no PARTITION BY (single-task 'WindowExec: No",
         "Partition Defined') — acceptable ONLY over tables bounded by",
-        "something other than the corpus. The allowlist (see",
-        "tools/plan_audit.py W_ALLOWLIST for per-query traces): day/month",
-        "spines (cusum_changepoint, daily_new_users_cumulative,",
-        "daily_orders_autocorr, global_watermark_audit,",
-        "order_backlog_daily, revenue_mom_growth,",
+        "something other than the corpus. Every W_ALLOWLIST entry (see",
+        "tools/plan_audit.py) carries a boundedness PROOF naming what",
+        "caps the window's input: calendar spines (cusum_changepoint,",
+        "daily_new_users_cumulative, daily_orders_autocorr,",
+        "global_watermark_audit, order_backlog_daily, revenue_mom_growth,",
         "peak_concurrent_sessions' carry step — its boundary sweep is",
-        "day-partitioned); per-customer dimension aggregates",
-        "(ntile_quartiles, rfm_segmentation, revenue_gini,",
-        "revenue_pareto_8020, pareto_revenue_concentration);",
-        "distinct-value / vocab / histogram tables (bigram_collocations,",
-        "bpe_merge_candidates, cms_frequency_estimate,",
-        "length_decile_assign, quantile_sketch_calibration,",
-        "zipf_rank_freq, rank_corr_tokens_distinct,",
-        "sorted_neighborhood_pairs); |sources| / sample / boundary grids",
+        "day-partitioned); value-range-bounded histograms",
+        "(length_decile_assign, rank_corr_tokens_distinct,",
+        "quantile_sketch_calibration); census / config grids",
         "(epoch_expansion_plan, token_budget_waterfill,",
         "training_shard_manifest, pps_systematic_sample,",
-        "vocab_coverage_curve, range_partition_plan); pre-reduced / top-k",
-        "tables (skyline_orders, rrf_fusion_topk). Global ORDER BY is not",
-        "flagged (it plans as distributed rangepartitioning; top-k is",
-        "TakeOrderedAndProject). Any W outside the allowlist FAILS the",
-        "audit.",
+        "range_partition_plan); pre-reduced frontiers (skyline_orders).",
+        "Corpus-derived ranking (vocab / bigram / name / customer-grain",
+        "tables) is NOT allowlistable — those queries rank through",
+        "functions/topk.ranked_topk (TakeOrderedAndProject + bounded",
+        "posexplode rank) or functions/topk.global_rank (range-partition",
+        "+ partitioned window + per-partition offsets, the zipWithIndex",
+        "pattern). Global ORDER BY is not flagged (it plans as",
+        "distributed rangepartitioning; top-k is TakeOrderedAndProject).",
+        "A W outside the allowlist FAILS the audit; so does an allowlist",
+        "entry whose query no longer shows a W (stale proof).",
         "Streaming queries execute on build and are audited by their tests",
         "instead.",
         "",
@@ -282,14 +297,23 @@ def main() -> int:
         if isinstance(s, dict) and "W" in s["flags"] and name not in W_ALLOWLIST
     )
     n_w = sum(1 for _, s in rows if isinstance(s, dict) and "W" in s["flags"])
+    w_flagged = {
+        name for name, s in rows if isinstance(s, dict) and "W" in s["flags"]
+    }
+    audited = {name for name, s in rows if isinstance(s, dict)}
+    w_stale = sorted(
+        name for name in W_ALLOWLIST if name in audited and name not in w_flagged
+    )
     print(
         f"wrote {path}: {len(rows)} queries, {n_hard} hard-flagged (X/P), "
         f"{n_soft} with scalar-subquery NLJ, {n_w} global-window (W, "
-        f"{len(w_bad)} OUTSIDE allowlist)"
+        f"{len(w_bad)} OUTSIDE allowlist, {len(w_stale)} stale entries)"
     )
     if w_bad:
         print(f"UNLISTED global windows (fix or trace+allowlist): {w_bad}")
-    return 1 if (n_hard or w_bad) else 0
+    if w_stale:
+        print(f"STALE allowlist entries (query has no W — delete): {w_stale}")
+    return 1 if (n_hard or w_bad or w_stale) else 0
 
 
 if __name__ == "__main__":

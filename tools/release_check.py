@@ -1,0 +1,163 @@
+"""Release check: regenerate every registry-derived closing artifact and
+fail if ANY of them is stale relative to the live query registry.
+
+Round-5 lesson: the final 8 queries landed after the closing artifacts
+were generated, so QUERIES.md / the shuffle baseline / the 10x sidecar
+silently stopped at 239 while the registry said 247. This tool makes
+"all artifacts at N queries" a single command with hard assertions:
+
+1. QUERIES.md           — regenerated (tools/list_queries.py logic);
+                          row count asserted == len(registry).
+2. PLAN_AUDIT.md        — regenerated (tools/plan_audit.py main); its
+                          exit code (X/P flags, unlisted or stale W
+                          allowlist entries) propagates; row count
+                          asserted == len(registry).
+3. BENCH_DETAIL.json    — NOT regenerated here (bench.py is the owner);
+                          asserted to cover every registry query. Run
+                          ``python bench.py`` first if stale.
+4. BENCH_SHUFFLE_BASELINE.json — asserted to cover every registry
+                          query; ``--rebaseline`` rewrites it from the
+                          (fresh) BENCH_DETAIL via shuffle_regressions.
+5. COVERAGE.md          — every Q:`name` reference asserted to exist in
+                          the registry (no dead proof pointers).
+6. BENCH_DETAIL_SCALE10X.json — asserted to cover every registry query
+                          (the 10x sidecar; regenerate with
+                          make_scale_data then
+                          SPARK_GRAFT_SF_DIR=<dest> python bench.py).
+
+Usage: python tools/release_check.py [--rebaseline] [--skip-plans]
+Exit 0 only when every artifact matches the registry exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+from porcupine_spark.plans.registry import load_all_plans  # noqa: E402
+
+
+def check(label: str, ok: bool, detail: str = "") -> bool:
+    print(f"{'ok  ' if ok else 'FAIL'} {label}" + (f" — {detail}" if detail else ""))
+    return ok
+
+
+def md_query_names(path: str) -> set[str]:
+    """Names in the first column of a generated markdown table."""
+    names = set()
+    if not os.path.exists(path):
+        return names
+    with open(path) as fh:
+        for line in fh:
+            m = re.match(r"\| `([a-z0-9_]+)` \|", line)
+            if m:
+                names.add(m.group(1))
+            else:
+                m = re.match(r"\| ([a-z0-9_]+) \|", line)
+                if m and m.group(1) not in ("query",):
+                    names.add(m.group(1))
+    return names
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rebaseline", action="store_true",
+                    help="rewrite the shuffle baseline from BENCH_DETAIL.json")
+    ap.add_argument("--skip-plans", action="store_true",
+                    help="skip the (slow) PLAN_AUDIT regeneration")
+    args = ap.parse_args()
+
+    registry = set(load_all_plans().keys())
+    n = len(registry)
+    print(f"registry: {n} queries")
+    ok = True
+
+    # 1. QUERIES.md — regenerate and assert count
+    import list_queries
+
+    md = list_queries.write_markdown(load_all_plans())
+    with open(os.path.join(ROOT, "QUERIES.md"), "w") as fh:
+        fh.write(md)
+    qnames = md_query_names(os.path.join(ROOT, "QUERIES.md"))
+    ok &= check("QUERIES.md regenerated", qnames == registry,
+                f"{len(qnames)}/{n} rows")
+
+    # 2. PLAN_AUDIT.md — regenerate (spawns Spark; ~minutes)
+    if args.skip_plans:
+        pa_names = md_query_names(os.path.join(ROOT, "PLAN_AUDIT.md"))
+        ok &= check("PLAN_AUDIT.md (existing, --skip-plans)",
+                    pa_names == registry, f"{len(pa_names)}/{n} rows")
+    else:
+        import plan_audit
+
+        sys.argv = ["plan_audit.py"]
+        rc = plan_audit.main()
+        pa_names = md_query_names(os.path.join(ROOT, "PLAN_AUDIT.md"))
+        ok &= check("PLAN_AUDIT.md regenerated",
+                    rc == 0 and pa_names == registry,
+                    f"exit {rc}, {len(pa_names)}/{n} rows")
+
+    # 3. BENCH_DETAIL.json coverage
+    detail_path = os.path.join(ROOT, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as fh:
+            detail = json.load(fh)
+        dnames = set(detail.get("timings_sec", detail.get("queries", {})))
+        missing = sorted(registry - dnames)
+        ok &= check("BENCH_DETAIL.json covers registry", not missing,
+                    f"{len(dnames)}/{n}" + (f", missing {missing[:5]}" if missing else ""))
+    except FileNotFoundError:
+        ok &= check("BENCH_DETAIL.json covers registry", False, "missing — run bench.py")
+
+    # 4. shuffle baseline coverage (optionally rebaseline from detail)
+    if args.rebaseline:
+        import shuffle_regressions
+
+        sys.argv = ["shuffle_regressions.py", "--rebaseline"]
+        shuffle_regressions.main()
+    base_path = os.path.join(ROOT, "BENCH_SHUFFLE_BASELINE.json")
+    try:
+        with open(base_path) as fh:
+            base = json.load(fh)
+        bnames = set(base.get("shuffle_read_mb", {}))
+        missing = sorted(registry - bnames)
+        ok &= check("shuffle baseline covers registry", not missing,
+                    f"{len(bnames)}/{n}" + (f", missing {missing[:5]}" if missing else ""))
+    except FileNotFoundError:
+        ok &= check("shuffle baseline covers registry", False, "missing")
+
+    # 5. COVERAGE.md proof pointers resolve
+    cov_path = os.path.join(ROOT, "COVERAGE.md")
+    with open(cov_path) as fh:
+        refs = set(re.findall(r"Q:`([a-z0-9_]+)`", fh.read()))
+    refs -= {"name"}  # the legend's literal Q:`name` placeholder
+    dead = sorted(refs - registry)
+    ok &= check("COVERAGE.md Q-references resolve", not dead,
+                f"{len(refs)} refs" + (f", dead {dead[:5]}" if dead else ""))
+
+    # 6. 10x sidecar coverage (the full per-query detail, not the
+    # slowest-10 stdout summary in BENCH_SCALE10X.json)
+    ten_path = os.path.join(ROOT, "BENCH_DETAIL_SCALE10X.json")
+    try:
+        with open(ten_path) as fh:
+            ten = json.load(fh)
+        tnames = set(ten.get("queries", {}))
+        missing = sorted(registry - tnames)
+        ok &= check("10x sidecar covers registry", not missing,
+                    f"{len(tnames)}/{n}" + (f", missing {missing[:5]}" if missing else ""))
+    except FileNotFoundError:
+        ok &= check("10x sidecar covers registry", False, "missing")
+
+    print("release check:", "CLEAN" if ok else "STALE ARTIFACTS")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
