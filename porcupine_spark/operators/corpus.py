@@ -1238,6 +1238,137 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UNIMAX_EPOCH_CAP_MILLI = 2000  # each language repeats at most 2 epochs
+UNIMAX_BUDGET_MILLI = 1500  # total budget = 1.5 epochs of the whole corpus
+
+
+@query(
+    "unimax_language_allocation",
+    f"""
+    WITH per_lang AS (
+      SELECT lang,
+             CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS lt
+      FROM documents GROUP BY lang
+    ),
+    g AS (SELECT CAST(SUM(lt) AS BIGINT) AS tot, COUNT(*) AS n FROM per_lang),
+    base AS (
+      SELECT lang, lt,
+             {UNIMAX_BUDGET_MILLI} * g.tot // 1000 AS b,
+             {UNIMAX_EPOCH_CAP_MILLI} * lt // 1000 AS cap,
+             g.n
+      FROM per_lang, g
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY cap, lang) AS rk,
+             COALESCE(SUM(cap) OVER (ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap_prev
+      FROM base
+    ),
+    tested AS (
+      SELECT *,
+             CASE WHEN CAST(cap AS HUGEINT) * (n - rk + 1)
+                       <= CAST(b - cumcap_prev AS HUGEINT)
+                  THEN 1 ELSE 0 END AS tflag
+      FROM ranked
+    ),
+    pfx AS (
+      SELECT *, MIN(tflag) OVER (ORDER BY rk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      FROM tested
+    ),
+    sums AS (
+      SELECT *,
+             SUM(CASE WHEN capped = 1 THEN cap ELSE 0 END) OVER () AS capsum,
+             SUM(capped) OVER () AS k
+      FROM pfx
+    )
+    SELECT lang, lt AS lang_tokens,
+           CAST(CASE WHEN capped = 1 THEN cap
+                     ELSE (b - capsum) // (n - k) END AS BIGINT) AS allocated_tokens,
+           CAST(CAST(CASE WHEN capped = 1 THEN cap
+                     ELSE (b - capsum) // (n - k) END AS HUGEINT)
+                * 1000000 // lt AS BIGINT) AS epochs_micro,
+           CAST(capped AS BIGINT) AS capped
+    FROM sums
+    """,
+    tags=("mixing", "planning", "corpus", "multilingual"),
+    doc=f"UniMax language-budget allocation (Chung et al. 2023, "
+    f"'UniMax: Fairer and More Effective Language Sampling'): spread a "
+    f"{UNIMAX_BUDGET_MILLI}-milli-epoch total budget UNIFORMLY across "
+    f"languages, capping each language at "
+    f"{UNIMAX_EPOCH_CAP_MILLI} milli-epochs of its own mass so "
+    f"low-resource languages are never over-repeated — the published "
+    f"alternative to temperature sampling whose repeat cap bounds "
+    f"memorization risk. Same one-pass exact water-fill as "
+    f"token_budget_waterfill with uniform weights: languages sorted "
+    f"ascending by cap, the capped set is a PREFIX (exchange "
+    f"argument), found by an integer cross-multiplied test; leftover "
+    f"splits evenly among uncapped languages by truncating division. "
+    f"All windows run on the |languages| table — bounded by the "
+    f"ISO-639 census (~hundreds), corpus-independent.",
+)
+def unimax_language_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select("lang", F.size(tokens(F.col("text"))).cast("long").alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("lt"))
+    )
+    g = per_lang.agg(
+        F.sum("lt").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    base = per_lang.crossJoin(F.broadcast(g)).select(
+        "lang",
+        "lt",
+        F.expr(f"{UNIMAX_BUDGET_MILLI} * tot div 1000").alias("b"),
+        F.expr(f"{UNIMAX_EPOCH_CAP_MILLI} * lt div 1000").alias("cap"),
+        "n",
+    )
+    wo = W.orderBy("cap", "lang")
+    prev = wo.rowsBetween(W.unboundedPreceding, -1)
+    ranked = base.select(
+        "*",
+        F.row_number().over(wo).alias("rk"),
+        F.coalesce(F.sum("cap").over(prev), F.lit(0).cast("long")).alias(
+            "cumcap_prev"
+        ),
+    )
+    tested = ranked.withColumn(
+        "tflag",
+        F.expr(
+            "CASE WHEN CAST(cap AS DECIMAL(38,0)) * (n - rk + 1)"
+            " <= CAST(b - cumcap_prev AS DECIMAL(38,0)) THEN 1 ELSE 0 END"
+        ),
+    )
+    pfx = tested.withColumn(
+        "capped", F.min("tflag").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    full = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    sums = pfx.select(
+        "*",
+        F.sum(F.when(F.col("capped") == 1, F.col("cap")).otherwise(0))
+        .over(full)
+        .alias("capsum"),
+        F.sum("capped").over(full).alias("k"),
+    )
+    a = F.expr(
+        "CASE WHEN capped = 1 THEN CAST(cap AS DECIMAL(38,0))"
+        " ELSE CAST(b - capsum AS DECIMAL(38,0)) div (n - k) END"
+    )
+    return sums.select(
+        "lang",
+        F.col("lt").alias("lang_tokens"),
+        a.cast("long").alias("allocated_tokens"),
+        F.expr(
+            "CAST(CASE WHEN capped = 1 THEN CAST(cap AS DECIMAL(38,0))"
+            " ELSE CAST(b - capsum AS DECIMAL(38,0)) div (n - k) END"
+            " * 1000000 div lt AS BIGINT)"
+        ).alias("epochs_micro"),
+        F.col("capped").cast("long").alias("capped"),
+    )
+
+
 # The expansion manifest as a composable CTE chain (extends the
 # water-fill chain); training_shard_manifest composes it verbatim.
 _EXPANSION_CTES = f"""{_WATERFILL_CTES},

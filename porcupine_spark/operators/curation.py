@@ -506,3 +506,89 @@ def dsir_lean_scores(docs: DataFrame, is_target: F.Column, buckets: int = DSIR_B
 def dsir_proxy_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dsir_lean_scores(docs, F.col("lang") == DSIR_TARGET_LANG)
+
+
+# ---------------------------------------------------------------------------
+# n-gram LM familiarity gate (the cheap stand-in for RefinedWeb/CCNet's
+# KenLM perplexity filter) — exact-integer, hash-oracled
+
+FAMIL_MIN_N = 5  # a bigram is "familiar" once the corpus saw it >= 5 times
+FAMIL_KEEP_PPM = 600_000  # keep docs with >= 60% familiar bigram mass
+FAMIL_SCALE = 1_000_000
+
+
+@query(
+    "bigram_familiarity_gate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS ws
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, source, ws[i] || ' ' || ws[i + 1] AS gram
+      FROM t, UNNEST(range(1, len(ws))) AS r(i)
+      WHERE len(ws) >= 2
+    ),
+    bi AS (SELECT gram, COUNT(*) AS n FROM occ GROUP BY gram),
+    perdoc AS (
+      SELECT o.doc_id, o.source,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN b.n >= {FAMIL_MIN_N} THEN 1 ELSE 0 END) AS n_familiar
+      FROM occ o JOIN bi b ON b.gram = o.gram
+      GROUP BY o.doc_id, o.source
+    )
+    SELECT doc_id, source,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_familiar AS BIGINT) AS n_familiar,
+           CAST(CAST(n_familiar AS HUGEINT) * {FAMIL_SCALE} // n_bigrams AS BIGINT)
+             AS familiarity_ppm,
+           CAST(n_familiar AS HUGEINT) * {FAMIL_SCALE} // n_bigrams
+             >= {FAMIL_KEEP_PPM} AS keep
+    FROM perdoc
+    """,
+    tags=("curation", "quality", "lm-filter"),
+    doc=f"n-gram LM familiarity gate — the exact-integer stand-in for "
+    f"the KenLM perplexity filter RefinedWeb/CCNet run at ingest: a "
+    f"document's quality signal is the fraction of its bigram "
+    f"occurrences the corpus itself has seen >= {FAMIL_MIN_N} times "
+    f"(familiar mass in ppm; true -log P(w2|w1) sums are float and "
+    f"can't hash-oracle, but they rank nearly identically to familiar "
+    f"mass at gate thresholds — swap in a real LM score column for "
+    f"production and keep the same gate plumbing). Docs under 2 tokens "
+    f"are out of gate scope by construction. Shape: one map-side-"
+    f"combined bigram count, one gram-keyed hash join of occurrences "
+    f"against the count table (corpus-linear, AQE-planned, no "
+    f"broadcast hint — the bigram vocab grows with the corpus), one "
+    f"doc-grain aggregate. Keep decision is a single integer "
+    f"cross-comparison, bit-identical on both engines.",
+)
+def bigram_familiarity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(_norm(F.col("text")), " ")
+    occ = (
+        docs.filter(F.size(ws) >= 2)
+        .select("doc_id", "source", F.explode(word_ngrams(ws, 2)).alias("gram"))
+    )
+    bi = occ.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    perdoc = (
+        occ.join(bi, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("n") >= FAMIL_MIN_N, 1).otherwise(0))
+            .cast("long")
+            .alias("n_familiar"),
+        )
+    )
+    ppm = F.expr(
+        f"CAST(n_familiar AS DECIMAL(38,0)) * {FAMIL_SCALE} div n_bigrams"
+    )
+    return perdoc.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "n_familiar",
+        ppm.cast("long").alias("familiarity_ppm"),
+        (ppm >= FAMIL_KEEP_PPM).alias("keep"),
+    )

@@ -135,3 +135,68 @@ def test_sorted_neighborhood_sharded_rank_join(spark, sf_dir):
     assert not has_global_window(plan)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ranked_topk_property_random_ties(spark):
+    """Property: for arbitrary (score, key) multisets with heavy ties,
+    ranked_topk == row_number-window-then-filter. Hypothesis drives the
+    shapes; one Spark job per example keeps the budget sane."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        scores=st.lists(st.integers(min_value=-5, max_value=5), min_size=1, max_size=60),
+        k=st.integers(min_value=1, max_value=12),
+    )
+    def prop(scores, k):
+        df = spark.createDataFrame(
+            [(s, f"k{i:03d}") for i, s in enumerate(scores)], "score long, key string"
+        )
+        got = sorted(
+            map(tuple, ranked_topk(df, "score", ["key"], k).select("score", "key", "rk").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                df.withColumn(
+                    "rk", F.row_number().over(W.orderBy(F.desc("score"), F.asc("key")))
+                )
+                .filter(F.col("rk") <= k)
+                .select("score", "key", "rk")
+                .collect(),
+            )
+        )
+        assert got == want
+
+    prop()
+
+
+def test_global_rank_property_random_partitioning(spark):
+    """Property: global_rank's offsets+partitioned-window rank equals the
+    global window rank for arbitrary data, regardless of how the range
+    partitioner splits ties (the unique tiebreak makes both total)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=80),
+    )
+    def prop(vals):
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], "v long, tb long"
+        )
+        got, n, sums = global_rank(df, [F.asc("v"), F.asc("tb")], cumsum={"cv": "v"})
+        got_rows = sorted((r.tb, r.rk, r.cv) for r in got.collect())
+        w = W.orderBy(F.asc("v"), F.asc("tb"))
+        want = df.select(
+            "tb",
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cv"),
+        )
+        want_rows = sorted((r.tb, r.rk, r.cv) for r in want.collect())
+        assert got_rows == want_rows
+        assert n == len(vals) and sums["cv"] == sum(vals)
+
+    prop()

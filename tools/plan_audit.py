@@ -131,6 +131,9 @@ W_ALLOWLIST: dict[str, str] = {
     "prefix over the per-source grid)",
     "pps_systematic_sample": "BOUND=|sources| x PPS_BUCKETS const "
     "(systematic skip over the bucket grid)",
+    "unimax_language_allocation": "BOUND=|languages| (ISO-639 census, "
+    "~hundreds, corpus-independent; uniform water-fill windows on the "
+    "per-language aggregate)",
     "range_partition_plan": "BOUND=RANGE_BUCKETS=16 const (boundary-grid "
     "rank); the order-statistic windows are bin-PARTITIONED",
     # (d) pre-reduced frontiers — the window runs AFTER a per-partition
@@ -211,7 +214,9 @@ def main() -> int:
         "broadcasts),",
         "frequent_tokens_mg, vocab_growth_curve, pps_systematic_sample,",
         "and the water-fill family (token_budget_waterfill,",
-        "epoch_expansion_plan, training_shard_manifest);",
+        "epoch_expansion_plan, training_shard_manifest,",
+        "unimax_language_allocation — its 1-row language-census",
+        "broadcast);",
         "(5) ks_drift_doc_length's source-dimension grid densification",
         "and kmv_overlap_estimate's source-pair grid (|sources| or",
         "|sources|^2 rows, bounded by the source count, not the corpus);",
@@ -256,7 +261,8 @@ def main() -> int:
         "quantile_sketch_calibration); census / config grids",
         "(epoch_expansion_plan, token_budget_waterfill,",
         "training_shard_manifest, pps_systematic_sample,",
-        "range_partition_plan); pre-reduced frontiers (skyline_orders).",
+        "range_partition_plan, unimax_language_allocation); pre-reduced",
+        "frontiers (skyline_orders).",
         "Corpus-derived ranking (vocab / bigram / name / customer-grain",
         "tables) is NOT allowlistable — those queries rank through",
         "functions/topk.ranked_topk (TakeOrderedAndProject + bounded",

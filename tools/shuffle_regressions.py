@@ -61,6 +61,7 @@ EXPECTED_SUPERLINEAR: dict[str, tuple[float, str]] = {
     "dedup_clusters": (300.0, "same plan family as dedup_ngram_jaccard (nobcast A/B 10.3x linear)"),
     "dup_cluster_size_histogram": (300.0, "same plan family as dedup_ngram_jaccard (nobcast A/B 10.3x linear)"),
     "dedup_keep_best_quality": (300.0, "lost-broadcast at 10x; nobcast A/B 45->464 MB = 10.2x linear"),
+    "dedup_containment_pairs": (300.0, "same shingle-pair base as dedup_ngram_jaccard (identical byte profile; nobcast A/B 10.3x linear)"),
     "q3_shipping_priority": (80.0, "sf0.1 sides all broadcast (0.3 MB); nobcast A/B 6.3->62.7 MB = 9.9x linear"),
     "q4_order_priority": (110.0, "sf0.1 sides all broadcast (0 MB); orders/lineitem semi-join shuffles at 10x"),
     "q5_region_revenue": (95.0, "sf0.1 sides all broadcast (0 MB); fact joins shuffle at 10x"),
