@@ -40,9 +40,16 @@ def ranked_topk(
     ``score`` must be a numeric column NAME (it is negated to sort
     descending inside the struct array); ``keys`` break ties ascending
     and must make the order total for ranks to be deterministic.
+
+    NULL scores are filtered out before the limit: the two stages
+    disagree on NULL placement (orderBy DESC puts NULLs last, the
+    negated ascending array sort would put them first), so letting a
+    NULL survive into the top-k would diverge from row_number
+    semantics. NaN is the caller's precondition (all call sites rank
+    integer/decimal scores, where NaN cannot occur).
     """
     cols = [c for c in df.columns]
-    top = df.orderBy(
+    top = df.filter(F.col(score).isNotNull()).orderBy(
         F.col(score).desc(), *[F.col(c).asc() for c in keys]
     ).limit(k)
     packed = top.agg(
@@ -97,6 +104,21 @@ def global_rank(
     """
     cumsum = cumsum or {}
     spark = df.sparkSession
+    # the scratch names below are withColumn'd, which silently REPLACES
+    # an existing column of the same name — a caller whose frame already
+    # carries one would get corrupted ranks, so fail loudly instead
+    reserved = {"_gr_pid", "_gr_rn", "_gr_roff", rank_col} | {
+        c
+        for out in cumsum
+        for c in (f"_gr_off_{out}", f"_gr_ps_{out}", f"_gr_pn_{out}")
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_rank: input columns {sorted(clash)} collide with "
+            f"reserved scratch/rank names — rename them or pass a "
+            f"different rank_col"
+        )
     srt = (
         df.repartitionByRange(*order)
         .withColumn("_gr_pid", F.spark_partition_id())
@@ -105,6 +127,10 @@ def global_rank(
     aggs = [F.count(F.lit(1)).alias("_gr_c")]
     for out, src in cumsum.items():
         aggs.append(F.sum(src).alias(f"_gr_s_{out}"))
+        # non-null count per partition: needed to reproduce the global
+        # window's NULL semantics (running sum is NULL until the first
+        # non-null value ANYWHERE, then carries through later NULL runs)
+        aggs.append(F.count(F.col(src)).alias(f"_gr_n_{out}"))
     per_pid = srt.groupBy("_gr_pid").agg(*aggs)
     sum_types = {
         out: per_pid.schema[f"_gr_s_{out}"].dataType.simpleString() for out in cumsum
@@ -112,17 +138,25 @@ def global_rank(
     rows = sorted(per_pid.collect(), key=lambda r: r["_gr_pid"])
     data, racc = [], 0
     vacc = {out: 0 for out in cumsum}
+    nacc = {out: 0 for out in cumsum}  # non-nulls in PRIOR partitions
     for r in rows:
         data.append(
-            (r["_gr_pid"], racc, *[str(vacc[out]) for out in cumsum])
+            (
+                r["_gr_pid"],
+                racc,
+                *[x for out in cumsum for x in (str(vacc[out]), nacc[out])],
+            )
         )
         racc += r["_gr_c"]
         for out in cumsum:
             vacc[out] = vacc[out] + (r[f"_gr_s_{out}"] or 0)
+            nacc[out] = nacc[out] + r[f"_gr_n_{out}"]
     schema = "_gr_pid int, _gr_roff long" + "".join(
-        f", _gr_off_{out} string" for out in cumsum
+        f", _gr_off_{out} string, _gr_pn_{out} long" for out in cumsum
     )
-    off = spark.createDataFrame(data or [(0, 0, *["0"] * len(cumsum))], schema)
+    off = spark.createDataFrame(
+        data or [(0, 0, *[x for _ in cumsum for x in ("0", 0)])], schema
+    )
     wp = W.partitionBy("_gr_pid").orderBy(*order)
     wrun = wp.rowsBetween(W.unboundedPreceding, W.currentRow)
     out_df = srt.withColumn("_gr_rn", F.row_number().over(wp))
@@ -132,12 +166,22 @@ def global_rank(
         rank_col, (F.col("_gr_roff") + F.col("_gr_rn")).cast("long")
     )
     for out in cumsum:
+        # NULL semantics match the global window exactly: the prefix sum
+        # is NULL on rows before this partition's first non-null value;
+        # there the running total is the prior partitions' total — unless
+        # NO prior partition held a non-null either, in which case the
+        # global running sum is still NULL
+        off_val = F.col(f"_gr_off_{out}").cast(sum_types[out])
         out_df = out_df.withColumn(
             out,
-            F.col(f"_gr_off_{out}").cast(sum_types[out]) + F.col(f"_gr_ps_{out}"),
+            F.when(
+                F.col(f"_gr_ps_{out}").isNotNull(), off_val + F.col(f"_gr_ps_{out}")
+            ).when(F.col(f"_gr_pn_{out}") > 0, off_val),
         )
     drop = ["_gr_pid", "_gr_roff", "_gr_rn"] + [
-        c for out in cumsum for c in (f"_gr_off_{out}", f"_gr_ps_{out}")
+        c
+        for out in cumsum
+        for c in (f"_gr_off_{out}", f"_gr_ps_{out}", f"_gr_pn_{out}")
     ]
     return out_df.drop(*drop), racc, vacc
 

@@ -72,9 +72,28 @@ def _union_find_components(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(pdf, schema=f"node {t}, component {t}")
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int | None = None,
+    union_find_max_edges: int | None = None,
+) -> DataFrame:
     """(src, dst) undirected edges -> (node, component) where component
-    is the minimum node id in the connected component."""
+    is the minimum node id in the connected component.
+
+    Raises ``RuntimeError`` if the label-propagation loop exhausts
+    ``max_rounds`` before the fixpoint: a silent return there would hand
+    back WRONG components (labels still moving), and near-dup graphs
+    converge in single digits, so exhaustion means the input is not the
+    graph class this operator is tuned for (use a pointer-jumping
+    variant for deep paths)."""
+    # None-defaults resolve against the module globals at CALL time so
+    # tests can monkeypatch the gates
+    if max_rounds is None:
+        max_rounds = MAX_ROUNDS
+    if union_find_max_edges is None:
+        union_find_max_edges = UNION_FIND_MAX_EDGES
     # materialize the (possibly expensive) edge lineage ONCE — the loop
     # below joins against sym every round and must not recompute it
     edges = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(eager=True)
@@ -82,7 +101,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # label frontier is usually orders of magnitude smaller than the
     # corpus, and per-round fixed cost scales with partition count
     n_edges = edges.count()
-    if n_edges <= UNION_FIND_MAX_EDGES:
+    if n_edges <= union_find_max_edges:
         return _union_find_components(edges)
     n_parts = max(2, min(32, n_edges // 50_000 + 2))
     nodes = (
@@ -98,7 +117,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         .localCheckpoint(eager=True)
     )
     labels = nodes.repartition(n_parts, "node").withColumn("component", F.col("node"))
-    for _ in range(MAX_ROUNDS):
+    converged = False
+    for _ in range(max_rounds):
         # each node adopts min(own label, neighbors' labels)
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -128,7 +148,15 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         changed = updated.filter(F.col("new_component") != F.col("component")).count()
         labels = updated.select("node", F.col("new_component").alias("component"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: label propagation did not converge in "
+            f"{max_rounds} rounds ({n_edges} edges) — graph diameter exceeds "
+            f"the near-dup-graph assumption; returning would yield wrong "
+            f"components. Raise max_rounds or use a pointer-jumping variant."
+        )
     return labels
 
 

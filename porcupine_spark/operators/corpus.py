@@ -478,7 +478,7 @@ def bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "ctx_n",
         (F.col("n").cast("double") / F.col("ctx_n")).alias("cond_p"),
-        "rk",
+        F.col("rk").cast("long").alias("rk"),
     )
 
 
@@ -503,7 +503,7 @@ COVERAGE_KS = (10, 50, 100, 500)
              CAST(SUM(n) OVER () AS BIGINT) AS total_n
       FROM counts
     )
-    SELECT k.k AS vocab_size,
+    SELECT CAST(k.k AS BIGINT) AS vocab_size,
            CAST(MAX(r.cum_n) AS BIGINT) AS covered_tokens,
            CAST(MAX(r.total_n) AS BIGINT) AS total_tokens,
            CAST(MAX(r.cum_n) AS DOUBLE) / MAX(r.total_n) AS coverage
@@ -944,6 +944,133 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rank",
     ).select(
         "left_sym", "right_sym", "n_occurrences", F.col("rank").cast("long").alias("rank")
+    )
+
+
+BPE_TRAIN_ROUNDS = 8  # fixed merge budget (real trainers run to |vocab|)
+
+# Symbol sequences travel as SPACE-WRAPPED strings — every symbol is
+# surrounded by its own pair of spaces (" a  b  c " for [a,b,c]), so a
+# single builtin string replace of " l  r " -> " lr " IS one full
+# greedy left-to-right non-overlapping BPE merge pass: each match
+# consumes both wrapped symbols including their private delimiters, so
+# adjacent matches never fight over a shared boundary (with single
+# separators, [a,a,a,a] would merge to [aa,a,a] instead of [aa,aa]).
+# Tokens come from whitespace splitting, so they cannot contain the
+# delimiter. Identical semantics in Spark's replace() and DuckDB's.
+
+
+def _bpe_train_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled-CTE mirror of bpe_merge_train (fixed round budget — the
+    kcore/pagerank recipe for exact-hash-oracling an iterative op)."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS ws, freq FROM (
+        SELECT tok AS word, COUNT(*) AS freq
+        FROM (SELECT {_SQL_TOKS} AS toks FROM documents),
+             LATERAL (SELECT UNNEST(toks) AS tok) u
+        WHERE tok <> ''
+        GROUP BY tok))"""
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        prev = r - 1
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT s[i] AS ls, s[i + 1] AS rs, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT string_split(trim(ws), '  ') AS s, freq FROM w{prev}),
+           LATERAL (SELECT UNNEST(generate_series(1, len(s) - 1)) AS i) g
+      GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT ls, rs, n FROM p{r} "
+            f"ORDER BY n DESC, ls, rs LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+      SELECT replace(w.ws, ' ' || b.ls || '  ' || b.rs || ' ',
+                     ' ' || b.ls || b.rs || ' ') AS ws, w.freq
+      FROM w{prev} w, b{r} b)"""
+        )
+        sel.append(
+            f"SELECT CAST({r} AS BIGINT) AS merge_round, ls AS left_sym, "
+            f"rs AS right_sym, ls || rs AS merged, n AS n_occurrences FROM b{r}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel)
+
+
+@query(
+    "bpe_merge_train",
+    _bpe_train_oracle_sql(),
+    tags=("text", "vocab", "tokenizer", "iterative"),
+    doc=f"Multi-round BPE tokenizer TRAINING ({BPE_TRAIN_ROUNDS} merges): "
+    f"each round counts adjacent symbol pairs across the corpus "
+    f"weighted by word frequency, picks the most frequent pair "
+    f"(lexical tiebreak), and re-segments every word by applying the "
+    f"merge — the actual Sennrich et al. (2016) training loop, not "
+    f"just one candidate ranking. Pair work runs on the DISTINCT-word "
+    f"frequency table (the Zipf-head collapse that makes corpus-scale "
+    f"BPE feasible); re-segmentation is one builtin string replace on "
+    f"a space-wrapped symbol encoding (greedy left-to-right non-"
+    f"overlapping — exactly BPE's merge-application order); per round "
+    f"the driver sees ONE row (the argmax pair — the pagerank "
+    f"convergence-scalar discipline) and lineage is truncated with a "
+    f"localCheckpoint so round R never replays rounds 1..R-1. Fixed "
+    f"round budget on both engines makes the iterative fixpoint "
+    f"exact-hash-oracled (unrolled-CTE DuckDB twin).",
+)
+def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import seq1
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        F.regexp_replace("word", "(.)", " $1 ").alias("ws"), "freq"
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        syms = F.split(F.trim(F.col("ws")), "  ")
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    seq1(F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("ls"),
+                        F.element_at(syms, i + 1).alias("rs"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("freq", "p.ls", "p.rs")
+        # argmax via TakeOrderedAndProject; ONE row to the driver per
+        # round (the merge decision IS driver state in every BPE trainer)
+        best = (
+            pairs.groupBy("ls", "rs")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("ls"), F.asc("rs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # corpus fully merged before the budget — done
+            break
+        ls, rs, n = best[0].ls, best[0].rs, int(best[0].n)
+        merges.append((rnd, ls, rs, n))
+        cur = cur.select(
+            F.replace(
+                F.col("ws"), F.lit(f" {ls}  {rs} "), F.lit(f" {ls}{rs} ")
+            ).alias("ws"),
+            "freq",
+        ).localCheckpoint(eager=True)  # truncate per-round lineage
+    return spark.createDataFrame(
+        [(r, ls, rs, ls + rs, n) for r, ls, rs, n in merges],
+        "merge_round long, left_sym string, right_sym string, "
+        "merged string, n_occurrences long",
     )
 
 

@@ -592,3 +592,111 @@ def bigram_familiarity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm.cast("long").alias("familiarity_ppm"),
         (ppm >= FAMIL_KEEP_PPM).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (the fastText-style gate GPT-3/CCNet-
+# class pipelines run at ingest) — exact-integer, hash-oracled
+
+CLS_BUCKETS = 512  # hashing-trick feature space (fastText uses 2M; same shape)
+CLS_W_RANGE = 2001  # integer weights in [0, 2000], centered at 1000
+CLS_KEEP_MILLI = 1_000_000  # keep docs whose mean feature weight >= center
+
+
+def cls_weight(b) -> F.Column:
+    """Deterministic stand-in for a TRAINED weight vector: weight(b) =
+    60-bit md5 prefix of 'clsw:<b>' mod 2001 — uniform integers in
+    [0, 2000]. A production pipeline swaps this formula for a loaded
+    weight table; every downstream shape (broadcast join, integer
+    scoring, gate) is unchanged."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("clsw:"), b.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % CLS_W_RANGE
+    )
+
+
+@query(
+    "classifier_quality_gate",
+    f"""
+    WITH w AS (
+      SELECT b, CAST(concat('0x', substr(md5(concat('clsw:', CAST(b AS VARCHAR))), 1, 15))
+                 AS BIGINT) % {CLS_W_RANGE} AS wt
+      FROM range({CLS_BUCKETS}) t(b)
+    ),
+    t AS (
+      SELECT doc_id, source, string_split({_NORM_SQL}, ' ') AS ws
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 15))
+                  AS BIGINT) % {CLS_BUCKETS} AS b
+      FROM t, UNNEST(range(1, len(ws))) AS r(i)
+      WHERE len(ws) >= 2
+    ),
+    pdb AS (
+      SELECT doc_id, source, b, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT doc_id, source,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(c * wt) AS BIGINT) AS w_sum
+      FROM pdb JOIN w USING (b)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_bigrams, w_sum,
+           w_sum * 1000 // n_bigrams AS score_milli,
+           w_sum * 1000 // n_bigrams >= {CLS_KEEP_MILLI} AS keep
+    FROM sc
+    """,
+    tags=("curation", "quality", "classifier"),
+    doc=f"Hashed linear quality-classifier gate — the fastText-style "
+    f"scorer the GPT-3/CCNet-class pipelines run over every ingest "
+    f"document: hashing-trick bigram features (md5 mod {CLS_BUCKETS}, "
+    f"the dsir_bucket machinery) x an integer weight table, score = "
+    f"mean feature weight in exact milli-units, keep iff score >= "
+    f"{CLS_KEEP_MILLI}. Weights here are hash-derived stand-ins for a "
+    f"trained vector (swap cls_weight for a loaded table; the serving "
+    f"shape is identical). Plan: one map-side-combined (doc, bucket) "
+    f"count, a {CLS_BUCKETS}-row BROADCAST weight join (the "
+    f"stream_dsir_gate lean-index shape — weight tables are "
+    f"config-sized, never corpus-sized), one doc-grain agg. Zero UDFs, "
+    f"exact integers end to end.",
+)
+def classifier_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(_norm(F.col("text")), " ")
+    occ = (
+        docs.filter(F.size(ws) >= 2)
+        .select("doc_id", "source", F.explode(word_ngrams(ws, 2)).alias("gram"))
+        .select(
+            "doc_id", "source", dsir_bucket(F.col("gram"), CLS_BUCKETS).alias("b")
+        )
+    )
+    pdb = occ.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("c"))
+    weights = spark.range(CLS_BUCKETS).select(
+        F.col("id").alias("b"), cls_weight(F.col("id")).alias("wt")
+    )
+    sc = (
+        pdb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("wt")).cast("long").alias("w_sum"),
+        )
+    )
+    score = F.expr("w_sum * 1000 div n_bigrams")
+    return sc.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "w_sum",
+        score.alias("score_milli"),
+        (score >= CLS_KEEP_MILLI).alias("keep"),
+    )

@@ -216,9 +216,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = m_rk.select(
         "monetary",
-        ntile_from_rank("_r", n, 4).cast("int").alias("r_quartile"),
-        ntile_from_rank("_f", n, 4).cast("int").alias("f_quartile"),
-        ntile_from_rank("_m", n, 4).cast("int").alias("m_quartile"),
+        ntile_from_rank("_r", n, 4).cast("long").alias("r_quartile"),
+        ntile_from_rank("_f", n, 4).cast("long").alias("f_quartile"),
+        ntile_from_rank("_m", n, 4).cast("long").alias("m_quartile"),
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -150,7 +150,7 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
       FROM events
     )
-    SELECT f.cohort_week AS cohort_week,
+    SELECT CAST(f.cohort_week AS TIMESTAMP_NS) AS cohort_week,
            CAST(DATEDIFF('week', f.cohort_week, a.activity_week) AS BIGINT) AS week_offset,
            COUNT(*) AS n_users
     FROM activity a JOIN firsts f USING (user_id)

@@ -510,6 +510,7 @@ def ivf_topk_from(
     query_ids,
     k: int = 5,
     probes: int = 2,
+    probe_cids_out: list | None = None,
 ) -> DataFrame:
     """Artifact-mode IVF top-k: serve queries from a PERSISTED
     cid-bucketed assignment table (ivf_index_build) instead of
@@ -548,6 +549,10 @@ def ivf_topk_from(
         .localCheckpoint(eager=True)  # scanned twice: cid collect + join
     )
     probe_cids = sorted({r.cid for r in probes_df.select("cid").distinct().collect()})
+    if probe_cids_out is not None:
+        # expose the literal probe set so tests/callers can assert the
+        # FileScan's SelectedBucketsCount against the REAL pruning target
+        probe_cids_out.extend(probe_cids)
     scored = (
         assigned.filter(F.col("cid").isin(probe_cids))
         .join(F.broadcast(probes_df), "cid")

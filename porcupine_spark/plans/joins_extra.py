@@ -154,7 +154,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .where(F.col("edit_dist") <= FUZZY_MAX_DIST)
         .select("name_a", "name_b", "edit_dist", "parts_a", "parts_b")
     )
@@ -357,7 +357,7 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rk_b") > F.col("rk_a"))
             & (F.col("rk_b") <= F.col("rk_a") + SN_WINDOW)
         )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
         .where(F.col("edit_dist") <= 4)
         .select(
             "name_a", "name_b",

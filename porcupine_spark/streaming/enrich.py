@@ -380,3 +380,100 @@ def _late_bind_dsir_gate() -> None:
 
 
 _late_bind_dsir_gate()
+
+
+@query(
+    "stream_familiarity_gate",
+    None,  # late-bound below: composes bigram_familiarity_gate's oracle
+    tags=("streaming", "curation", "quality", "lm-filter"),
+    doc="Streaming twin of the LM-familiarity gate "
+    "(bigram_familiarity_gate): arriving documents are scored against "
+    "the batch-trained familiar-bigram table via a STREAM-STATIC join "
+    "— the production ingest shape when the index is corpus-sized and "
+    "cannot be a literal (the bigram vocab grows with the corpus, "
+    "unlike DSIR's fixed 1024 buckets; at 100 TB the static side is a "
+    "persisted bucketed artifact and Spark plans the join per "
+    "micro-batch with zero stream-side join state). One streaming "
+    "aggregation at document grain (count + conditional sum over the "
+    "joined occurrences), then the ppm gate + per-source rollup run "
+    "batch-side on the micro-result — the stream_topk_trending "
+    "layering, because Structured Streaming allows one stateful agg "
+    "per query. Index built from the stream's own corpus so stream == "
+    "batch exactly (the stream_dsir_gate wrinkle, inherited honestly); "
+    "production scores today's crawl against yesterday's counts. "
+    "Oracle = bigram_familiarity_gate's, rolled up per source.",
+)
+def stream_familiarity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import word_ngrams
+    from porcupine_spark.operators.curation import (
+        FAMIL_KEEP_PPM,
+        FAMIL_MIN_N,
+        FAMIL_SCALE,
+        _norm,
+    )
+    from porcupine_spark.tables import load_docs_stream
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    # batch phase: train the familiar-bigram table with the SAME shared
+    # expressions the batch gate uses (curation._norm + word_ngrams), so
+    # the gate cannot drift from bigram_familiarity_gate by a stale copy
+    docs = load_table(ns, sf_dir, "documents")
+    ws = F.split(_norm(F.col("text")), " ")
+    familiar = (
+        docs.filter(F.size(ws) >= 2)
+        .select(F.explode(word_ngrams(ws, 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= FAMIL_MIN_N)
+        .select("gram")
+    )
+
+    stream = load_docs_stream(ns, sf_dir)
+    occ = (
+        stream.filter(F.size(ws) >= 2)
+        .select("doc_id", "source", F.explode(word_ngrams(ws, 2)).alias("gram"))
+    )
+    # stream-static join: familiar is a regular DataFrame; Spark replans
+    # it per micro-batch, keeping zero join state on the stream side
+    joined = occ.join(
+        familiar.withColumn("is_fam", F.lit(1)), "gram", "left"
+    )
+    perdoc = joined.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(F.coalesce(F.col("is_fam"), F.lit(0))).cast("long").alias("n_familiar"),
+    )
+    name = f"sfgate_{uuid.uuid4().hex[:8]}"
+    q = (
+        perdoc.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ppm = F.expr(
+        f"CAST(n_familiar AS DECIMAL(38,0)) * {FAMIL_SCALE} div n_bigrams"
+    )
+    return (
+        ns.table(name)
+        .select("source", (ppm >= FAMIL_KEEP_PPM).cast("long").alias("keep"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("keep").alias("n_keep"))
+    )
+
+
+def _late_bind_familiarity_gate() -> None:
+    from porcupine_spark.operators import curation as _cur2  # noqa: F401
+
+    _REG["stream_familiarity_gate"].oracle = f"""
+    WITH s AS ({_REG["bigram_familiarity_gate"].oracle})
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM s GROUP BY source
+    """
+
+
+_late_bind_familiarity_gate()

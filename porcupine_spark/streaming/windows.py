@@ -357,9 +357,9 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("window_start").orderBy(
         F.col("n").desc(), F.col("event_type")
     )
-    return counts.withColumn("rk", F.row_number().over(wr)).where(
-        F.col("rk") <= TRENDING_K
-    )
+    return counts.withColumn(
+        "rk", F.row_number().over(wr).cast("long")
+    ).where(F.col("rk") <= TRENDING_K)
 
 
 @query(

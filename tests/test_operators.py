@@ -202,6 +202,30 @@ def test_connected_components_chain_and_islands(spark, monkeypatch):
     assert out == expected
 
 
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """A deep path graph whose diameter exceeds max_rounds must FAIL
+    LOUDLY — a silent return there would hand back wrong components
+    (labels still propagating down the chain)."""
+    import pytest
+
+    from porcupine_spark.operators.components import connected_components
+
+    # path 0-1-2-...-12: min-label needs ~12 rounds to reach the far end
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=3, union_find_max_edges=0)
+    # and with enough rounds the same graph converges exactly
+    out = {
+        r.node: r.component
+        for r in connected_components(
+            edges, max_rounds=20, union_find_max_edges=0
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(13)}
+
+
 def test_approx_sketches_close_to_exact(spark, sf_dir):
     """approx_count_distinct / percentile_approx: the at-scale sketch
     variants stay within tolerance of exact (engine-only: sketches are
@@ -724,7 +748,11 @@ def test_ivf_index_persistence_artifact_mode(spark, sf_dir, tmp_path):
             (r.query_id, r.rank): (r.neighbor_id, r.cosine)
             for r in ivf_topk_generic(emb, cents, qids, k=5, probes=2).collect()
         }
-        served_df = ivf_topk_from(spark, "ivf_idx_test", cents, qids, k=5, probes=2)
+        probed_cids: list = []
+        served_df = ivf_topk_from(
+            spark, "ivf_idx_test", cents, qids, k=5, probes=2,
+            probe_cids_out=probed_cids,
+        )
         served = {
             (r.query_id, r.rank): (r.neighbor_id, r.cosine)
             for r in served_df.collect()
@@ -741,11 +769,23 @@ def test_ivf_index_persistence_artifact_mode(spark, sf_dir, tmp_path):
 
         m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
         assert m, "bucketed scan must advertise bucket pruning"
-        n_probed_cids = served_df.sparkSession.table("ivf_idx_test").select(
-            "cid"
-        ).distinct().count()
         assert int(m.group(1)) < int(m.group(2)), plan[:400]
-        assert int(m.group(1)) <= n_probed_cids
+        # the scan must read EXACTLY the buckets the probed cids hash
+        # into (bucket id = pmod(murmur3(cid), n) — Spark's bucket spec),
+        # not merely fewer than the total
+        assert probed_cids, "ivf_topk_from must expose its probe set"
+        total_buckets = int(m.group(2))
+        expected_sel = (
+            spark.table("ivf_idx_test")
+            .filter(F.col("cid").isin(sorted(set(probed_cids))))
+            .select(F.pmod(F.hash("cid"), F.lit(total_buckets)).alias("b"))
+            .distinct()
+            .count()
+        )
+        assert int(m.group(1)) == expected_sel, (
+            f"scan read {m.group(1)} buckets; probed cids "
+            f"{sorted(set(probed_cids))} occupy {expected_sel}"
+        )
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
 

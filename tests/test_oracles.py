@@ -138,6 +138,38 @@ REPRESENTATIVE = [
 ]
 
 
+# VERDICT r6 #7: the driver samples the same 50 queries every round, so
+# the in-repo gate ROTATES a deterministic extra slice of the full
+# oracled registry by round counter — successive rounds accumulate
+# driver-grade coverage over all ~250 queries instead of re-checking a
+# frozen set. Round r checks registry names with index % _ROTATE_K ==
+# (r % _ROTATE_K) (sorted order), minus what REPRESENTATIVE already
+# covers. The counter is the number of recorded CORRECTNESS_r*.json
+# artifacts — monotone per round, identical for every run in a round.
+_ROTATE_K = 5
+
+
+def _round_counter() -> int:
+    import glob
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))) + 1
+
+
+def _rotating_subset() -> list[str]:
+    from porcupine_spark.plans.registry import load_all_plans
+
+    names = sorted(
+        n for n, s in load_all_plans().items() if s.oracle is not None
+    )
+    rep = set(REPRESENTATIVE)
+    r = _round_counter() % _ROTATE_K
+    return [n for i, n in enumerate(names) if i % _ROTATE_K == r and n not in rep]
+
+
+ROTATING = _rotating_subset()
+
+
 @pytest.fixture(scope="module")
 def oracle_con(sf_dir):
     con = duckdb.connect()
@@ -171,8 +203,7 @@ def test_all_tables_load(spark, sf_dir):
         assert len(df.schema.fields) > 0, t
 
 
-@pytest.mark.parametrize("name", REPRESENTATIVE)
-def test_oracle_parity(spark, sf_dir, oracle_con, name):
+def _assert_parity(spark, sf_dir, oracle_con, name):
     from porcupine_spark.plans.registry import load_all_plans
 
     spec = load_all_plans()[name]
@@ -183,3 +214,16 @@ def test_oracle_parity(spark, sf_dir, oracle_con, name):
     assert len(sdf) == len(odf), f"rows: spark={len(sdf)} oracle={len(odf)}"
     a, b = canon(sdf, 0.0), canon(odf, 0.0)
     assert a == b, f"values differ; first diff: {next((x, y) for x, y in zip(a, b) if x != y)}"
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_oracle_parity(spark, sf_dir, oracle_con, name):
+    _assert_parity(spark, sf_dir, oracle_con, name)
+
+
+@pytest.mark.parametrize("name", ROTATING)
+def test_oracle_parity_rotating(spark, sf_dir, oracle_con, name):
+    """Round-rotated slice of the full oracled registry (see module
+    docstring note) — deterministic within a round, different across
+    rounds, so the suite accumulates full-registry coverage."""
+    _assert_parity(spark, sf_dir, oracle_con, name)

@@ -1,0 +1,148 @@
+"""Round-7 additions: multi-round BPE trainer, hashed linear classifier
+gate, streaming familiarity gate, convergence backstop.
+
+The oracle sweep proves engine parity; these tests pin the SEMANTICS
+that parity alone wouldn't catch — greedy non-overlapping merge
+application, merge chaining across rounds, stream-vs-batch result
+parity, and plan shapes (broadcast weight table, no global window).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bpe_wrapped_replace_is_greedy_nonoverlapping(spark):
+    """The space-wrapped encoding + builtin replace must implement
+    BPE's greedy left-to-right NON-overlapping merge pass: [a,a,a,a]
+    with merge (a,a) becomes [aa,aa], and [a,a,a] becomes [aa,a] —
+    the cases a shared-separator encoding gets wrong."""
+    df = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("aba",)], "word string"
+    ).select(F.regexp_replace("word", "(.)", " $1 ").alias("ws"))
+    merged = df.select(
+        F.split(
+            F.trim(F.replace(F.col("ws"), F.lit(" a  a "), F.lit(" aa "))), "  "
+        ).alias("syms")
+    )
+    got = sorted(tuple(r.syms) for r in merged.collect())
+    assert got == sorted([("aa", "aa"), ("aa", "a"), ("a", "b", "a")])
+
+
+def test_bpe_merge_train_chains_merges(spark):
+    """Training must RE-SEGMENT between rounds: on a corpus dominated by
+    one repeated word, later rounds merge symbols that only exist
+    because earlier rounds created them."""
+    from porcupine_spark.operators.corpus import bpe_merge_train
+
+    rows = bpe_merge_train(spark, "/root/testdata/sf0.001").collect()
+    assert [r.merge_round for r in rows] == list(range(1, len(rows) + 1))
+    produced = set()
+    chained = 0
+    for r in rows:
+        if r.left_sym in produced or r.right_sym in produced:
+            chained += 1
+        produced.add(r.merged)
+        assert r.merged == r.left_sym + r.right_sym
+    # real text at any sf yields at least one chained merge in 8 rounds
+    assert chained >= 1, [tuple(r) for r in rows]
+    # counts are non-increasing is NOT guaranteed (re-segmentation can
+    # expose new pairs), but every count must be positive
+    assert all(r.n_occurrences > 0 for r in rows)
+
+
+def test_classifier_gate_plan_broadcasts_weights_no_udf(spark):
+    """The weight table is config-sized — the plan must broadcast it
+    (never shuffle the corpus side for it) and stay UDF-free."""
+    from porcupine_spark.plans.registry import load_all_plans
+
+    df = load_all_plans()["classifier_quality_gate"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    keeps = {r.keep for r in rows}
+    assert keeps == {True, False}, "gate must discriminate, not pass/fail all"
+
+
+def test_stream_familiarity_gate_matches_batch_rollup(spark):
+    """VERDICT r6 #8: the streaming gate must agree with the batch gate
+    rolled up per source — same corpus, same index, same keep set."""
+    from porcupine_spark.plans.registry import load_all_plans
+
+    plans = load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.source: (r.n_docs, r.n_keep)
+        for r in plans["stream_familiarity_gate"].builder(spark, sf).collect()
+    }
+    batch = (
+        plans["bigram_familiarity_gate"]
+        .builder(spark, sf)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+    )
+    want = {r.source: (r.n_docs, r.n_keep) for r in batch.collect()}
+    assert got == want
+    assert sum(v[1] for v in want.values()) > 0  # the gate keeps something
+
+
+def test_bpe_train_no_global_window(spark):
+    """The per-round argmax must plan as TakeOrderedAndProject (limit 1),
+    never a partition-less window over the pair table."""
+    import io
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+        ),
+    )
+    from plan_audit import has_global_window
+
+    from porcupine_spark.plans.registry import load_all_plans
+
+    df = load_all_plans()["bpe_merge_train"].builder(spark, "/root/testdata/sf0.001")
+    # result is a driver-built literal table; the plan guard that matters
+    # is the per-round pair ranking, exercised inside the builder. Build
+    # the round-1 pair plan directly and check it.
+    from porcupine_spark.functions import seq1
+    from porcupine_spark.operators.text import tokens
+    from porcupine_spark.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(F.regexp_replace("word", "(.)", " $1 ").alias("ws"), "freq")
+    syms = F.split(F.trim(F.col("ws")), "  ")
+    pairs = cur.select(
+        "freq",
+        F.explode(
+            F.transform(
+                seq1(F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("ls"),
+                    F.element_at(syms, i + 1).alias("rs"),
+                ),
+            )
+        ).alias("p"),
+    ).select("freq", "p.ls", "p.rs")
+    best = (
+        pairs.groupBy("ls", "rs")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ls"), F.asc("rs"))
+        .limit(1)
+    )
+    plan = best._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert not has_global_window(plan)

@@ -200,3 +200,48 @@ def test_global_rank_property_random_partitioning(spark):
         assert n == len(vals) and sums["cv"] == sum(vals)
 
     prop()
+
+
+def test_ranked_topk_filters_null_scores(spark):
+    """ADVICE r6: the two ranking stages disagree on NULL placement, so
+    NULL scores are dropped BEFORE the limit — with fewer than k
+    non-null rows, only the non-null ones come back, ranked densely."""
+    df = spark.createDataFrame(
+        [(3, "a"), (None, "b"), (1, "c"), (None, "d")],
+        "score long, key string",
+    )
+    rows = sorted(
+        (r.key, r.rk) for r in ranked_topk(df, "score", ["key"], 4).collect()
+    )
+    assert rows == [("a", 1), ("c", 2)]
+
+
+def test_global_rank_cumsum_with_null_inputs(spark):
+    """ADVICE r6: NULL summed values must not poison the running sum —
+    a global window sum skips NULLs and carries the prior total through
+    them, so rows before a partition's first non-null value must too."""
+    # enough rows to spread over several range partitions, with NULL vals
+    data = [(i, None if i % 3 == 0 else i) for i in range(200)]
+    df = spark.createDataFrame(data, "tb long, v long")
+    got, n, sums = global_rank(df, [F.asc("tb")], cumsum={"cv": "v"})
+    w = W.orderBy(F.asc("tb"))
+    want = df.select(
+        "tb",
+        F.sum("v").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cv"),
+    )
+    got_rows = sorted((r.tb, r.cv) for r in got.select("tb", "cv").collect())
+    want_rows = sorted((r.tb, r.cv) for r in want.collect())
+    assert got_rows == want_rows
+    assert n == 200 and sums["cv"] == sum(v for _, v in data if v is not None)
+
+
+def test_global_rank_rejects_reserved_column_collisions(spark):
+    """ADVICE r6: withColumn silently REPLACES an existing column, so a
+    caller whose frame already carries a scratch/rank name must get a
+    loud error, not corrupted ranks."""
+    df = spark.createDataFrame([(1, 2)], "v long, rk long")
+    with pytest.raises(ValueError, match="reserved"):
+        global_rank(df, [F.asc("v")])
+    df2 = spark.createDataFrame([(1, 2)], "v long, _gr_pid long")
+    with pytest.raises(ValueError, match="reserved"):
+        global_rank(df2, [F.asc("v")], rank_col="rank")

@@ -72,6 +72,10 @@ def main() -> int:
                     help="rewrite the shuffle baseline from BENCH_DETAIL.json")
     ap.add_argument("--skip-plans", action="store_true",
                     help="skip the (slow) PLAN_AUDIT regeneration")
+    ap.add_argument("--oracle-strict", action="store_true",
+                    help="run the FULL dtype-strict oracle sweep at sf0.01 "
+                    "(~10 min; VERDICT r6 #3 — a dtype-strict driver schema "
+                    "check must never trip on a sampled query)")
     args = ap.parse_args()
 
     registry = set(load_all_plans().keys())
@@ -116,6 +120,28 @@ def main() -> int:
     except FileNotFoundError:
         ok &= check("BENCH_DETAIL.json covers registry", False, "missing — run bench.py")
 
+    # 3b. headline-timing stability: the slowest queries must carry >= 3
+    # samples with median+spread (VERDICT r6 #1), and any of them whose
+    # spread exceeds 25% is FLAGGED (warn, not fail — host noise is
+    # environmental, but the next verdict must see it called out)
+    try:
+        rd = detail.get("runs_detail", {})
+        top = detail.get("top_extra_queries", [])
+        ok &= check(
+            "BENCH_DETAIL carries runs/median/spread for top queries",
+            bool(top) and all(len(rd.get(q, {}).get("runs", [])) >= 3 for q in top),
+            f"{len(top)} headline queries",
+        )
+        noisy = sorted(
+            (q, rd[q]["spread"]) for q in top if rd.get(q, {}).get("spread", 0) > 0.25
+        )
+        for q, s in noisy:
+            print(f"WARN noisy headline timing: {q} spread={s:.0%} "
+                  f"runs={rd[q]['runs']} — treat round-over-round deltas "
+                  f"on this query as noise")
+    except NameError:
+        pass  # BENCH_DETAIL.json missing — already failed above
+
     # 4. shuffle baseline coverage (optionally rebaseline from detail)
     if args.rebaseline:
         import shuffle_regressions
@@ -154,6 +180,16 @@ def main() -> int:
                     f"{len(tnames)}/{n}" + (f", missing {missing[:5]}" if missing else ""))
     except FileNotFoundError:
         ok &= check("10x sidecar covers registry", False, "missing")
+
+    # 7. optional: full dtype-strict oracle sweep (slow, opt-in)
+    if args.oracle_strict:
+        import subprocess
+
+        rc = subprocess.call(
+            [sys.executable, os.path.join(ROOT, "tools", "verify_oracles.py"),
+             "--strict-dtypes"]
+        )
+        ok &= check("dtype-strict oracle sweep", rc == 0, f"exit {rc}")
 
     print("release check:", "CLEAN" if ok else "STALE ARTIFACTS")
     return 0 if ok else 1

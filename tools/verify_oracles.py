@@ -62,6 +62,12 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default="")
     ap.add_argument("--tol", type=float, default=0.0, help="relative float tolerance (0=exact)")
+    ap.add_argument(
+        "--strict-dtypes",
+        action="store_true",
+        help="treat spark-vs-oracle pandas dtype drift as FAILURE, not a note "
+        "(guards against a dtype-strict driver schema check)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -100,11 +106,17 @@ def main() -> int:
             continue
         problems = []
         if sorted(sdf.columns) == sorted(odf.columns):
-            # dtype drift is a warning (the driver may or may not hash types)
+            # dtype drift is a warning by default (the driver may or may
+            # not hash types); --strict-dtypes promotes it to failure
             for c in sorted(sdf.columns):
                 st_, ot_ = str(sdf[c].dtype), str(odf[c].dtype)
                 if st_ != ot_:
-                    print(f"  dtype  {name}.{c}: spark={st_} oracle={ot_}")
+                    # all-null object columns differ vacuously; real drift
+                    # is a concrete dtype pair
+                    if args.strict_dtypes:
+                        problems.append(f"dtype {c}: spark={st_} oracle={ot_}")
+                    else:
+                        print(f"  dtype  {name}.{c}: spark={st_} oracle={ot_}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         elif len(sdf) != len(odf):
