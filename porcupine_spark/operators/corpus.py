@@ -960,19 +960,20 @@ BPE_TRAIN_ROUNDS = 8  # fixed merge budget (real trainers run to |vocab|)
 # delimiter. Identical semantics in Spark's replace() and DuckDB's.
 
 
-def _bpe_train_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
-    """Unrolled-CTE mirror of bpe_merge_train (fixed round budget — the
-    kcore/pagerank recipe for exact-hash-oracling an iterative op)."""
+def _bpe_chain_ctes(rounds: int = BPE_TRAIN_ROUNDS) -> list[str]:
+    """The shared unrolled-CTE merge chain (w0..w{rounds}, b1..b{rounds})
+    — `word` is carried through every round so downstream CTEs can join
+    encoded lengths back to documents (bpe_encode_tokens needs it; the
+    replace chain itself only touches ws)."""
     ctes = [
         f"""w0 AS MATERIALIZED (
-      SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS ws, freq FROM (
+      SELECT word, regexp_replace(word, '(.)', ' \\1 ', 'g') AS ws, freq FROM (
         SELECT tok AS word, COUNT(*) AS freq
         FROM (SELECT {_SQL_TOKS} AS toks FROM documents),
              LATERAL (SELECT UNNEST(toks) AS tok) u
         WHERE tok <> ''
         GROUP BY tok))"""
     ]
-    sel = []
     for r in range(1, rounds + 1):
         prev = r - 1
         ctes.append(
@@ -988,14 +989,22 @@ def _bpe_train_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
         )
         ctes.append(
             f"""w{r} AS MATERIALIZED (
-      SELECT replace(w.ws, ' ' || b.ls || '  ' || b.rs || ' ',
+      SELECT w.word, replace(w.ws, ' ' || b.ls || '  ' || b.rs || ' ',
                      ' ' || b.ls || b.rs || ' ') AS ws, w.freq
       FROM w{prev} w, b{r} b)"""
         )
-        sel.append(
-            f"SELECT CAST({r} AS BIGINT) AS merge_round, ls AS left_sym, "
-            f"rs AS right_sym, ls || rs AS merged, n AS n_occurrences FROM b{r}"
-        )
+    return ctes
+
+
+def _bpe_train_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Unrolled-CTE mirror of bpe_merge_train (fixed round budget — the
+    kcore/pagerank recipe for exact-hash-oracling an iterative op)."""
+    ctes = _bpe_chain_ctes(rounds)
+    sel = [
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, ls AS left_sym, "
+        f"rs AS right_sym, ls || rs AS merged, n AS n_occurrences FROM b{r}"
+        for r in range(1, rounds + 1)
+    ]
     return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(sel)
 
 
@@ -1020,6 +1029,24 @@ def _bpe_train_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
     f"exact-hash-oracled (unrolled-CTE DuckDB twin).",
 )
 def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train_chain(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r, ls, rs, ls + rs, n) for r, ls, rs, n in merges],
+        "merge_round long, left_sym string, right_sym string, "
+        "merged string, n_occurrences long",
+    )
+
+
+def _bpe_train_chain(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_TRAIN_ROUNDS
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the BPE merge chain; return (merges, final word table).
+
+    The returned DataFrame is (word, ws, freq) with ws the word's
+    space-wrapped symbol string AFTER all merges — bpe_merge_train
+    reports the merges, bpe_encode_tokens joins the final segmentation
+    back to documents. The `word` column rides along untouched so the
+    chain stays joinable (mirrored in the oracle's _bpe_chain_ctes)."""
     from porcupine_spark.functions import seq1
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1031,10 +1058,10 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     cur = words.select(
-        F.regexp_replace("word", "(.)", " $1 ").alias("ws"), "freq"
+        "word", F.regexp_replace("word", "(.)", " $1 ").alias("ws"), "freq"
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         syms = F.split(F.trim(F.col("ws")), "  ")
         pairs = cur.select(
             "freq",
@@ -1062,15 +1089,89 @@ def bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ls, rs, n = best[0].ls, best[0].rs, int(best[0].n)
         merges.append((rnd, ls, rs, n))
         cur = cur.select(
+            "word",
             F.replace(
                 F.col("ws"), F.lit(f" {ls}  {rs} "), F.lit(f" {ls}{rs} ")
             ).alias("ws"),
             "freq",
         ).localCheckpoint(eager=True)  # truncate per-round lineage
-    return spark.createDataFrame(
-        [(r, ls, rs, ls + rs, n) for r, ls, rs, n in merges],
-        "merge_round long, left_sym string, right_sym string, "
-        "merged string, n_occurrences long",
+    return merges, cur
+
+
+def _bpe_encode_oracle_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    """Encode-side mirror: the shared merge chain, then per-word subword
+    counts joined back to every token occurrence, rolled up per source."""
+    ctes = _bpe_chain_ctes(rounds)
+    ctes.append(
+        f"""enc AS MATERIALIZED (
+      SELECT word, freq, CAST(len(string_split(trim(ws), '  ')) AS BIGINT) AS n_sub
+      FROM w{rounds})"""
+    )
+    ctes.append(
+        f"""docw AS (
+      SELECT source, tok AS word
+      FROM (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+           LATERAL (SELECT UNNEST(toks) AS tok) u
+      WHERE tok <> '')"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_sub) AS BIGINT) AS n_subword_tokens,
+           CAST(CAST(SUM(e.n_sub) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT)
+             AS fertility_milli
+    FROM docw d JOIN enc e USING (word)
+    GROUP BY d.source"""
+    )
+
+
+@query(
+    "bpe_encode_tokens",
+    _bpe_encode_oracle_sql(),
+    tags=("text", "vocab", "tokenizer", "iterative"),
+    doc=f"BPE ENCODE pass — the serving half of the tokenizer story: "
+    f"apply the {BPE_TRAIN_ROUNDS} trained merges (bpe_merge_train's "
+    f"chain, shared code) to every distinct word, then charge each "
+    f"token OCCURRENCE its subword length and roll up per source: "
+    f"word count, subword-token count, fertility (subwords per word, "
+    f"exact milli). This is the token-budget accounting a pretraining "
+    f"data plan runs after training a tokenizer — and the per-source "
+    f"fertility spread shows which sources get expensive to encode. "
+    f"Scale shape: encoding happens ONCE per distinct word (Zipf-head "
+    f"collapse again), then one vocab-keyed equi-join of occurrences "
+    f"against the encoded vocab (corpus-linear, AQE-planned) and a "
+    f"|sources|-row aggregate.",
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, encoded = _bpe_train_chain(spark, sf_dir)
+    enc = encoded.select(
+        "word",
+        F.size(F.split(F.trim(F.col("ws")), "  ")).cast("long").alias("n_sub"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    docw = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        docw.join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subword_tokens"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_subword_tokens",
+            F.expr(
+                "CAST(n_subword_tokens AS DECIMAL(38,0)) * 1000 div n_words"
+            )
+            .cast("long")
+            .alias("fertility_milli"),
+        )
     )
 
 

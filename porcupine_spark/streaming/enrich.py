@@ -477,3 +477,90 @@ def _late_bind_familiarity_gate() -> None:
 
 
 _late_bind_familiarity_gate()
+
+
+@query(
+    "stream_classifier_gate",
+    None,  # late-bound below: composes classifier_quality_gate's oracle
+    tags=("streaming", "curation", "quality", "classifier"),
+    doc="Streaming twin of the hashed linear classifier gate "
+    "(classifier_quality_gate): arriving documents are scored against "
+    "the weight vector embedded as a LITERAL long array in the "
+    "streaming plan — weights hash into a FIXED 512-bucket feature "
+    "space, so unlike the familiarity gate's corpus-sized count table "
+    "this index is a constant (the stream_dsir_gate topology; "
+    "production swaps in the trained vector per model push). Per row "
+    "everything is JVM array expressions — bigrams, hash-bucket, "
+    "aggregate weight sum — ZERO streaming state besides the "
+    "|sources|-key rollup, so an unbounded crawl costs one scan. "
+    "Oracle = classifier_quality_gate's, rolled up per source.",
+)
+def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions import word_ngrams
+    from porcupine_spark.operators.curation import (
+        CLS_BUCKETS,
+        CLS_KEEP_MILLI,
+        _norm,
+        cls_weight,
+        dsir_bucket,
+    )
+    from porcupine_spark.tables import load_docs_stream
+
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    # the whole weight vector is CLS_BUCKETS ints — materialize once
+    # driver-side (config-width, independent of corpus size) and embed
+    # as a literal, exactly like stream_dsir_gate's lean index
+    wrows = (
+        ns.range(CLS_BUCKETS)
+        .select(F.col("id").alias("b"), cls_weight(F.col("id")).alias("wt"))
+        .collect()
+    )
+    wts = [0] * CLS_BUCKETS
+    for r in wrows:
+        wts[r.b] = int(r.wt)
+    wt_lit = F.array(*[F.lit(x).cast("long") for x in wts])
+
+    stream = load_docs_stream(ns, sf_dir)
+    ws = F.split(_norm(F.col("text")), " ")
+    grams = word_ngrams(ws, 2)
+    w_sum = F.aggregate(
+        grams,
+        F.lit(0).cast("long"),
+        lambda acc, g: acc
+        + F.element_at(wt_lit, (dsir_bucket(g, CLS_BUCKETS) + 1).cast("int")),
+    )
+    scored = stream.filter(F.size(ws) >= 2).select(
+        "source",
+        w_sum.alias("w_sum"),
+        F.size(grams).cast("long").alias("n_bigrams"),
+    ).select(
+        "source",
+        (
+            F.expr("w_sum * 1000 div n_bigrams") >= CLS_KEEP_MILLI
+        ).cast("long").alias("keep"),
+    )
+    agg = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("keep").alias("n_keep")
+    )
+    name = f"scgate_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return ns.table(name).select("source", "n_docs", "n_keep")
+
+
+def _late_bind_classifier_gate() -> None:
+    from porcupine_spark.operators import curation as _cur3  # noqa: F401
+
+    _REG["stream_classifier_gate"].oracle = f"""
+    WITH s AS ({_REG["classifier_quality_gate"].oracle})
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM s GROUP BY source
+    """
+
+
+_late_bind_classifier_gate()

@@ -146,3 +146,56 @@ def test_bpe_train_no_global_window(spark):
     plan = best._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert not has_global_window(plan)
+
+
+def test_stream_classifier_gate_matches_batch_rollup(spark):
+    """The literal-weight streaming scorer must agree with the batch
+    broadcast-join scorer rolled up per source."""
+    from porcupine_spark.plans.registry import load_all_plans
+
+    plans = load_all_plans()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.source: (r.n_docs, r.n_keep)
+        for r in plans["stream_classifier_gate"].builder(spark, sf).collect()
+    }
+    batch = (
+        plans["classifier_quality_gate"]
+        .builder(spark, sf)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+    )
+    want = {r.source: (r.n_docs, r.n_keep) for r in batch.collect()}
+    assert got == want
+
+
+def test_bpe_encode_fertility_bounds(spark):
+    """Encoding invariants: every word costs at least 1 subword and at
+    most its character count; 8 merges must compress SOMETHING, so
+    corpus fertility lands strictly between 1.0 and the char-level
+    ceiling."""
+    from porcupine_spark.operators.corpus import bpe_encode_tokens
+    from porcupine_spark.operators.text import tokens
+    from porcupine_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = bpe_encode_tokens(spark, sf).collect()
+    assert rows
+    total_words = sum(r.n_words for r in rows)
+    total_sub = sum(r.n_subword_tokens for r in rows)
+    docs = load_table(spark, sf, "documents")
+    total_chars = (
+        docs.select(
+            F.explode(tokens(F.col("text"))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    assert total_words <= total_sub < total_chars
+    for r in rows:
+        assert r.fertility_milli >= 1000
+        assert r.fertility_milli == r.n_subword_tokens * 1000 // r.n_words
