@@ -408,17 +408,35 @@ def pagerank_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
         .distinct()
     )
+    # node ids are PACKED LONGS inside the loop (customer 2k, supplier
+    # 2k+1), not 'c:<k>'/'s:<k>' strings: the per-iteration shuffle rows
+    # are (node, rank) pairs, so with string ids the shuffle mass is
+    # O(E * digits(key)) — measured on the synthetic 10x corpus (whose
+    # key stride lengthens every id to 8+ digits), string keys grew
+    # bytes 14.5x for 10x edges (nobcast A/B 14.6x, edge count exactly
+    # 10.0x, avg key bytes 11.1 -> 19.1 = 1.71x). Fixed-width longs make
+    # shuffle mass track EDGE COUNT alone; labels are restored by one
+    # final projection that never shuffles.
     edges = pairs.select(
-        F.concat(F.lit("c:"), F.col("ck")).alias("src"),
-        F.concat(F.lit("s:"), F.col("sk")).alias("dst"),
+        (F.col("ck") * 2).alias("src"), (F.col("sk") * 2 + 1).alias("dst")
     ).unionByName(
         pairs.select(
-            F.concat(F.lit("s:"), F.col("sk")).alias("src"),
-            F.concat(F.lit("c:"), F.col("ck")).alias("dst"),
+            (F.col("sk") * 2 + 1).alias("src"), (F.col("ck") * 2).alias("dst")
         )
     )
     # pairs is already distinct and the two directions are disjoint
-    return pagerank_scaled(spark, edges, edges_distinct=True)
+    ranked = pagerank_scaled(spark, edges, edges_distinct=True)
+    return ranked.select(
+        F.when(
+            F.col("node") % 2 == 0,
+            F.concat(F.lit("c:"), F.expr("node div 2").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), F.expr("(node - 1) div 2").cast("string"))
+        )
+        .alias("node"),
+        "rank_scaled",
+    )
 
 
 from porcupine_spark.plans.registry import REGISTRY as _REG2  # noqa: E402
