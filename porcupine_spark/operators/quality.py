@@ -669,3 +669,73 @@ def priority_mix_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_drifted_priority"
         ),
     )
+
+
+LDIV_L = 3  # each quasi-id group must span >= 3 distinct sensitive values
+
+
+@query(
+    "l_diversity_audit",
+    f"""
+    WITH rel AS (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(TRUNC(c.c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+             o.o_orderpriority AS sens
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             COUNT(*) AS grp_n, COUNT(DISTINCT sens) AS n_sens
+      FROM rel GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_l,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN grp_n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN grp_n ELSE 0 END) * 1000000
+                // SUM(grp_n) AS BIGINT) AS risk_ppm,
+           CAST(MIN(n_sens) AS BIGINT) AS min_diversity
+    FROM g
+    """,
+    tags=("quality", "privacy", "monitoring"),
+    doc=f"l-diversity audit — k-anonymity's companion gate: a released "
+    f"row set (orders carrying the customer quasi-identifier nation x "
+    f"market segment x balance band; sensitive attribute = order priority) is safe "
+    f"only if every quasi-id equivalence class spans >= l={LDIV_L} "
+    f"DISTINCT sensitive values; a class that is large (k-anonymous) "
+    f"but priority-homogeneous still leaks the sensitive value of "
+    f"every member. Reports group/row exposure in exact ppm plus the "
+    f"worst class's diversity. Shape: one fact-dim equi-join "
+    f"(AQE-planned), one quasi-id groupBy with a distinct agg "
+    f"(map-side partials), one constant-row fold — single-row output "
+    f"at any scale.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rel = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(f"CAST(c_acctbal * 100 AS BIGINT) div {KANON_BAND}").alias("bal_band"),
+        F.col("o_orderpriority").alias("sens"),
+    )
+    g = rel.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("grp_n"),
+        F.countDistinct("sens").alias("n_sens"),
+    )
+    risk_rows = F.sum(F.when(F.col("n_sens") < LDIV_L, F.col("grp_n")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_sens") < LDIV_L, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_l"),
+        F.sum("grp_n").cast("long").alias("n_rows"),
+        risk_rows.cast("long").alias("n_rows_at_risk"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN n_sens < {LDIV_L} THEN grp_n ELSE 0 END) * 1000000"
+            f" div SUM(grp_n) AS BIGINT)"
+        ).alias("risk_ppm"),
+        F.min("n_sens").cast("long").alias("min_diversity"),
+    )
