@@ -188,3 +188,274 @@ _REG["sq8_adc_recall"].oracle = f"""
                 // SUM(CASE WHEN in_exact IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recall_micro
     FROM m GROUP BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) over the int8-quantized space — codebooks,
+# nibble codes, asymmetric-distance (ADC) retrieval, recall audit.
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_SHORTLIST = 50  # ADC shortlist size the exact re-ranker consumes
+PQ_K = 16  # centroids per subspace (4-bit codes)
+PQ_SUB = 8  # dims per subspace
+
+_SQL_CB = f"""
+    cb AS (
+      SELECT s.m, e.vec_id AS c,
+             list_transform(e.embedding[s.m * {PQ_SUB} + 1 : s.m * {PQ_SUB} + {PQ_SUB}],
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / qmax) AS BIGINT)) AS cent
+      FROM embeddings e, range({PQ_M}) s(m), mq
+      WHERE e.vec_id < {PQ_K}
+    ),
+    q8v AS (
+      SELECT vec_id, {_SQL_Q8.format(col='embedding')} AS qe FROM embeddings, mq
+    ),
+    pqd AS (
+      SELECT v.vec_id, cb.m, cb.c,
+             CAST(list_sum(list_transform(
+               list_zip(v.qe[cb.m * {PQ_SUB} + 1 : cb.m * {PQ_SUB} + {PQ_SUB}], cb.cent),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+      FROM q8v v CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, m, c AS code FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) AS rn
+        FROM pqd
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_spark_parts(spark: SparkSession, sf_dir: str):
+    """Shared PQ stages: (enc exploded to (vec_id, m, code), cb_df,
+    q8-encoded vectors). Codebook = sub-vectors of the first PQ_K
+    corpus vectors, int8-quantized — collected ONCE (PQ_K x 64 floats,
+    a config-sized model artifact, the documented driver boundary) and
+    served back as literals/broadcast, exactly how production ships a
+    trained codebook to executors."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qmax = float(
+        emb.agg(
+            F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))
+            .cast("double")
+            .alias("qmax")
+        ).collect()[0][0]
+    )
+    cbrows = {
+        int(r.vec_id): list(r.embedding)
+        for r in emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+    }
+    # python floor((float64) v * 127.0 / qmax) == the engines' FLOOR over
+    # doubles: same IEEE ops in the same order, so the literal codes are
+    # bit-identical to the oracle's table-derived ones
+    cbq = {
+        (m, c): [
+            int(math.floor(float(cbrows[c][m * PQ_SUB + j]) * 127.0 / qmax))
+            for j in range(PQ_SUB)
+        ]
+        for m in range(PQ_M)
+        for c in range(PQ_K)
+    }
+    qe = _q8(F.col("embedding"), F.lit(qmax))
+    enc_src = emb.select("vec_id", qe.alias("qe"))
+
+    def dist(m: int, c: int):
+        cent = F.array(*[F.lit(x) for x in cbq[(m, c)]])
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qe", m * PQ_SUB + 1, PQ_SUB), cent, lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    codes = [
+        F.array_min(
+            F.array(*[F.struct(dist(m, c).alias("d"), F.lit(c).alias("c")) for c in range(PQ_K)])
+        )["c"].alias(f"_code{m}")
+        for m in range(PQ_M)
+    ]
+    enc = enc_src.select("vec_id", *codes).select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).cast("long").alias("m"), F.col(f"_code{m}").cast("long").alias("code"))
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("mc"),
+    ).select("vec_id", "mc.m", "mc.code")
+    cb_df = spark.createDataFrame(
+        [(m, c, cbq[(m, c)]) for m in range(PQ_M) for c in range(PQ_K)],
+        f"m long, c long, cent array<long>",
+    )
+    return enc, cb_df, emb, qmax
+
+
+@query(
+    "pq_code_histogram",
+    f"""
+    WITH mq AS ({_SQL_QMAX}),{_SQL_CB}
+    SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM enc GROUP BY m, code
+    """,
+    tags=("similarity", "ann", "quantization"),
+    doc=f"Product-quantization ENCODER audit: {PQ_M} subspaces x "
+    f"{PQ_K} centroids (4-bit codes) over the int8-quantized space — "
+    f"codebook = sub-vectors of the first {PQ_K} corpus vectors (the "
+    f"deterministic provider, same contract as ivf_centroids first-k "
+    f"mode; swap in k-means sub-codebooks for production), encode = "
+    f"exact-integer argmin of squared L2 per subspace (ties to the "
+    f"smaller centroid id). Emits the (subspace, code) occupancy "
+    f"histogram — {PQ_M * PQ_K} rows bounding collapse/imbalance, the "
+    f"codebook-health check run before shipping codes. Encoding is a "
+    f"pure per-row expression against the literal codebook (zero "
+    f"shuffle; the histogram agg moves {PQ_M * PQ_K} partials).",
+)
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc, _, _, _ = _pq_spark_parts(spark, sf_dir)
+    return enc.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+
+
+@query(
+    "pq_adc_topk",
+    f"""
+    WITH mq AS ({_SQL_QMAX}),{_SQL_CB},
+    luts AS (
+      SELECT qv.vec_id AS query_id, cb.m, cb.c,
+             CAST(list_sum(list_transform(
+               list_zip(qv.qe[cb.m * {PQ_SUB} + 1 : cb.m * {PQ_SUB} + {PQ_SUB}], cb.cent),
+               p -> p[1] * p[2])) AS BIGINT) AS t
+      FROM q8v qv CROSS JOIN cb WHERE qv.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.t) AS BIGINT) AS score
+      FROM enc e JOIN luts l ON l.m = e.m AND l.c = e.code
+      WHERE e.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+    FROM ranked WHERE rank <= {TOPK}
+    """,
+    tags=("similarity", "ann", "quantization"),
+    doc=f"PQ asymmetric-distance (ADC) top-{TOPK}: each query builds its "
+    f"{PQ_M}x{PQ_K} lookup table of subspace dot products against the "
+    f"codebook ONCE (the ADC trick — candidates are scored by {PQ_M} "
+    f"table lookups, never a full dot product), scores are exact "
+    f"integers, ranks deterministic. Plan: codes table joins the "
+    f"broadcast {N_QUERIES}x{PQ_M * PQ_K}-row LUT on (subspace, code) "
+    f"— a config-sized build side at any corpus — then one map-side-"
+    f"combined (query, neighbor) sum; shuffle mass is |corpus| x "
+    f"|queries| ids + longs, the same envelope as sq8_topk with 4-bit "
+    f"instead of 8-bit storage (64x smaller codes than raw float).",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_adc_ranked(spark, sf_dir, TOPK)
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    enc, cb_df, emb, qmax = _pq_spark_parts(spark, sf_dir)
+    qset = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _q8(F.col("embedding"), F.lit(qmax)).alias("qe"),
+    )
+    luts = qset.crossJoin(F.broadcast(cb_df)).select(
+        "query_id",
+        "m",
+        "c",
+        F.aggregate(
+            F.zip_with(
+                F.slice("qe", (F.col("m") * PQ_SUB + 1).cast("int"), PQ_SUB),
+                "cent",
+                lambda x, y: x * y,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("t"),
+    )
+    scored = (
+        enc.join(
+            F.broadcast(luts),
+            (enc.m == luts.m) & (enc.code == luts.c),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("t").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+@query(
+    "pq_adc_recall",
+    None,  # late-bound below: composes cosine_topk's and pq_adc_topk's oracles
+    tags=("similarity", "quantization", "evaluation", "monitoring"),
+    doc=f"Shortlist recall of PQ-ADC retrieval: how much of the exact "
+    f"top-{TOPK} the {PQ_SHORTLIST}-candidate ADC shortlist captures, "
+    f"per query — the metric that licenses the PRODUCTION serving "
+    f"contract (PQ scans the corpus at 4 bits/dim to produce a "
+    f"shortlist, an exact re-ranker scores only those "
+    f"{PQ_SHORTLIST}; recall@k-of-shortlist is what survives "
+    f"re-ranking). Pair with sq8_adc_recall for the no-shortlist "
+    f"int8 view. Same composed-oracle construction.",
+)
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    approx = _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_pq")
+    )
+    m = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    return m.groupBy("query_id").agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("in_pq", F.lit(0))).cast("long").alias("n_pq"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_pq").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.expr(
+            "CAST(SUM(CASE WHEN in_exact IS NOT NULL AND in_pq IS NOT NULL"
+            " THEN 1 ELSE 0 END) * 1000000"
+            " div SUM(CASE WHEN in_exact IS NOT NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("recall_micro"),
+    )
+
+
+_REG["pq_adc_recall"].oracle = f"""
+    WITH e AS (SELECT query_id, neighbor_id FROM ({_REG["cosine_topk"].oracle})),
+    s AS (SELECT query_id, neighbor_id
+          FROM ({_REG["pq_adc_topk"].oracle.replace(f"WHERE rank <= {TOPK}", f"WHERE rank <= {PQ_SHORTLIST}")})),
+    m AS (
+      SELECT COALESCE(e.query_id, s.query_id) AS query_id,
+             CASE WHEN e.query_id IS NOT NULL THEN 1 END AS in_exact,
+             CASE WHEN s.query_id IS NOT NULL THEN 1 END AS in_pq
+      FROM e FULL OUTER JOIN s
+        ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+    )
+    SELECT query_id,
+           CAST(SUM(CASE WHEN in_exact IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN in_pq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pq,
+           CAST(SUM(CASE WHEN in_exact IS NOT NULL AND in_pq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN in_exact IS NOT NULL AND in_pq IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                // SUM(CASE WHEN in_exact IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recall_micro
+    FROM m GROUP BY query_id
+"""

