@@ -25,7 +25,6 @@ noise, and it cost a round of analysis).
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import sys
@@ -33,31 +32,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from porcupine_spark.functions.metrics import drop_session_residue, shuffle_read_bytes
 from porcupine_spark.plans.registry import load_all_plans
 from porcupine_spark.session import get_spark
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
-
-def _shuffle_read_bytes(spark) -> int:
-    """Cumulative shuffle-read bytes across executors from the live
-    AppStatusStore (the UI's data source; local mode = one 'driver'
-    executor row). Per-query deltas make plan regressions show up as
-    BYTES, not just seconds — a lost broadcast turns a ~0 MB query
-    into a table-sized shuffle even when wall time hides it in noise."""
-    try:
-        total = 0
-        it = (
-            spark.sparkContext._jsc.sc()
-            .statusStore()
-            .executorList(True)
-            .iterator()
-        )
-        while it.hasNext():
-            total += it.next().totalShuffleRead()
-        return total
-    except Exception:  # noqa: BLE001 — metrics are best-effort, never fatal
-        return -1
 
 # Headline set: every registered query (correctness surface == bench
 # surface), ordered cheap-first so failures surface early.
@@ -87,37 +67,24 @@ def main() -> int:
     errors: dict[str, str] = {}
     shuffle_mb: dict[str, float] = {}
 
-    def _drop_session_residue() -> None:
-        # each builder call creates FRESH cached/checkpointed data;
-        # across 250 queries x RUNS the leftovers pile up in storage
-        # memory and evict/GC-thrash later queries (measured: ~9.5s
-        # readings on queries that run at ~1-2s in a clean session).
-        # Timings must be independent, so drop them between queries.
-        # clearCache alone is not enough: localCheckpoint RDD blocks and
-        # broadcasts only free after the Python refs die AND the JVM
-        # ContextCleaner runs — force both, outside the timed window
-        # (measured: late-alphabet queries read 5-10x their clean-session
-        # cost without this, e.g. simhash_signatures 4s -> 21s).
-        spark.catalog.clearCache()
-        gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:  # noqa: BLE001 — GC nudge is best-effort
-            pass
-
-    def _timed_run(name: str, spec) -> None:
+    def _timed_run(name: str, spec) -> bool:
         """One timed execution; appends to run_times and updates the
-        best-time bookkeeping (timing + that run's shuffle bytes)."""
-        sh0 = _shuffle_read_bytes(spark)
+        best-time bookkeeping (timing + that run's shuffle bytes).
+        Returns False on failure — recorded in `errors` ONLY when the
+        query has no successful timing yet (a transient failure on a
+        top-extra third run must not misreport a query that already
+        benchmarked fine twice)."""
+        sh0 = shuffle_read_bytes(spark)
         t0 = time.perf_counter()
         try:
             df = spec.builder(spark, sf_dir)
             n = df.count()
         except Exception as e:  # noqa: BLE001 — one bad query must not kill the bench
-            errors[name] = f"{type(e).__name__}: {e}"[:200]
-            return
+            if name not in timings:
+                errors[name] = f"{type(e).__name__}: {e}"[:200]
+            return False
         dt = time.perf_counter() - t0
-        sh1 = _shuffle_read_bytes(spark)
+        sh1 = shuffle_read_bytes(spark)
         run_times.setdefault(name, []).append(dt)
         if name not in timings or dt < timings[name]:
             timings[name] = round(dt, 4)
@@ -127,22 +94,24 @@ def main() -> int:
                 shuffle_mb[name] = round((sh1 - sh0) / 1e6, 2)
         rows[name] = n
         df = None  # noqa: F841 — drop the plan's refs before gc
+        return True
 
     for name, spec in sorted(specs.items()):
         if name in EXCLUDE:
             continue
         for _ in range(RUNS):
-            _timed_run(name, spec)
-            if name in errors:
+            if not _timed_run(name, spec):
                 break
-        _drop_session_residue()
+        drop_session_residue(spark)
 
     # extra pass: the headline (slowest) queries drive every
     # round-over-round comparison, so buy them a 3rd sample
     top = sorted(timings, key=lambda k: -timings[k])[:TOP_EXTRA]
+    extra_run_failures = []
     for name in top:
-        _timed_run(name, specs[name])
-        _drop_session_residue()
+        if not _timed_run(name, specs[name]):
+            extra_run_failures.append(name)
+        drop_session_residue(spark)
 
     def _median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -193,6 +162,7 @@ def main() -> int:
         "runs_detail": runs_detail,
         "top_extra_queries": top,
         "noisy_top_queries": noisy_top,
+        "extra_run_failures": extra_run_failures,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

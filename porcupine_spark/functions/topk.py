@@ -107,7 +107,7 @@ def global_rank(
     # the scratch names below are withColumn'd, which silently REPLACES
     # an existing column of the same name — a caller whose frame already
     # carries one would get corrupted ranks, so fail loudly instead
-    reserved = {"_gr_pid", "_gr_rn", "_gr_roff", rank_col} | {
+    reserved = {"_gr_pid", "_gr_rn", "_gr_roff", rank_col} | set(cumsum) | {
         c
         for out in cumsum
         for c in (f"_gr_off_{out}", f"_gr_ps_{out}", f"_gr_pn_{out}")

@@ -987,11 +987,19 @@ def _bpe_chain_ctes(rounds: int = BPE_TRAIN_ROUNDS) -> list[str]:
             f"b{r} AS MATERIALIZED (SELECT ls, rs, n FROM p{r} "
             f"ORDER BY n DESC, ls, rs LIMIT 1)"
         )
+        # LEFT JOIN ON TRUE, not a cross join: if a round finds no pairs
+        # (corpus fully merged inside the budget) b{r} is EMPTY, and a
+        # cross join would annihilate the word table — every later CTE
+        # would be empty while the Spark builder breaks-and-keeps. The
+        # left join passes each word through unchanged instead.
         ctes.append(
             f"""w{r} AS MATERIALIZED (
-      SELECT w.word, replace(w.ws, ' ' || b.ls || '  ' || b.rs || ' ',
-                     ' ' || b.ls || b.rs || ' ') AS ws, w.freq
-      FROM w{prev} w, b{r} b)"""
+      SELECT w.word,
+             CASE WHEN b.ls IS NULL THEN w.ws
+                  ELSE replace(w.ws, ' ' || b.ls || '  ' || b.rs || ' ',
+                               ' ' || b.ls || b.rs || ' ') END AS ws,
+             w.freq
+      FROM w{prev} w LEFT JOIN b{r} b ON TRUE)"""
         )
     return ctes
 

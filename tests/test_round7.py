@@ -233,3 +233,26 @@ def test_pq_encode_and_adc_invariants(spark):
         for r in _pq_adc_ranked(spark, sf, 50).collect()
     }
     assert top5 <= short and len(top5) == 50  # 10 queries x 5
+
+
+def test_bpe_oracle_survives_empty_merge_round():
+    """Code-review r7: when a merge round finds no pairs (corpus fully
+    merged inside the budget), the oracle's per-round CTE must pass the
+    word table through unchanged — a cross join with the empty best-pair
+    CTE would annihilate it and silently break bpe_encode_tokens parity."""
+    import duckdb
+
+    from porcupine_spark.operators.corpus import _bpe_encode_oracle_sql
+
+    con = duckdb.connect()
+    # one distinct 2-char word: exactly ONE merge is possible, then all
+    # later rounds are empty
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'srcX' AS source,"
+        " 'ab ab ab' AS text"
+    )
+    df = con.sql(_bpe_encode_oracle_sql(4)).df()
+    assert len(df) == 1
+    assert int(df.n_words[0]) == 3
+    assert int(df.n_subword_tokens[0]) == 3  # 'ab' merged to one symbol
+    assert int(df.fertility_milli[0]) == 1000

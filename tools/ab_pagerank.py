@@ -26,18 +26,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def shuffle_read_bytes(spark) -> int:
-    total = 0
-    it = (
-        spark.sparkContext._jsc.sc().statusStore().executorList(True).iterator()
-    )
-    while it.hasNext():
-        total += it.next().totalShuffleRead()
-    return total
-
-
 def run_cell(sf_dir: str, nobcast: bool) -> dict:
     """One (scale, policy) cell in a FRESH JVM so metrics don't bleed."""
+    from porcupine_spark.functions.metrics import shuffle_read_bytes
     from porcupine_spark.plans.registry import load_all_plans
     from porcupine_spark.session import get_spark
 

@@ -14,7 +14,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import gc
 import json
 import os
 import sys
@@ -22,16 +21,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from porcupine_spark.functions.metrics import drop_session_residue, shuffle_read_bytes
 from porcupine_spark.plans.registry import load_all_plans
 from porcupine_spark.session import get_spark
-
-
-def shuffle_read_bytes(spark) -> int:
-    total = 0
-    it = spark.sparkContext._jsc.sc().statusStore().executorList(True).iterator()
-    while it.hasNext():
-        total += it.next().totalShuffleRead()
-    return total
 
 
 def main() -> int:
@@ -58,12 +50,7 @@ def main() -> int:
             mb = round((shuffle_read_bytes(spark) - sh0) / 1e6, 1)
             if best is None or dt < best:
                 best, best_mb = dt, mb
-            spark.catalog.clearCache()
-            gc.collect()
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:  # noqa: BLE001
-                pass
+            drop_session_residue(spark)
         out[name] = {"wall_s": round(best, 2), "shuffle_mb": best_mb, "rows": rows}
         print(json.dumps({"query": name, **out[name]}))
     print(json.dumps({"sf_dir": args.sf, "spot": out}))

