@@ -279,3 +279,60 @@ def test_pq_kmeans_codebook_swap_is_real(spark):
     assert set(trained) == set(untrained) == set(range(10))
     t, u = sum(trained.values()), sum(untrained.values())
     assert t > 0 and t >= 0.6 * u, (trained, untrained)
+
+
+def test_bpe_wrapped_replace_property_vs_reference(spark):
+    """Property: one merge pass via the space-wrapped string replace ==
+    a pure-Python reference greedy left-to-right non-overlapping merger,
+    over random symbol sequences INCLUDING multi-char symbols that share
+    prefixes/suffixes with the merge pair (the class where a sloppy
+    string encoding would false-match across symbol boundaries)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    symbols = st.sampled_from(["a", "b", "ab", "ba", "aa", "aab"])
+
+    def ref_merge(syms, ls, rs):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == ls and syms[i + 1] == rs:
+                out.append(ls + rs)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        seqs=st.lists(
+            st.lists(symbols, min_size=1, max_size=12), min_size=1, max_size=8
+        ),
+        pair=st.tuples(symbols, symbols),
+    )
+    def prop(seqs, pair):
+        from pyspark.sql import functions as F
+
+        ls, rs = pair
+        df = spark.createDataFrame(
+            [(" " + "  ".join(s) + " ",) for s in seqs], "ws string"
+        )
+        got = [
+            tuple(r.syms)
+            for r in df.select(
+                F.split(
+                    F.trim(
+                        F.replace(
+                            F.col("ws"),
+                            F.lit(f" {ls}  {rs} "),
+                            F.lit(f" {ls}{rs} "),
+                        )
+                    ),
+                    "  ",
+                ).alias("syms")
+            ).collect()
+        ]
+        want = [tuple(ref_merge(s, ls, rs)) for s in seqs]
+        assert got == want, (pair, seqs)
+
+    prop()
