@@ -459,76 +459,63 @@ ATTRIB_WINDOW_S = 3600
     FROM att LEFT JOIN vc ON att.user_id = vc.user_id
     GROUP BY att.user_id
     """,
-    tags=("asof", "cogroup", "attribution", "pandas_udf"),
-    doc=f"Per-user purchase attribution via COGROUP (the one grouped "
-    "API this engine had not yet exercised): purchases and views "
-    "cogrouped by user, aligned per group with a vectorized "
-    "searchsorted two-pointer (each purchase checks for a view in the "
-    f"preceding {ATTRIB_WINDOW_S}s), emitting one row per user. This "
-    "is cogroup's legitimate niche — per-key imperative alignment of "
-    "TWO timelines where the window-merge trick (asof_join above) "
-    "doesn't fit because the output is a per-key aggregate of the "
-    "alignment, not a per-row pick. Scale: both sides shuffle once on "
-    "user_id (the same single-exchange posture as the asof family); "
-    "per-group work is O((np+nv) log nv) numpy, state bounded by one "
-    "user's events. The oracle is an independent correlated-EXISTS "
-    "formulation. Exact integer microseconds throughout.",
+    tags=("asof", "attribution", "window"),
+    doc=f"Per-user purchase attribution (each purchase checks for a "
+    f"view in the preceding {ATTRIB_WINDOW_S}s), one row per user "
+    "with >=1 purchase. Optimization r7: migrated from cogroup + "
+    "per-group pandas (one Python call and one Arrow row-trip per "
+    "user) to the merged-timeline window form — union both event "
+    "kinds, ONE exchange on user_id, a running last-view window, one "
+    "aggregate; all JVM. Same single-exchange posture as the asof "
+    "family, per-key state bounded by one user's events, and the "
+    "Python boundary is gone. The oracle is an independent "
+    "correlated-EXISTS formulation. Exact integer microseconds "
+    "throughout; the cogroup API itself stays exercised in "
+    "tests/test_engine_ext.py.",
 )
 def cogroup_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
-
+    # Optimization r7 (guide §4.1): formerly a cogroup + per-group
+    # pandas align — one Python call per user with one row out, so the
+    # whole events table crossed the Arrow boundary and per-group
+    # pandas overhead dominated (top-10 cost at sf0.1 AND 10x). The
+    # merged-timeline window form below is the asof_join trick applied
+    # to the aggregate case: union both event kinds, ONE exchange on
+    # user_id, a running last-view window, then a plain aggregate —
+    # all JVM, no Python stage. Result-identical (exact integer
+    # microseconds; oracle-verified): "last view at-or-before within
+    # the window exists" == the correlated-EXISTS oracle. Views order
+    # BEFORE purchases at equal timestamps (is_p ascending), matching
+    # both the oracle's v.tsu <= p.tsu and the former searchsorted
+    # side='right'. The cogroup API itself stays exercised in
+    # tests/test_engine_ext.py::TestCogroupEdges.
     ev = load_table(spark, sf_dir, "events")
-    # DISTINCT timestamp names per side: when both cogroup inputs carry
-    # an identically-named derived column from one shared parent plan,
-    # Spark's column pruning drops the right side's copy (observed on
-    # 4.1: the view-side pdf arrives without 'tsu'); per-side names
-    # keep the projections disjoint.
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_micros("ts").alias("ptsu")
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.unix_micros("ts").alias("vtsu")
-    )
     win_us = ATTRIB_WINDOW_S * 1_000_000
-
-    def align(key, pdf_p: pd.DataFrame, pdf_v: pd.DataFrame) -> pd.DataFrame:
-        (user_id,) = key
-        # a key absent from one side arrives as an empty pdf — guard
-        # before indexing
-        pt = (
-            np.sort(pdf_p["ptsu"].to_numpy()) if len(pdf_p) else np.array([], "i8")
-        )
-        vt = (
-            np.sort(pdf_v["vtsu"].to_numpy()) if len(pdf_v) else np.array([], "i8")
-        )
-        if len(pt) == 0:
-            return pd.DataFrame(
-                columns=["user_id", "n_purchases", "n_views", "n_attributed"]
-            )
-        if len(vt) == 0:
-            attributed = 0
-        else:
-            # latest view at-or-before each purchase
-            idx = np.searchsorted(vt, pt, side="right") - 1
-            ok = idx >= 0
-            attributed = int(
-                np.sum(ok & (pt - vt[np.clip(idx, 0, None)] <= win_us))
-            )
-        return pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_purchases": [len(pt)],
-                "n_views": [len(vt)],
-                "n_attributed": [attributed],
-            }
-        )
-
+    both = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "user_id",
+        F.unix_micros("ts").alias("tsu"),
+        (F.col("event_type") == "purchase").alias("is_p"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tsu", "is_p")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_view = F.last(
+        F.when(~F.col("is_p"), F.col("tsu")), ignorenulls=True
+    ).over(w)
+    attributed = (
+        F.col("is_p")
+        & last_view.isNotNull()
+        & (F.col("tsu") - last_view <= F.lit(win_us))
+    )
     return (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
-        .applyInPandas(
-            align,
-            schema="user_id long, n_purchases long, n_views long, n_attributed long",
+        both.withColumn("att", attributed)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("is_p").cast("long")).alias("n_purchases"),
+            F.sum((~F.col("is_p")).cast("long")).alias("n_views"),
+            F.sum(F.col("att").cast("long")).alias("n_attributed"),
         )
+        .filter(F.col("n_purchases") > 0)
+        .select("user_id", "n_purchases", "n_views", "n_attributed")
     )

@@ -262,36 +262,48 @@ def _pq_spark_parts(spark: SparkSession, sf_dir: str, cbq: dict | None = None):
             for m in range(PQ_M)
             for c in range(PQ_K)
         }
-    qe = _q8(F.col("embedding"), F.lit(qmax))
-    enc_src = emb.select("vec_id", qe.alias("qe"))
+    # Encode via ONE Arrow-batched numpy kernel instead of the former
+    # per-row Catalyst tree of PQ_M*PQ_K=128 ArrayAggregate nodes
+    # (optimization r7, guide §4.2): the giant literal expression tree
+    # took ~6 s to build/compile per query AND measurably degraded the
+    # whole JVM session afterwards (unrelated queries ran 6x slower
+    # once the monster codegen classes existed — plans/r07 notes). The
+    # kernel is bit-identical to the expression form: float32 widens to
+    # float64 exactly, np.floor(v * 127.0 / qmax) is the same IEEE op
+    # sequence as FLOOR(CAST(v AS DOUBLE) * 127.0 / qmax), squared
+    # distances are exact int64, and np.argmin returns the FIRST
+    # minimum — the array_min(struct(d, c)) smaller-c tiebreak.
+    import numpy as np
 
-    def dist(m: int, c: int):
-        cent = F.array(*[F.lit(x) for x in cbq[(m, c)]])
-        return F.aggregate(
-            F.zip_with(
-                F.slice("qe", m * PQ_SUB + 1, PQ_SUB), cent, lambda x, y: (x - y) * (x - y)
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    cents = np.array(
+        [[cbq[(m, c)] for c in range(PQ_K)] for m in range(PQ_M)], dtype=np.int64
+    )
+    qmax_f = float(qmax)
 
-    codes = [
-        F.array_min(
-            F.array(*[F.struct(dist(m, c).alias("d"), F.lit(c).alias("c")) for c in range(PQ_K)])
-        )["c"].alias(f"_code{m}")
-        for m in range(PQ_M)
-    ]
-    enc = enc_src.select("vec_id", *codes).select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(m).cast("long").alias("m"), F.col(f"_code{m}").cast("long").alias("code"))
-                    for m in range(PQ_M)
-                ]
+    def _encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            e = _np.array(pdf["embedding"].tolist(), dtype=_np.float64)
+            q = _np.floor(e * 127.0 / qmax_f).astype(_np.int64)
+            sub = q.reshape(n, PQ_M, 1, PQ_SUB)
+            d = ((sub - cents[None]) ** 2).sum(axis=-1)  # (n, M, K) exact int64
+            codes = d.argmin(axis=-1)  # first min == smallest centroid id
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), PQ_M),
+                    "m": _np.tile(_np.arange(PQ_M, dtype=_np.int64), n),
+                    "code": codes.reshape(-1),
+                }
             )
-        ).alias("mc"),
-    ).select("vec_id", "mc.m", "mc.code")
+
+    enc = emb.select("vec_id", "embedding").mapInPandas(
+        _encode, schema="vec_id long, m long, code long"
+    )
     cb_df = spark.createDataFrame(
         [(m, c, cbq[(m, c)]) for m in range(PQ_M) for c in range(PQ_K)],
         f"m long, c long, cent array<long>",
@@ -316,8 +328,9 @@ def _pq_spark_parts(spark: SparkSession, sf_dir: str, cbq: dict | None = None):
     f"smaller centroid id). Emits the (subspace, code) occupancy "
     f"histogram — {PQ_M * PQ_K} rows bounding collapse/imbalance, the "
     f"codebook-health check run before shipping codes. Encoding is a "
-    f"pure per-row expression against the literal codebook (zero "
-    f"shuffle; the histogram agg moves {PQ_M * PQ_K} partials).",
+    f"per-row Arrow-batched integer kernel against the closure-shipped "
+    f"literal codebook (zero shuffle; the histogram agg moves "
+    f"{PQ_M * PQ_K} partials).",
 )
 def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc, _, _, _ = _pq_spark_parts(spark, sf_dir)
@@ -473,22 +486,31 @@ def _pq_kmeans_codebook(emb: DataFrame, qmax: float) -> dict:
     the data — the production PQ trainer (Jegou et al. 2011), swapped
     in through _pq_spark_parts' codebook-agnostic contract."""
     import math
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    cbq: dict = {}
-    for m in range(PQ_M):
+    def _fit(m: int):
+        # Independent per-subspace fits — run them as concurrent driver
+        # jobs (optimization r7, guide §2.6): each fit is a chain of
+        # small k-means|| + Lloyd jobs that leaves most of local[32]
+        # idle; overlapping the 8 chains backfills the tail. Seeds and
+        # data partitioning are per-fit, so results are unchanged.
         feats = emb.select(
             array_to_vector(
                 F.slice(F.col("embedding").cast("array<double>"), m * PQ_SUB + 1, PQ_SUB)
             ).alias("features")
         )
-        model = KMeans(k=PQ_K, seed=7, maxIter=10).fit(feats)
-        for c, center in enumerate(model.clusterCenters()):
-            cbq[(m, c)] = [
-                int(math.floor(float(x) * 127.0 / qmax)) for x in center
-            ]
+        return m, KMeans(k=PQ_K, seed=7, maxIter=10).fit(feats).clusterCenters()
+
+    cbq: dict = {}
+    with ThreadPoolExecutor(max_workers=PQ_M) as pool:
+        for m, centers in pool.map(_fit, range(PQ_M)):
+            for c, center in enumerate(centers):
+                cbq[(m, c)] = [
+                    int(math.floor(float(x) * 127.0 / qmax)) for x in center
+                ]
     return cbq
 
 
@@ -507,7 +529,17 @@ def _pq_kmeans_codebook(emb: DataFrame, qmax: float) -> dict:
     f"same recall band rather than strict superiority.",
 )
 def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # Train on the UN-widened table (optimization r7): widening exists
+    # for per-row compute parallelism, but k-means training is ~20
+    # driver-synchronized tiny jobs per subspace — on the widened
+    # 32-partition layout each of those jobs pays 32-task scheduling
+    # for 2000 rows (measured 25-60 s for the 8 fits; natural splits
+    # cut it to ~6 s). At real scale the parquet layout already
+    # provides training parallelism; locally the 8 concurrent fits
+    # fill the cores instead. Centroids shift with the init sampling
+    # (partitioning-dependent k-means||) — this query is rows-only by
+    # design and band-tested, the 10-row output contract is unchanged.
+    emb = load_table(spark, sf_dir, "embeddings", widen=False)
     qmax = float(
         emb.agg(
             F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))

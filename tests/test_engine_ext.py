@@ -252,3 +252,69 @@ class TestTransformWithState:
                 load_table(ns, sf_dir, "events").groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("n")).collect()}
         assert latest == want
+
+
+class TestCogroupAPI:
+    def test_cogroup_align_matches_window_builder(self, spark, sf_dir):
+        """The cogroup grouped API stays exercised (optimization r7
+        moved the registered attribution query to the merged-timeline
+        window form): the former per-group searchsorted align, run here
+        through cogroup+applyInPandas, must emit exactly what the
+        registered window builder emits — pinning the rewrite's
+        equivalence AND the cogroup surface in one place."""
+        import numpy as np
+        import pandas as pd
+
+        from porcupine_spark.operators.asof import (
+            ATTRIB_WINDOW_S,
+            cogroup_purchase_view_attribution,
+        )
+        from porcupine_spark.tables import load_table
+
+        ev = load_table(spark, sf_dir, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.unix_micros("ts").alias("ptsu")
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.unix_micros("ts").alias("vtsu")
+        )
+        win_us = ATTRIB_WINDOW_S * 1_000_000
+
+        def align(key, pdf_p: pd.DataFrame, pdf_v: pd.DataFrame) -> pd.DataFrame:
+            (user_id,) = key
+            pt = np.sort(pdf_p["ptsu"].to_numpy()) if len(pdf_p) else np.array([], "i8")
+            vt = np.sort(pdf_v["vtsu"].to_numpy()) if len(pdf_v) else np.array([], "i8")
+            if len(pt) == 0:
+                return pd.DataFrame(
+                    columns=["user_id", "n_purchases", "n_views", "n_attributed"]
+                )
+            if len(vt) == 0:
+                attributed = 0
+            else:
+                idx = np.searchsorted(vt, pt, side="right") - 1
+                ok = idx >= 0
+                attributed = int(np.sum(ok & (pt - vt[np.clip(idx, 0, None)] <= win_us)))
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_purchases": [len(pt)],
+                    "n_views": [len(vt)],
+                    "n_attributed": [attributed],
+                }
+            )
+
+        via_cogroup = {
+            r.user_id: (r.n_purchases, r.n_views, r.n_attributed)
+            for r in purchases.groupBy("user_id")
+            .cogroup(views.groupBy("user_id"))
+            .applyInPandas(
+                align,
+                schema="user_id long, n_purchases long, n_views long, n_attributed long",
+            )
+            .collect()
+        }
+        via_window = {
+            r.user_id: (r.n_purchases, r.n_views, r.n_attributed)
+            for r in cogroup_purchase_view_attribution(spark, sf_dir).collect()
+        }
+        assert via_cogroup == via_window
