@@ -653,8 +653,13 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bucket(i: int, tok_col: str = "tok"):
         return md5_bucket(tok_col, f"s{i}", CMS_W)
 
-    hashes = clean.select(
-        "tok",
+    # Optimization r7 (guide §2.3): one token-count aggregation feeds
+    # BOTH the sketch and the exact probe ranking — the sketch hashes
+    # each DISTINCT token once per row (vocab * D md5s, not corpus * D)
+    # and weights cells by the token count; cell integers are identical.
+    vocab = clean.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    hashes = vocab.select(
+        F.col("n_exact").alias("n"),
         F.explode(
             F.array(
                 *[
@@ -663,16 +668,11 @@ def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("ib"),
-    ).select("tok", F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"))
-    cells = hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ).select(F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"), "n")
+    cells = hashes.groupBy("i", "bucket").agg(F.sum("n").alias("c"))
     # exact top-N probe tokens via TakeOrderedAndProject + bounded rank —
     # the raw vocab is corpus-sized (Heaps' law), so no global window here
-    exact = ranked_topk(
-        clean.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact")),
-        "n_exact",
-        ["tok"],
-        CMS_TOPN,
-    )
+    exact = ranked_topk(vocab, "n_exact", ["tok"], CMS_TOPN)
     probes = exact.select(
         "tok",
         "n_exact",
@@ -751,10 +751,18 @@ F2_W = 512
     f"running its groupBy. All counts/squares/min are integer-exact.",
 )
 def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Optimization r7 (guide §2.3 "aggregate before you shuffle"):
+    # reduce to per-key counts FIRST, then hash only the DISTINCT keys
+    # and weight each cell by the count — cell values are identical
+    # (sum of per-key counts == count of exploded occurrences), but the
+    # md5 work and the exploded pre-shuffle rows drop from |rows|*D to
+    # |distinct keys|*D. At 100 TB that is the difference between
+    # hashing the fact table 4x and hashing its key dictionary 4x.
     li = load_table(spark, sf_dir, "lineitem")
     keys = li.select(F.col("l_partkey").cast("string").alias("k"))
-    hashes = keys.select(
-        "k",
+    kc = keys.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    hashes = kc.select(
+        "n",
         F.explode(
             F.array(
                 *[
@@ -766,18 +774,14 @@ def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("ib"),
-    ).select(F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"))
-    cells = hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    ).select(F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"), "n")
+    cells = hashes.groupBy("i", "bucket").agg(F.sum("n").alias("c"))
     est = (
         cells.groupBy("i")
         .agg(F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s"))
         .agg(F.min("s").alias("f2_est"))
     )
-    exact = (
-        keys.groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).alias("f2"))
-    )
+    exact = kc.agg(F.sum(F.expr("CAST(n AS DECIMAL(38,0)) * n")).alias("f2"))
     return (
         exact.crossJoin(F.broadcast(est))
         .select(
@@ -1041,14 +1045,21 @@ def hll_union_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Everything is exact integer arithmetic on both engines.",
 )
 def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Optimization r7 (guide §2.3): hash DISTINCT keys weighted by
+    # their counts — the per-key count tables the exact branch needs
+    # anyway — instead of md5-hashing every fact row F2_D times.
+    # Cell values are identical integers; see cms_selfjoin_size.
     li = load_table(spark, sf_dir, "lineitem")
     a = li.select(F.col("l_partkey").cast("string").alias("k"))
     b = li.filter(F.col("l_returnflag") == "R").select(
         F.col("l_partkey").cast("string").alias("k")
     )
+    fa = a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
+    fb = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
 
-    def cms_cells(keys: DataFrame) -> DataFrame:
-        hashes = keys.select(
+    def cms_cells(kcounts: DataFrame, cnt: str) -> DataFrame:
+        hashes = kcounts.select(
+            F.col(cnt).alias("n"),
             F.explode(
                 F.array(
                     *[
@@ -1059,11 +1070,11 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for i in range(F2_D)
                     ]
                 )
-            ).alias("ib")
-        ).select(F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"))
-        return hashes.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+            ).alias("ib"),
+        ).select(F.col("ib.i").alias("i"), F.col("ib.bucket").alias("bucket"), "n")
+        return hashes.groupBy("i", "bucket").agg(F.sum("n").alias("c"))
 
-    ac, bc = cms_cells(a), cms_cells(b)
+    ac, bc = cms_cells(fa, "na"), cms_cells(fb, "nb")
     est = (
         ac.withColumnRenamed("c", "ca")
         .join(bc.withColumnRenamed("c", "cb"), ["i", "bucket"])
@@ -1071,8 +1082,6 @@ def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("CAST(ca AS DECIMAL(38,0)) * cb")).alias("s"))
         .agg(F.min("s").alias("j_est"))
     )
-    fa = a.groupBy("k").agg(F.count(F.lit(1)).alias("na"))
-    fb = b.groupBy("k").agg(F.count(F.lit(1)).alias("nb"))
     exact = fa.join(fb, "k").agg(
         F.sum(F.expr("CAST(na AS DECIMAL(38,0)) * nb")).alias("j")
     )
