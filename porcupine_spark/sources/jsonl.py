@@ -115,8 +115,25 @@ class JsonlWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         import shutil
+        import time
 
-        shutil.rmtree(self.staging, ignore_errors=True)
+        # KILLED tasks race this cleanup: their Python workers don't see
+        # the kill mid-write, so a straggler can makedirs+write its staged
+        # file AFTER a single rmtree here. Poll until the dir stays absent
+        # for a few consecutive checks (stragglers land within ms; the
+        # deadline bounds the failure path, not the happy path).
+        deadline = time.monotonic() + 5.0
+        stable = 0
+        while stable < 3:
+            if os.path.exists(self.staging):
+                shutil.rmtree(self.staging, ignore_errors=True)
+                stable = 0
+            else:
+                stable += 1
+            if time.monotonic() > deadline:
+                shutil.rmtree(self.staging, ignore_errors=True)
+                break
+            time.sleep(0.1)
 
 
 class JsonlDataSource(DataSource):
