@@ -21,8 +21,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # local[N] has no network shuffle; ~cores partitions avoids tiny-task
     # overhead. On a real cluster this is sized to executors*cores*2-3
-    # and AQE coalesces down from there.
-    "spark.sql.shuffle.partitions": "32",
+    # and AQE coalesces down from there — set SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # (see get_spark) to the cluster value; the local default stays 32 so
+    # driver benches remain comparable round-over-round.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet timestamps in the test data are ns/ms; keep full fidelity.
