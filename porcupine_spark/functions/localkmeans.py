@@ -1,0 +1,108 @@
+"""Bounded-sample local k-means — the production codebook trainer shape.
+
+Every vector-quantization codebook in the industry (PQ subspace
+codebooks, IVF coarse quantizers) is trained on a BOUNDED sample of the
+corpus on one node: faiss caps training at ``max_points_per_centroid``
+(default 256) points per centroid and subsamples anything larger, and
+Jegou et al. 2011 train on fixed-size learning sets. The distributed
+engine's job is the bounded deterministic sample (TakeOrderedAndProject
+by vec_id — one bounded-k job at any corpus size, ~1 MB on the driver
+for the 4096x64 cap used here); Lloyd's iterations on 4096 points are
+numpy-milliseconds and need no cluster. This replaced pyspark.ml KMeans
+fits in optimization r7: an MLlib fit on a tiny-row table is ~20
+driver-synchronized jobs (k-means|| init passes + one job per Lloyd
+iteration) — measured ~10 s for the 8 PQ subspace fits of a 2000-row
+table whose numpy equivalent is ~50 ms, and at real scale the bounded
+sample is what production trainers use anyway.
+
+Determinism: seeded RandomState for the k-means++ init, argmin
+assignment (ties -> lowest centroid id), deterministic empty-cluster
+repair (the globally farthest point from its assigned center, ties ->
+lowest row index). Same inputs => same centroids on any host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+# faiss's max_points_per_centroid default — the sample cap per centroid.
+TRAIN_POINTS_PER_CENTROID = 256
+
+
+def bounded_training_sample(emb: DataFrame, k: int) -> "np.ndarray":
+    """Deterministic (vec_id-ordered) training sample of at most
+    ``TRAIN_POINTS_PER_CENTROID * k`` embeddings as a float64 matrix.
+
+    orderBy+limit plans as TakeOrderedAndProject — a bounded-k
+    selection, never a global sort; the driver transfer is capped by
+    the model constant (4096 x dim doubles for k=16), independent of
+    corpus size.
+    """
+    cap = TRAIN_POINTS_PER_CENTROID * k
+    # toPandas rides the Arrow path (row-based collect() of array<float>
+    # columns costs ~1 s of py4j boxing for the same 2000 rows)
+    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").limit(cap).toPandas()
+    return np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+
+
+def local_kmeans_fit(
+    x: "np.ndarray", k: int, seed: int = 7, iters: int = 20, restarts: int = 8
+) -> "np.ndarray":
+    """Best-of-``restarts`` seeded k-means++ inits, each refined by
+    ``iters`` Lloyd iterations, all numpy; lowest-inertia run wins
+    (ties -> lowest restart index). Matches the solution quality of
+    MLlib's k-means|| on these sample sizes at numpy cost.
+
+    Returns a (k, dim) float64 center matrix. Handles n < k and empty
+    clusters deterministically (see module docstring).
+    """
+    best_centers, best_inertia = None, np.inf
+    for r in range(restarts):
+        centers, inertia = _one_kmeans_run(x, k, seed + 1000 * r, iters)
+        if inertia < best_inertia:
+            best_centers, best_inertia = centers, inertia
+    return best_centers
+
+
+def _one_kmeans_run(
+    x: "np.ndarray", k: int, seed: int, iters: int
+) -> tuple["np.ndarray", float]:
+    n, dim = x.shape
+    rng = np.random.RandomState(seed)
+    centers = np.empty((k, dim), dtype=np.float64)
+    centers[0] = x[rng.randint(n)]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot > 0:
+            probs = d2 / tot
+            centers[j] = x[rng.choice(n, p=probs)]
+        else:  # all remaining mass identical to chosen centers
+            centers[j] = x[rng.randint(n)]
+        d2 = np.minimum(d2, ((x - centers[j]) ** 2).sum(axis=1))
+
+    assign = np.zeros(n, dtype=np.int64)
+    x2 = (x * x).sum(axis=1)
+    for _ in range(iters):
+        # (n, k) squared distances via the GEMM identity
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 — one BLAS matmul per
+        # iteration instead of an (n, k, dim) broadcast temporary
+        # (measured 6.8 s -> ms for a 2000x64 sample at k=16);
+        # argmin ties break to lowest cid
+        c2 = (centers * centers).sum(axis=1)
+        dist = x2[:, None] - 2.0 * (x @ centers.T) + c2[None, :]
+        assign = dist.argmin(axis=1)
+        own = dist[np.arange(n), assign]
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                centers[j] = x[mask].mean(axis=0)
+            else:
+                # deterministic repair: globally farthest point from its
+                # assigned center (np.argmax ties -> lowest index)
+                centers[j] = x[own.argmax()]
+    inertia = float(
+        ((x - centers[assign]) ** 2).sum()
+    )
+    return centers, inertia

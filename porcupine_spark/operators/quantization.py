@@ -484,33 +484,34 @@ def _pq_kmeans_codebook(emb: DataFrame, qmax: float) -> dict:
     """TRAINED per-subspace codebooks: k-means (k=PQ_K) on each 8-dim
     sub-vector space, centers quantized with the same floor formula as
     the data — the production PQ trainer (Jegou et al. 2011), swapped
-    in through _pq_spark_parts' codebook-agnostic contract."""
+    in through _pq_spark_parts' codebook-agnostic contract.
+
+    Optimization r7: trains on a BOUNDED deterministic sample with
+    local numpy Lloyd's (functions/localkmeans.py — the faiss
+    max_points_per_centroid shape) instead of 8 pyspark.ml fits. The
+    MLlib route cost ~20 driver-synchronized jobs PER subspace
+    (measured 10.6 s for 2000 rows; the fits, not the data, were the
+    cost); the sample is one bounded TakeOrderedAndProject job and the
+    8 subspace fits are numpy-milliseconds. Centroids shift (different
+    init/solver), which this rows-only query is allowed by design —
+    the 10-row contract and the recall band are pinned by
+    test_pq_kmeans_codebook_swap_is_real."""
     import math
-    from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from porcupine_spark.functions.localkmeans import (
+        bounded_training_sample,
+        local_kmeans_fit,
+    )
 
-    def _fit(m: int):
-        # Independent per-subspace fits — run them as concurrent driver
-        # jobs (optimization r7, guide §2.6): each fit is a chain of
-        # small k-means|| + Lloyd jobs that leaves most of local[32]
-        # idle; overlapping the 8 chains backfills the tail. Seeds and
-        # data partitioning are per-fit, so results are unchanged.
-        feats = emb.select(
-            array_to_vector(
-                F.slice(F.col("embedding").cast("array<double>"), m * PQ_SUB + 1, PQ_SUB)
-            ).alias("features")
-        )
-        return m, KMeans(k=PQ_K, seed=7, maxIter=10).fit(feats).clusterCenters()
-
+    sample = bounded_training_sample(emb, PQ_K)
     cbq: dict = {}
-    with ThreadPoolExecutor(max_workers=PQ_M) as pool:
-        for m, centers in pool.map(_fit, range(PQ_M)):
-            for c, center in enumerate(centers):
-                cbq[(m, c)] = [
-                    int(math.floor(float(x) * 127.0 / qmax)) for x in center
-                ]
+    for m in range(PQ_M):
+        sub = sample[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        centers = local_kmeans_fit(sub, PQ_K, seed=7 + m)
+        for c, center in enumerate(centers):
+            cbq[(m, c)] = [
+                int(math.floor(float(x) * 127.0 / qmax)) for x in center
+            ]
     return cbq
 
 

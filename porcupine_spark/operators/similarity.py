@@ -397,16 +397,22 @@ def ivf_centroids(emb: DataFrame, k: int, mode: str = "first") -> DataFrame:
         )
     if mode != "kmeans":
         raise ValueError(f"unknown centroid mode {mode!r}")
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = emb.select(
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    # Optimization r7: bounded-sample local Lloyd's (functions/
+    # localkmeans.py, the faiss max_points_per_centroid shape) replaces
+    # the pyspark.ml fit — an MLlib fit on this table is ~20
+    # driver-synchronized tiny jobs for numpy-milliseconds of math; the
+    # sample is one bounded TakeOrderedAndProject at any corpus size.
+    # Centroids shift (different init/solver): both consumers
+    # (ivf_kmeans_recall, semdedup_keep) are rows-only by design with
+    # centroid-agnostic invariants pinned in tests.
+    from porcupine_spark.functions.localkmeans import (
+        bounded_training_sample,
+        local_kmeans_fit,
     )
-    model = KMeans(k=k, seed=7, maxIter=10).fit(feats)
-    rows = [
-        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
-    ]
+
+    sample = bounded_training_sample(emb, k)
+    centers = local_kmeans_fit(sample, k, seed=7)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centers)]
     return emb.sparkSession.createDataFrame(rows, "cid long, cent_e array<float>")
 
 

@@ -336,3 +336,60 @@ def test_bpe_wrapped_replace_property_vs_reference(spark):
         assert got == want, (pair, seqs)
 
     prop()
+
+
+def test_local_kmeans_trainer_contract():
+    """The bounded-sample local trainer (functions/localkmeans.py) that
+    replaced the pyspark.ml fits in optimization r7: deterministic
+    across calls, GEMM distances == naive distances, and the n<k /
+    empty-cluster paths return a full (k, dim) matrix."""
+    import numpy as np
+
+    from porcupine_spark.functions.localkmeans import local_kmeans_fit
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(500, 8) + np.repeat(np.eye(8) * 6.0, 63, axis=0)[:500]
+
+    a = local_kmeans_fit(x, 8, seed=7)
+    b = local_kmeans_fit(x, 8, seed=7)
+    assert a.shape == (8, 8) and np.array_equal(a, b), "non-deterministic fit"
+
+    # GEMM identity: the assignment implied by the returned centers must
+    # equal the naive ||x - c||^2 argmin assignment (ties -> lowest cid)
+    naive = ((x[:, None, :] - a[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    x2 = (x * x).sum(axis=1)
+    c2 = (a * a).sum(axis=1)
+    gemm = (x2[:, None] - 2.0 * (x @ a.T) + c2[None, :]).argmin(axis=1)
+    assert np.array_equal(naive, gemm)
+    # well-separated synthetic clusters: every center owns points
+    assert len(set(gemm.tolist())) == 8
+
+    # n < k: still returns k centers, deterministically
+    small = rng.randn(3, 4)
+    c1 = local_kmeans_fit(small, 5, seed=1)
+    c2_ = local_kmeans_fit(small, 5, seed=1)
+    assert c1.shape == (5, 4) and np.array_equal(c1, c2_)
+
+    # degenerate input (all points identical -> empty-cluster repair)
+    ones = np.ones((50, 4))
+    cd = local_kmeans_fit(ones, 4, seed=2)
+    assert cd.shape == (4, 4) and np.isfinite(cd).all()
+
+
+def test_bounded_training_sample_is_capped_and_deterministic(spark):
+    """The trainer's input: at most TRAIN_POINTS_PER_CENTROID*k rows,
+    selected by vec_id order (stable under partitioning), Arrow path."""
+    import numpy as np
+
+    from porcupine_spark.functions import localkmeans as lk
+
+    rows = [(int(i), [float(i), float(-i)]) for i in range(700, -1, -1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old = lk.TRAIN_POINTS_PER_CENTROID
+    lk.TRAIN_POINTS_PER_CENTROID = 100
+    try:
+        s = lk.bounded_training_sample(emb.repartition(7), 2)
+    finally:
+        lk.TRAIN_POINTS_PER_CENTROID = old
+    assert s.shape == (200, 2) and s.dtype == np.float64
+    assert np.array_equal(s[:, 0], np.arange(200, dtype=np.float64))
