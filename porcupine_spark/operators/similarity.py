@@ -674,7 +674,13 @@ def _lsh_plane_matrix_lit() -> Column:
 
 
 def _lsh_signatures(emb: DataFrame) -> DataFrame:
-    """(vec_id, sig) — the 32-bit sign signature per vector, checkpointed.
+    """(vec_id, embedding, sig) — the 32-bit sign signature per vector,
+    checkpointed. The embedding column rides along (optimization r7):
+    the near-dup candidate stage needs (embedding, band, chunk) and
+    previously re-joined the sig table against the embeddings scan —
+    one Exchange pair + join build that vanishes when the checkpoint
+    already carries the vectors. Callers that only need sigs project
+    them away for free (column pruning over a checkpointed RDD).
 
     ONE aggregate pass computes all 32 exact-decimal dots at once: the
     plane matrix is transposed to a literal array-of-arrays M with
@@ -738,10 +744,16 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
     # summation order (error bounds ~1e-8 << eps=1e-6), so swapping the
     # reduction order cannot change any emitted bit. dots_dbl above
     # stays as documentation of the JVM-equivalent expression.
+    # The SIG STRING is likewise built in the same numpy batch
+    # (optimization r7): '1' iff dot >= 0.0 on the identical doubles ==
+    # to_sig's F.when(a >= 0) bit for bit, and fusing it removes the
+    # second materialization pass (the old shape checkpointed dots,
+    # probed nz, then ran a SECOND eager checkpoint job just to fold
+    # dots into sig; one mapInPandas job now yields the final table).
     _ = dots_dbl
     planes_np = [_lsh_plane(p) for p in range(LSH_PLANES)]
 
-    def dots_batch(it):
+    def sigs_batch(it):
         import numpy as np
         import pandas as pd
 
@@ -751,27 +763,26 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
                 continue
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             dots = mat @ m
+            bits = np.where(dots >= 0.0, "1", "0")
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "embedding": pdf["embedding"],
-                    "dots": list(dots),
+                    "sig": ["".join(r) for r in bits],
                     "nz": (np.abs(dots) < 1e-6).any(axis=1),
                 }
             )
 
     dbl = emb.select("vec_id", "embedding").mapInPandas(
-        dots_batch,
-        schema="vec_id long, embedding array<float>, dots array<double>, nz boolean",
+        sigs_batch,
+        schema="vec_id long, embedding array<float>, sig string, nz boolean",
     ).localCheckpoint(eager=True)
     if dbl.filter(F.col("nz")).limit(1).count() == 0:
-        return dbl.select("vec_id", to_sig(F.col("dots")).alias("sig")).localCheckpoint(
-            eager=True
-        )
+        return dbl.select("vec_id", "embedding", "sig")
     exact_part = dbl.filter(F.col("nz")).select(
-        "vec_id", to_sig(dots_dec).alias("sig")
+        "vec_id", "embedding", to_sig(dots_dec).alias("sig")
     )
-    fast_part = dbl.filter(~F.col("nz")).select("vec_id", to_sig(F.col("dots")).alias("sig"))
+    fast_part = dbl.filter(~F.col("nz")).select("vec_id", "embedding", "sig")
     return fast_part.unionByName(exact_part).localCheckpoint(eager=True)
 
 
@@ -835,9 +846,11 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.tables import load_table as _lt
 
     emb = _lt(spark, sf_dir, "embeddings", widen=False)
-    # signatures are per-row compute -> widened scan; joins/re-rank use
-    # the raw scan (repartition there would be pure overhead)
-    bands = _lsh_bands(_lsh_signatures(_lt(spark, sf_dir, "embeddings")))
+    # sig build on the UN-widened scan (optimization r7): the kernel is
+    # one numpy matmul (~40 ms for the whole sf0.1 table), so the widen
+    # repartition was an Exchange + 32 tiny python tasks for nothing;
+    # at scale the parquet splits parallelize the scan on their own
+    bands = _lsh_bands(_lsh_signatures(emb))
     q_bands = bands.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "band", "chunk"
     )
@@ -1086,8 +1099,6 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = load_table(spark, sf_dir, "embeddings", widen=False).select(
         "vec_id", "embedding", "label"
     )
-    emb_wide = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bands = _lsh_bands(_lsh_signatures(emb_wide))
     # Candidate pruning happens INSIDE each band bucket: members are
     # co-located by the one (band, chunk) shuffle (bands + embeddings,
     # ~#vecs x #bands small rows), and a numpy pass scores the bucket's
@@ -1099,31 +1110,84 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-threshold survivors (~0.1% here) reach the exact re-scorer.
     # The margin guarantees no pair the exact check keeps is dropped
     # (double-vs-quantized-decimal error ~1e-9 << 1e-6 margin).
-    be = bands.join(emb_wide, "vec_id")
-    margin = 2 * NEARDUP_MARGIN
-
-    def bucket_pairs(pdf):
-        import numpy as np
-        import pandas as pd
-
-        ids = pdf["vec_id"].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = matn @ matn.T
-        iu, ju = np.triu_indices(len(ids), 1)
-        keep = sims[iu, ju] >= NEARDUP_T - margin
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
-
-    cand = (
-        be.groupBy("band", "chunk")
-        .applyInPandas(bucket_pairs, schema="id_a long, id_b long")
-        .distinct()
-    )
+    #
+    # Optimization r7 (guide §2.1 — remove shuffles outright), two
+    # Exchanges gone from this stage:
+    # - the sig checkpoint carries the embeddings, so the band table no
+    #   longer re-joins the embeddings scan (was a shuffle join of both
+    #   sides);
+    # - each bucket also sees its members' full sigs, so a pair that
+    #   collides in several bands is emitted ONLY by its lowest
+    #   colliding band (the keep decision is a pure function of the two
+    #   embeddings, so the lowest-band bucket provably emits every pair
+    #   any bucket would) — candidates are unique by construction and
+    #   the cross-bucket distinct() Exchange over the candidate set
+    #   (the big intermediate at scale) disappears.
+    # sig build on the UN-widened scan (see lsh_topk — the kernel is one
+    # numpy matmul; the widen repartition was pure overhead, and the
+    # bucket groupBy below restores full shuffle parallelism anyway)
+    sigs = _lsh_signatures(emb_raw.select("vec_id", "embedding"))
+    cand = _lsh_bucket_candidates(sigs)
     return _neardup_verify(cand, emb_raw)
+
+
+def _neardup_bucket_pairs(pdf):
+    """One (band, chunk) bucket -> near-threshold candidate pairs, each
+    emitted ONLY if this band is the pair's lowest colliding band (see
+    _lsh_bucket_candidates). Module-level so the uniqueness/completeness
+    contract is unit-testable."""
+    import numpy as np
+    import pandas as pd
+
+    n_bands = LSH_PLANES // LSH_BAND_BITS
+    empty = pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+    ids = pdf["vec_id"].to_numpy()
+    if len(ids) < 2:
+        return empty
+    band = int(pdf["band"].iat[0])
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = matn @ matn.T
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = sims[iu, ju] >= NEARDUP_T - 2 * NEARDUP_MARGIN
+    ki, kj = iu[keep], ju[keep]
+    if not len(ki):
+        return empty
+    # (n, n_bands) band-chunk matrix from the sig strings; a kept
+    # pair is emitted iff THIS band is its first matching band
+    chunks = np.array(
+        [[s[k * LSH_BAND_BITS : (k + 1) * LSH_BAND_BITS] for k in range(n_bands)]
+         for s in pdf["sig"]]
+    )
+    first_band = (chunks[ki] == chunks[kj]).argmax(axis=1)
+    mine = first_band == band
+    a, b = ids[ki[mine]], ids[kj[mine]]
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+
+def _lsh_bucket_candidates(sigs: DataFrame) -> DataFrame:
+    """(id_a, id_b) duplicate-free candidate pairs from the banded sig
+    table (vec_id, embedding, sig): explode bands, co-locate each
+    (band, chunk) bucket, score pairs locally, emit each pair from its
+    lowest colliding band only — so no cross-bucket distinct() is
+    needed (the keep decision is a pure function of the two embeddings,
+    hence identical in every bucket that sees the pair)."""
+    n_bands = LSH_PLANES // LSH_BAND_BITS
+    be = sigs.select(
+        "vec_id",
+        "embedding",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.substring("sig", b * LSH_BAND_BITS + 1, LSH_BAND_BITS)
+                for b in range(n_bands)
+            ])
+        ).alias("band", "chunk"),
+    )
+    return be.groupBy("band", "chunk").applyInPandas(
+        _neardup_bucket_pairs, schema="id_a long, id_b long"
+    )
 
 
 SEMDEDUP_K = 16  # clusters

@@ -393,3 +393,61 @@ def test_bounded_training_sample_is_capped_and_deterministic(spark):
         lk.TRAIN_POINTS_PER_CENTROID = old
     assert s.shape == (200, 2) and s.dtype == np.float64
     assert np.array_equal(s[:, 0], np.arange(200, dtype=np.float64))
+
+
+def test_neardup_lsh_min_band_candidates_unique_and_complete(spark):
+    """The r7 candidate stage emits each near-threshold pair from its
+    LOWEST colliding band only, replacing the cross-bucket distinct()
+    Exchange. Contract: the emitted set is duplicate-free AND equals
+    the old emit-everywhere + distinct reference set."""
+    import numpy as np
+    import pandas as pd
+
+    from porcupine_spark.operators import similarity as S
+    from porcupine_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings", widen=False).select(
+        "vec_id", "embedding"
+    )
+    sigs = S._lsh_signatures(emb)
+
+    got = S._lsh_bucket_candidates(sigs).collect()
+    pairs = [(r.id_a, r.id_b) for r in got]
+    assert len(pairs) == len(set(pairs)), "duplicate candidate emitted"
+
+    def all_band_pairs(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = matn @ matn.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = sims[iu, ju] >= S.NEARDUP_T - 2 * S.NEARDUP_MARGIN
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)}
+        )
+
+    n_bands = S.LSH_PLANES // S.LSH_BAND_BITS
+    from pyspark.sql import functions as F
+
+    be = sigs.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[
+                F.substring("sig", b * S.LSH_BAND_BITS + 1, S.LSH_BAND_BITS)
+                for b in range(n_bands)
+            ])
+        ).alias("band", "chunk"),
+    )
+    ref = (
+        be.groupBy("band", "chunk")
+        .applyInPandas(all_band_pairs, schema="id_a long, id_b long")
+        .distinct()
+        .collect()
+    )
+    assert set(pairs) == {(r.id_a, r.id_b) for r in ref}
+    assert len(pairs) > 0, "degenerate corpus: contract untested"
