@@ -716,9 +716,18 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -
         .distinct()
         .localCheckpoint(eager=True)
     )
-    removed = all_nodes.select("node", F.lit(None).cast("int").alias("removed_round")).where(
-        F.lit(False)
-    )  # empty (node, removed_round) accumulator
+    # Per-round checkpoint discipline (optimization r7, guide §1.3 /
+    # §2.1): checkpoint the SMALL per-round victim set, not a growing
+    # removed-accumulator union. The old shape eagerly re-materialized
+    # every prior round's victims each round AND — because victims was
+    # un-checkpointed and shuffle reuse does not cross jobs — computed
+    # the degree aggregation twice per round (once for the accumulator
+    # job, once inside the live-edges job). Now: one deg agg per round
+    # (victims ckpt), the anti-joins read victims from the checkpoint,
+    # and the accumulator is a lazy union of 6 checkpointed RDDs
+    # assembled once at the end. Victims per round are identical, so
+    # the result (and the oracle hash) is unchanged.
+    victim_rounds = []
     live_edges = edges
     for rnd in range(1, rounds + 1):
         deg = (
@@ -730,10 +739,12 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -
         # nodes that DISAPPEARED from live_edges entirely (degree 0) were
         # already removed in an earlier round alongside their last edge —
         # they are in `removed`; this round's casualties have 1 <= deg < k
-        victims = deg.where(F.col("deg") < k).select(
-            "node", F.lit(rnd).cast("int").alias("removed_round")
+        victims = (
+            deg.where(F.col("deg") < k)
+            .select("node", F.lit(rnd).cast("int").alias("removed_round"))
+            .localCheckpoint(eager=True)
         )
-        removed = removed.unionByName(victims).localCheckpoint(eager=True)
+        victim_rounds.append(victims)
         live_edges = (
             live_edges.join(
                 victims.select(F.col("node").alias("u")), "u", "left_anti"
@@ -742,6 +753,14 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
+    if victim_rounds:
+        removed = victim_rounds[0]
+        for vr in victim_rounds[1:]:
+            removed = removed.unionByName(vr)
+    else:  # rounds == 0: empty (node, removed_round) accumulator
+        removed = all_nodes.select(
+            "node", F.lit(None).cast("int").alias("removed_round")
+        ).where(F.lit(False))
     # isolated-by-peeling nodes: removed when their last neighbor went —
     # they never show a degree row again. Assign them the round AFTER
     # their absence began? No: they had deg >= 1 while any edge remained,

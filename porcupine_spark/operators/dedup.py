@@ -365,10 +365,34 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
     # band signature packed into ONE long (mh<2^31: hi*2^31+lo < 2^62)
     # — the self-join shuffles 8-byte keys, not strings; the candidate
-    # SET is identical to the oracle's string-concat formulation
-    band_rows = _band_table(sigs)
+    # SET is identical to the oracle's string-concat formulation.
+    # Each band row also carries the doc's FULL 4-long band-sig array
+    # (optimization r7, guide §2.1 — same min-band trick as the
+    # simhash/embedding-LSH paths): a pair colliding in several bands
+    # is kept only where its FIRST matching band equals the bucket's
+    # band, so candidates are unique by construction and the
+    # distinct() Exchange over the candidate set (the big intermediate
+    # at crawl dup rates) disappears. Cost: 32 bytes/row more on the
+    # doc×4-row band table; saving: one full shuffle of the pair set.
+    sig_arr = F.array(
+        *[
+            F.col(f"mh{2*b}") * F.lit(1 << 31) + F.col(f"mh{2*b+1}")
+            for b in range(N_BANDS)
+        ]
+    )
+    band_rows = sigs.select(
+        "doc_id",
+        sig_arr.alias("sig_arr"),
+        F.posexplode(sig_arr).alias("band", "sig"),
+    )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
+    first_band = F.coalesce(
+        *[
+            F.when(F.col("a.sig_arr")[k] == F.col("b.sig_arr")[k], F.lit(k))
+            for k in range(N_BANDS)
+        ]
+    )
     cand = (
         a.join(
             b,
@@ -376,8 +400,8 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.band") == first_band)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
     # verification via per-doc shingle ARRAYS + array_intersect: two
     # candidate-sized joins and a vectorized set intersection, instead
@@ -597,20 +621,33 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig_long").alias("la"),
-            F.col("b.sig_long").alias("lb"),
-        )
-        .distinct()
+    # A pair colliding in several bands used to be deduped by a
+    # distinct() Exchange over the candidate set (the big intermediate
+    # at crawl dup rates). The packed sig_long carries the FULL
+    # signature on every band row, so each join row can decide locally
+    # whether ITS band is the pair's first matching band — string
+    # position b*8+1 is the MSB side, so band b occupies bits
+    # 31-8b..24-8b of the long and "band b matches" is one mask test on
+    # the xor. Keeping only first-band rows makes candidates unique by
+    # construction: filter replaces shuffle (optimization r7, guide
+    # §2.1; same min-band trick as the embedding-LSH path).
+    x = F.col("a.sig_long").bitwiseXOR(F.col("b.sig_long"))
+    first_band = (
+        F.when(x.bitwiseAND(F.lit(0xFF000000)) == 0, 0)
+        .when(x.bitwiseAND(F.lit(0x00FF0000)) == 0, 1)
+        .when(x.bitwiseAND(F.lit(0x0000FF00)) == 0, 2)
+        .otherwise(3)
+    )
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).filter(F.col("a.band") == first_band).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sig_long").alias("la"),
+        F.col("b.sig_long").alias("lb"),
     )
     ham = F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
     return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).filter(

@@ -451,3 +451,25 @@ def test_neardup_lsh_min_band_candidates_unique_and_complete(spark):
     )
     assert set(pairs) == {(r.id_a, r.id_b) for r in ref}
     assert len(pairs) > 0, "degenerate corpus: contract untested"
+
+
+def test_minhash_simhash_pairs_duplicate_free_without_distinct(spark):
+    """The r7 min-band emission replaced the candidate distinct() in
+    BOTH banded pair generators: a pair colliding in several bands must
+    still appear exactly once in the output (the oracle hash-compare in
+    test_oracles also pins the exact sets; this pins the uniqueness
+    mechanism on its own)."""
+    from porcupine_spark.operators import dedup as D
+    from porcupine_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+
+    mh = [(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs).collect()]
+    assert len(mh) == len(set(mh)) and len(mh) > 0
+
+    sh = [
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_pairs(spark, sf).collect()
+    ]
+    assert len(sh) == len(set(sh)) and len(sh) > 0
