@@ -458,7 +458,11 @@ def ivf_topk_generic(
             F.col("vec_id").alias("neighbor_id"),
             (dot_double(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("vn"))).alias("cosine"),
         )
-        .distinct()  # a neighbor probed via 2 buckets appears once
+        # no distinct needed (optimization r7): every vector sits in
+        # exactly ONE bucket (arn == 1) and a query's probed cids are
+        # distinct (row_number), so (query_id, neighbor_id) rows are
+        # unique by construction — the old distinct() was a no-op
+        # Exchange over the scored candidate set
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -571,7 +575,9 @@ def ivf_topk_from(
                 / (F.col("qn") * F.col("vn"))
             ).alias("cosine"),
         )
-        .distinct()  # a neighbor probed via 2 buckets appears once
+        # no distinct needed (optimization r7): one bucket per vector +
+        # distinct probed cids per query ⇒ unique rows by construction
+        # (see ivf_topk_generic)
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -850,15 +856,42 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one numpy matmul (~40 ms for the whole sf0.1 table), so the widen
     # repartition was an Exchange + 32 tiny python tasks for nothing;
     # at scale the parquet splits parallelize the scan on their own
-    bands = _lsh_bands(_lsh_signatures(emb))
+    sigs = _lsh_signatures(emb)
+    n_bands = LSH_PLANES // LSH_BAND_BITS
+    # band rows carry the row's FULL sig so each collision row can test
+    # locally whether ITS band is the (query, neighbor) pair's first
+    # matching band — candidates are then unique by construction and
+    # the distinct() Exchange over the candidate set disappears
+    # (optimization r7, guide §2.1; same min-band trick as the
+    # near-dup path)
+    bands = sigs.select(
+        "vec_id",
+        "sig",
+        F.posexplode(
+            F.array(*[
+                F.substring("sig", b * LSH_BAND_BITS + 1, LSH_BAND_BITS)
+                for b in range(n_bands)
+            ])
+        ).alias("band", "chunk"),
+    )
     q_bands = bands.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "band", "chunk"
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig"), "band", "chunk"
+    )
+    first_band = F.coalesce(
+        *[
+            F.when(
+                F.substring("sig", b * LSH_BAND_BITS + 1, LSH_BAND_BITS)
+                == F.substring("qsig", b * LSH_BAND_BITS + 1, LSH_BAND_BITS),
+                F.lit(b),
+            )
+            for b in range(n_bands)
+        ]
     )
     cand = (
         bands.join(F.broadcast(q_bands), ["band", "chunk"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .filter(F.col("band") == first_band)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .distinct()
     )
     vecs = _exact_norms(
         emb, keep=[("vec_id", "long"), ("embedding", "array<float>")]

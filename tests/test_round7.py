@@ -473,3 +473,20 @@ def test_minhash_simhash_pairs_duplicate_free_without_distinct(spark):
         for r in D.simhash_pairs(spark, sf).collect()
     ]
     assert len(sh) == len(set(sh)) and len(sh) > 0
+
+
+def test_ivf_candidates_unique_without_distinct(spark):
+    """r7 removed the no-op distinct() from the IVF serving paths: one
+    bucket per vector (arn == 1) + distinct probed cids per query means
+    (query_id, neighbor_id) can never duplicate. Pin that invariant."""
+    from porcupine_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_topk_generic,
+    )
+    from porcupine_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings", widen=False)
+    cents = ivf_centroids(emb, k=8, mode="first")
+    out = ivf_topk_generic(emb, cents, query_ids=range(10), k=50, probes=3).collect()
+    keys = [(r.query_id, r.neighbor_id) for r in out]
+    assert len(keys) == len(set(keys)) and len(keys) > 0
