@@ -313,7 +313,12 @@ def pagerank_scaled(
         # shuffled per round (at cluster scale, swap the broadcast for
         # rank/edge co-partitioning on src: same plan shape,
         # hash-partitioned instead — the standard Pregel layout)
-        rd = r.withColumnRenamed("node", "src").join(outdeg, "src").select(
+        # outdeg is |nodes|-sized like the rd broadcast below — hinting
+        # it skips a per-round Exchange pair on two tiny tables that
+        # AQE would otherwise shuffle first (optimization r7,
+        # interleaved A/B 4.96 -> 4.28 s; same cluster-scale caveat as
+        # rd: swap broadcasts for co-partitioning there)
+        rd = r.withColumnRenamed("node", "src").join(F.broadcast(outdeg), "src").select(
             "src", F.expr("r div d").alias("c")
         )
         contrib = edges.join(F.broadcast(rd), "src").select("dst", "c")
