@@ -183,15 +183,29 @@ def main() -> int:
         "total_shuffle_read_mb": round(sum(shuffle_mb.values()), 1),
         "sf": sf_val,
     }
+    # The harness that records this line keeps only the LAST 2000 chars
+    # of output and parses the JSON out of that tail (r1: a >2KB line
+    # lost its head -> "parsed": null; r7: tail field is exactly 2000
+    # chars). So the line must stay under that cap — but r7's fixed
+    # top-10 cut gutted the round-over-round comparison (n_common: 3,
+    # 7 phantom "dropped" entries). Greedily pack as many of the
+    # slowest queries as fit in a 1900-byte line instead (~60): every
+    # query the previous round printed stays visible unless it truly
+    # left the slow set, and the line stays parseable.
+    LINE_BUDGET = 1900
     line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1500:
-        slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-        )
-        out["queries"] = {k: round(v, 2) for k, v in slowest.items()}
-        out["queries_truncated"] = len(timings) - len(slowest)
+    if len(line) > LINE_BUDGET:
+        ranked = sorted(timings.items(), key=lambda kv: -kv[1])
         out["detail_file"] = "BENCH_DETAIL.json"
-        line = json.dumps(out, separators=(",", ":"))
+        keep = len(ranked)
+        while keep > 1:
+            out["queries"] = {k: round(v, 2) for k, v in ranked[:keep]}
+            out["queries_truncated"] = len(timings) - keep
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= LINE_BUDGET:
+                break
+            # overshoot in entries, not one-by-one: ~27 bytes/entry
+            keep -= max(1, (len(line) - LINE_BUDGET) // 27 + 1)
     print(line)
     return 0
 

@@ -40,9 +40,21 @@ def bounded_training_sample(emb: DataFrame, k: int) -> "np.ndarray":
     corpus size.
     """
     cap = TRAIN_POINTS_PER_CENTROID * k
+    from pyspark.sql import functions as F
+
     # toPandas rides the Arrow path (row-based collect() of array<float>
-    # columns costs ~1 s of py4j boxing for the same 2000 rows)
-    pdf = emb.select("vec_id", "embedding").orderBy("vec_id").limit(cap).toPandas()
+    # columns costs ~1 s of py4j boxing for the same 2000 rows).
+    # Order by a HASH of vec_id, not vec_id itself: a vec_id prefix is a
+    # biased slice when ingest order correlates with content (time- or
+    # label-ordered corpora) — faiss subsamples randomly for the same
+    # reason. xxhash64 keeps the selection deterministic (same inputs =>
+    # same sample on any host); vec_id breaks hash ties.
+    pdf = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(cap)
+        .toPandas()
+    )
     return np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
 
 
@@ -100,8 +112,19 @@ def _one_kmeans_run(
                 centers[j] = x[mask].mean(axis=0)
             else:
                 # deterministic repair: globally farthest point from its
-                # assigned center (np.argmax ties -> lowest index)
-                centers[j] = x[own.argmax()]
+                # assigned center (np.argmax ties -> lowest index); mask
+                # the chosen row out so a SECOND empty cluster in the
+                # same iteration picks a DIFFERENT point instead of
+                # duplicating this center
+                idx = int(own.argmax())
+                centers[j] = x[idx]
+                own[idx] = -np.inf
+    # score the FINAL centers with a fresh assignment — `assign` above
+    # predates the last center update, so ranking restarts on it would
+    # compare runs on a stale objective
+    c2 = (centers * centers).sum(axis=1)
+    dist = x2[:, None] - 2.0 * (x @ centers.T) + c2[None, :]
+    assign = dist.argmin(axis=1)
     inertia = float(
         ((x - centers[assign]) ** 2).sum()
     )

@@ -265,6 +265,35 @@ PR_SCALE = 10**12  # rank fixed-point scale
 PR_ITERS = 3  # fixed iteration count (unrolled verbatim in the oracle)
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
+# Broadcasting the |nodes|-sized (rank div degree) table into the edge
+# scan is the right plan while that table is broadcast-sized; at true
+# 100 TB node counts it is driver-fatal. Above this node count the loop
+# switches to the standard Pregel layout instead: edges hash-partitioned
+# on src once, each round shuffling only the |nodes|-sized rank table to
+# meet them (same arithmetic, identical exact-decimal result). Default
+# ~10M nodes ≈ a 250 MB framed broadcast — the guide's §3.1 comfort
+# ceiling; override per deployment via the env var.
+PREGEL_BROADCAST_MAX_NODES = 10_000_000
+
+
+def _pregel_broadcast_max_nodes() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "PORCUPINE_SPARK_PREGEL_BROADCAST_MAX_NODES",
+            PREGEL_BROADCAST_MAX_NODES,
+        )
+    )
+
+
+def _pregel_contrib(edges: DataFrame, rd: DataFrame, broadcast_ranks: bool) -> DataFrame:
+    """One PageRank round's rank→edge attach: broadcast the per-node
+    contribution table below the node-count gate, plain (co-partitioned)
+    join above it. Factored out so tests can pin BOTH plan shapes."""
+    rd = F.broadcast(rd) if broadcast_ranks else rd
+    return edges.join(rd, "src").select("dst", "c")
+
 
 def pagerank_scaled(
     spark: SparkSession,
@@ -304,6 +333,15 @@ def pagerank_scaled(
         .localCheckpoint(eager=True)  # reused every round + for n
     )
     n = nodes.count()  # one scalar to the driver (like components' guard)
+    # Size gate (optimization r8): broadcast the per-round |nodes|-sized
+    # tables only while they are broadcast-sized; above the gate, lay
+    # edges out hash-partitioned on src ONCE (the checkpoint preserves
+    # the partitioning) so each round's attach shuffles only the rank
+    # table — the standard Pregel co-partitioning, now code instead of
+    # a comment. n is already on the driver, so the gate is free.
+    broadcast_ranks = n <= _pregel_broadcast_max_nodes()
+    if not broadcast_ranks:
+        edges = edges.repartition(F.col("src")).localCheckpoint(eager=True)
     r0 = PR_SCALE // n
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
     r = nodes.withColumn("r", F.lit(r0).cast("decimal(38,0)"))
@@ -318,10 +356,11 @@ def pagerank_scaled(
         # AQE would otherwise shuffle first (optimization r7,
         # interleaved A/B 4.96 -> 4.28 s; same cluster-scale caveat as
         # rd: swap broadcasts for co-partitioning there)
-        rd = r.withColumnRenamed("node", "src").join(F.broadcast(outdeg), "src").select(
+        deg = F.broadcast(outdeg) if broadcast_ranks else outdeg
+        rd = r.withColumnRenamed("node", "src").join(deg, "src").select(
             "src", F.expr("r div d").alias("c")
         )
-        contrib = edges.join(F.broadcast(rd), "src").select("dst", "c")
+        contrib = _pregel_contrib(edges, rd, broadcast_ranks)
         inflow = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
         r = (
             nodes.join(inflow.withColumnRenamed("dst", "node"), "node", "left")
@@ -522,6 +561,44 @@ TRI_MIN_SUPPORT = 2  # an edge = co-purchased in >= 2 distinct orders
 TRI_LCC_SCALE = 1_000_000  # lcc as exact parts-per-million (integer recipe)
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase part edges (u < v, support >= TRI_MIN_SUPPORT)
+    — the edge base shared by triangle_count_parts and kcore_peel_parts.
+
+    One exchange feeds the whole derivation (optimization r8, guide
+    §2.4): repartition the (orderkey, partkey) scan by l_orderkey FIRST.
+    HashPartitioning(ok) satisfies both the distinct's clustering on
+    (ok, pk) — every duplicate pair lands in one partition — and the
+    self-join's clustering on ok, and the join's two inputs are the
+    same subplan so the one exchange is physically reused. The former
+    shape paid Exchange(ok, pk) for the distinct and then Exchange(ok)
+    again for the join (2 items-sized shuffles -> 1). The trade: the
+    repartition shuffle carries raw lineitem rows instead of
+    map-side-deduped pairs, but a part rarely repeats within one order
+    (sf0.1: <1% duplicates), so the extra rows are noise against the
+    whole removed exchange. Row set is identical — repartitioning
+    commutes with distinct — so both consumers' oracle hashes are
+    unchanged."""
+    from porcupine_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+
+
 def triangle_counts(edges: DataFrame, scale: int = TRI_LCC_SCALE) -> DataFrame:
     """Per-node triangle participation + local clustering coefficient
     over an undirected simple graph given as DISTINCT canonical edges
@@ -670,21 +747,9 @@ def triangle_counts(edges: DataFrame, scale: int = TRI_LCC_SCALE) -> DataFrame:
     "lcc as exact ppm via truncating integer division.",
 )
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from porcupine_spark.tables import load_table
-
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
+    return triangle_counts(_copurchase_edges(spark, sf_dir)).withColumnRenamed(
+        "node", "part_key"
     )
-    return triangle_counts(e).withColumnRenamed("node", "part_key")
 
 
 # ---------------------------------------------------------------------------
@@ -857,21 +922,9 @@ def _kcore_oracle_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
     f"lineage truncated per round.",
 )
 def kcore_peel_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from porcupine_spark.tables import load_table
-
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .where(F.col("support") >= TRI_MIN_SUPPORT)
-        .select("u", "v")
+    return kcore_peel(_copurchase_edges(spark, sf_dir)).withColumnRenamed(
+        "node", "part_key"
     )
-    return kcore_peel(e).withColumnRenamed("node", "part_key")
 
 
 _REG2["kcore_peel_parts"].oracle = _kcore_oracle_sql()

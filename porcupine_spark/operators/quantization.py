@@ -226,7 +226,12 @@ _SQL_CB = f"""
     )"""
 
 
-def _pq_spark_parts(spark: SparkSession, sf_dir: str, cbq: dict | None = None):
+def _pq_spark_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    cbq: dict | None = None,
+    qmax: float | None = None,
+):
     """Shared PQ stages: (enc exploded to (vec_id, m, code), cb_df,
     q8-encoded vectors). Default codebook = sub-vectors of the first
     PQ_K corpus vectors, int8-quantized — collected ONCE (PQ_K x 64
@@ -239,13 +244,14 @@ def _pq_spark_parts(spark: SparkSession, sf_dir: str, cbq: dict | None = None):
     import math
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qmax = float(
-        emb.agg(
-            F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))
-            .cast("double")
-            .alias("qmax")
-        ).collect()[0][0]
-    )
+    if qmax is None:  # callers that already ran the scale agg pass it in
+        qmax = float(
+            emb.agg(
+                F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))
+                .cast("double")
+                .alias("qmax")
+            ).collect()[0][0]
+        )
     if cbq is None:
         cbrows = {
             int(r.vec_id): list(r.embedding)
@@ -382,9 +388,13 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_adc_ranked(
-    spark: SparkSession, sf_dir: str, k: int, cbq: dict | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    cbq: dict | None = None,
+    qmax: float | None = None,
 ) -> DataFrame:
-    enc, cb_df, emb, qmax = _pq_spark_parts(spark, sf_dir, cbq)
+    enc, cb_df, emb, qmax = _pq_spark_parts(spark, sf_dir, cbq, qmax)
     qset = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         _q8(F.col("embedding"), F.lit(qmax)).alias("qe"),
@@ -552,7 +562,9 @@ def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
-    approx = _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST, cbq).select(
+    # qmax is threaded through so the scale agg runs ONCE per build
+    # (it used to run again inside _pq_spark_parts — optimization r8)
+    approx = _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST, cbq, qmax=qmax).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_pq")
     )
     m = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")

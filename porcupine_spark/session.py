@@ -19,14 +19,8 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # local[N] has no network shuffle; ~cores partitions avoids tiny-task
-    # overhead. On a real cluster this is sized to executors*cores*2-3
-    # and AQE coalesces down from there — set SPARK_GRAFT_SHUFFLE_PARTITIONS
-    # (see get_spark) to the cluster value; the local default stays 32 so
-    # driver benches remain comparable round-over-round.
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
-    ),
+    # spark.sql.shuffle.partitions is resolved in get_spark() (not here)
+    # so SPARK_GRAFT_SHUFFLE_PARTITIONS set after import still applies.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Parquet timestamps in the test data are ns/ms; keep full fidelity.
@@ -68,6 +62,15 @@ def get_spark(app_name: str = "porcupine_spark", **overrides: str) -> SparkSessi
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     conf = dict(_DEFAULTS)
+    # local[N] has no network shuffle; ~cores partitions avoids tiny-task
+    # overhead. On a real cluster this is sized to executors*cores*2-3
+    # and AQE coalesces down from there — set SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # to the cluster value; the local default stays 32 so driver benches
+    # remain comparable round-over-round. Read here (not at import time)
+    # so setting the env var after importing this module still works.
+    conf["spark.sql.shuffle.partitions"] = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    )
     conf.update({k: str(v) for k, v in overrides.items()})
     for k, v in conf.items():
         builder = builder.config(k, v)

@@ -122,6 +122,8 @@ class JsonlWriter(DataSourceWriter):
         # file AFTER a single rmtree here. Poll until the dir stays absent
         # for a few consecutive checks (stragglers land within ms; the
         # deadline bounds the failure path, not the happy path).
+        if not os.path.exists(self.staging):
+            return  # nothing was ever staged: no race to wait out
         deadline = time.monotonic() + 5.0
         stable = 0
         while stable < 3:

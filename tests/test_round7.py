@@ -378,7 +378,10 @@ def test_local_kmeans_trainer_contract():
 
 def test_bounded_training_sample_is_capped_and_deterministic(spark):
     """The trainer's input: at most TRAIN_POINTS_PER_CENTROID*k rows,
-    selected by vec_id order (stable under partitioning), Arrow path."""
+    selected in a deterministic order (stable under partitioning),
+    Arrow path. r8 switched the order from a vec_id prefix to
+    xxhash64(vec_id) (de-biased subsample — ADVICE r7); the hash-order
+    specifics are pinned in test_round8."""
     import numpy as np
 
     from porcupine_spark.functions import localkmeans as lk
@@ -389,10 +392,11 @@ def test_bounded_training_sample_is_capped_and_deterministic(spark):
     lk.TRAIN_POINTS_PER_CENTROID = 100
     try:
         s = lk.bounded_training_sample(emb.repartition(7), 2)
+        s2 = lk.bounded_training_sample(emb.repartition(11), 2)
     finally:
         lk.TRAIN_POINTS_PER_CENTROID = old
     assert s.shape == (200, 2) and s.dtype == np.float64
-    assert np.array_equal(s[:, 0], np.arange(200, dtype=np.float64))
+    assert np.array_equal(s, s2)
 
 
 def test_neardup_lsh_min_band_candidates_unique_and_complete(spark):

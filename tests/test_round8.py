@@ -1,0 +1,157 @@
+"""Round-8 optimization pins: Pregel broadcast↔co-partition gate,
+co-purchase edge-stage single-exchange rewrite, localkmeans sample
+de-bias + repair fixes."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pregel_contrib_plan_shapes(spark):
+    """The broadcast↔co-partition choice is CODE, not a comment: below
+    the node gate the rank attach is a broadcast join, above it a plain
+    (co-partitionable) join with no broadcast hint."""
+    from porcupine_spark.operators.components import _pregel_contrib
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    rd = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "src long, c long"
+    )
+    bcast_plan = _pregel_contrib(edges, rd, True)._jdf.queryExecution().toString()
+    plain_plan = _pregel_contrib(edges, rd, False)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in bcast_plan
+    # pre-AQE initial plan: no broadcast exchange without the hint (tiny
+    # inputs may still AQE-convert at runtime; the GATE is what's pinned)
+    assert "BroadcastHashJoin" not in plain_plan.split("== Physical Plan ==")[-1]
+
+
+def test_pagerank_gate_modes_identical(spark):
+    """Both Pregel layouts produce the identical exact-decimal ranks
+    (sum order cannot matter: decimal adds are exact)."""
+    from porcupine_spark.operators.components import pagerank_scaled
+
+    rows = [(i, (i * 7) % 23) for i in range(60)] + [(5, 6), (6, 5), (9, 11)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], "src long, dst long"
+    )
+    key = "PORCUPINE_SPARK_PREGEL_BROADCAST_MAX_NODES"
+    old = os.environ.get(key)
+    try:
+        os.environ[key] = "1000000"
+        bc = {(r.node, r.rank_scaled) for r in pagerank_scaled(spark, edges).collect()}
+        os.environ[key] = "0"  # force the co-partitioned layout
+        cp = {(r.node, r.rank_scaled) for r in pagerank_scaled(spark, edges).collect()}
+    finally:
+        if old is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = old
+    assert bc == cp and len(bc) > 0
+
+
+def test_copurchase_edges_single_exchange_and_equivalence(spark):
+    """r8 edge-stage rewrite: repartition(l_orderkey) feeds distinct AND
+    the self-join off ONE exchange (HashPartitioning(ok) satisfies both
+    clusterings), and the edge set is byte-identical to the naive
+    distinct-then-join form."""
+    from porcupine_spark.operators.components import (
+        TRI_MIN_SUPPORT,
+        _copurchase_edges,
+    )
+    from porcupine_spark.tables import load_table
+
+    e_new = _copurchase_edges(spark, SF)
+    # initial physical plan: the edge-stage inputs shuffle by l_orderkey
+    # ALONE (one layout serves distinct + self-join; identical subplans
+    # are stage-reused at runtime); no (ok, pk)-keyed exchange survives
+    plan = e_new._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(l_orderkey#\d+L, \d+\)", plan), plan
+    assert not re.search(
+        r"Exchange hashpartitioning\(l_orderkey#\d+L, l_partkey", plan
+    ), plan
+
+    li = load_table(spark, SF, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e_old = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    assert {(r.u, r.v) for r in e_new.collect()} == {
+        (r.u, r.v) for r in e_old.collect()
+    }
+
+
+def test_kmeans_empty_cluster_repairs_are_distinct():
+    """ADVICE r7: two clusters empty in the SAME Lloyd iteration must
+    repair to DIFFERENT points (the chosen row is masked out), not both
+    to the global argmax."""
+    from porcupine_spark.functions.localkmeans import _one_kmeans_run
+
+    # 2 distinct coords, k=4 -> k-means++ must duplicate inits -> >=2
+    # empty clusters in iteration 1; both coords must survive as centers
+    x = np.array([[0.0, 0.0], [100.0, 0.0], [0.0, 0.0], [100.0, 0.0]])
+    for seed in range(12):
+        centers, inertia = _one_kmeans_run(x, 4, seed, 1)
+        vals = sorted(c[0] for c in centers)
+        assert vals == [0.0, 0.0, 100.0, 100.0], (seed, vals)
+        assert inertia == 0.0
+
+
+def test_kmeans_inertia_scored_on_final_centers():
+    """ADVICE r7: restart ranking must use a FRESH assignment against the
+    post-update centers, not the pre-update one."""
+    from porcupine_spark.functions.localkmeans import _one_kmeans_run
+
+    rng = np.random.RandomState(3)
+    x = np.vstack(
+        [rng.randn(40, 3) + off for off in ([0, 0, 0], [8, 0, 0], [0, 8, 0])]
+    )
+    for seed in (7, 1007, 2007):
+        centers, inertia = _one_kmeans_run(x, 3, seed, 1)
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        fresh = float(d.min(axis=1).sum())
+        assert inertia == pytest.approx(fresh, rel=0, abs=0)
+
+
+def test_bounded_training_sample_hash_order(spark):
+    """r8 de-bias (ADVICE): the training sample is the lowest-k rows by
+    xxhash64(vec_id) — deterministic, partitioning-independent, and NOT
+    a vec_id prefix."""
+    from porcupine_spark.functions import localkmeans as lk
+
+    rows = [(int(i), [float(i), float(-i)]) for i in range(700, -1, -1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old = lk.TRAIN_POINTS_PER_CENTROID
+    lk.TRAIN_POINTS_PER_CENTROID = 100
+    try:
+        s1 = lk.bounded_training_sample(emb.repartition(7), 2)
+        s2 = lk.bounded_training_sample(emb.repartition(3), 2)
+    finally:
+        lk.TRAIN_POINTS_PER_CENTROID = old
+    assert s1.shape == (200, 2) and s1.dtype == np.float64
+    assert np.array_equal(s1, s2)  # partitioning-independent
+    # expected ids straight from the same hash, computed relationally
+    exp = (
+        emb.select("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(200)
+        .toPandas()["vec_id"]
+        .to_numpy()
+        .astype(np.float64)
+    )
+    assert np.array_equal(s1[:, 0], exp)
+    assert not np.array_equal(np.sort(exp), np.arange(200.0))  # not a prefix
