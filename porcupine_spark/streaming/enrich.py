@@ -48,8 +48,9 @@ from porcupine_spark.tables import load_events_stream, load_table
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state keys = windows only (a few hundred); size state partitioning
     # to that, same discipline as windows._state_sized_session
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     spark = ns
     # static dim: bounded, derived deterministically from the batch view
     dim = (
@@ -115,20 +116,36 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from porcupine_spark.tables import load_docs_stream
 
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     spark = ns
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(~(F.col("doc_id") % NEW_BATCH_MOD == 0))
     # materialize the static corpus indexes ONCE — lazy, each of the
     # 4 per-band join subtrees (plus the exact-hash side) would
-    # re-run the whole corpus minhash pipeline per microbatch
-    base_h = (
-        base.select(F.md5(F.trim(F.col("text"))).alias("h"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # re-run the whole corpus minhash pipeline per microbatch.
+    # The two indexes are independent: materialize them CONCURRENTLY
+    # (guide §2.6 — actions are only sequential because driver code
+    # calls them sequentially; the md5-distinct's shuffle tail
+    # backfills with the minhash compute). InheritableThread keeps the
+    # JVM thread-locals (job group/description) correct.
+    from pyspark import InheritableThread
+
+    results: dict = {}
+
+    def _ckpt(key, df):
+        results[key] = df.localCheckpoint(eager=True)
+
+    t1 = InheritableThread(
+        target=_ckpt,
+        args=("h", base.select(F.md5(F.trim(F.col("text"))).alias("h")).distinct()),
     )
-    base_bands = _band_table(minhash_signatures(base)).localCheckpoint(eager=True)
+    t2 = InheritableThread(
+        target=_ckpt, args=("bands", _band_table(minhash_signatures(base)))
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    base_h, base_bands = results["h"], results["bands"]
 
     stream = load_docs_stream(spark, sf_dir).filter(
         F.col("doc_id") % NEW_BATCH_MOD == 0
@@ -202,8 +219,9 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.operators.curation import gopher_flags
     from porcupine_spark.tables import load_docs_stream
 
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     spark = ns
     stream = load_docs_stream(spark, sf_dir)
     flags = gopher_flags(stream, keep_cols=("source",))
@@ -252,8 +270,9 @@ def stream_segment_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from porcupine_spark.tables import load_docs_stream
 
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     # batch-built broadcast index: per-hash distinct-doc counts
     docs = load_table(ns, sf_dir, "documents")
     df_index = (
@@ -318,8 +337,9 @@ def stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from porcupine_spark.tables import load_docs_stream
 
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     # batch phase: the 1024-bucket lean index — built through the SAME
     # shared helpers the batch scorer uses (curation._norm / dsir_bucket /
     # dsir_lean_index), so the gate cannot drift from dsir_proxy_selection
@@ -413,8 +433,9 @@ def stream_familiarity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from porcupine_spark.tables import load_docs_stream
 
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     # batch phase: train the familiar-bigram table with the SAME shared
     # expressions the batch gate uses (curation._norm + word_ngrams), so
     # the gate cannot drift from bigram_familiarity_gate by a stale copy
@@ -506,8 +527,9 @@ def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from porcupine_spark.tables import load_docs_stream
 
-    ns = spark.newSession()
-    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    from porcupine_spark.streaming.windows import _state_sized_session
+
+    ns = _state_sized_session(spark)
     # the whole weight vector is CLS_BUCKETS ints — materialize once
     # driver-side (config-width, independent of corpus size) and embed
     # as a literal, exactly like stream_dsir_gate's lean index
