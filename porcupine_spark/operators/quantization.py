@@ -243,20 +243,37 @@ def _pq_spark_parts(
     agnostic."""
     import math
 
+    from porcupine_spark.functions.concurrent import run_concurrently
+
     emb = load_table(spark, sf_dir, "embeddings")
-    if qmax is None:  # callers that already ran the scale agg pass it in
-        qmax = float(
+
+    def _qmax():
+        # callers that already ran the scale agg pass qmax in instead
+        return float(
             emb.agg(
                 F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))
                 .cast("double")
                 .alias("qmax")
             ).collect()[0][0]
         )
-    if cbq is None:
-        cbrows = {
+
+    def _cbrows():
+        return {
             int(r.vec_id): list(r.embedding)
             for r in emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect()
         }
+
+    cbrows = None
+    if qmax is None and cbq is None:
+        # two independent driver-blocking jobs — overlap them (§2.6);
+        # the codebook rows don't depend on qmax (the quantization math
+        # below is driver-side, after both land)
+        qmax, cbrows = run_concurrently(_qmax, _cbrows)
+    elif qmax is None:
+        qmax = _qmax()
+    elif cbq is None:
+        cbrows = _cbrows()
+    if cbq is None:
         # python floor((float64) v * 127.0 / qmax) == the engines' FLOOR
         # over doubles: same IEEE ops in the same order, so the literal
         # codes are bit-identical to the oracle's table-derived ones
@@ -490,7 +507,7 @@ _REG["pq_adc_recall"].oracle = f"""
 """
 
 
-def _pq_kmeans_codebook(emb: DataFrame, qmax: float) -> dict:
+def _pq_kmeans_codebook(emb: DataFrame, qmax: float, sample=None) -> dict:
     """TRAINED per-subspace codebooks: k-means (k=PQ_K) on each 8-dim
     sub-vector space, centers quantized with the same floor formula as
     the data — the production PQ trainer (Jegou et al. 2011), swapped
@@ -513,7 +530,8 @@ def _pq_kmeans_codebook(emb: DataFrame, qmax: float) -> dict:
         local_kmeans_fit,
     )
 
-    sample = bounded_training_sample(emb, PQ_K)
+    if sample is None:  # callers may pre-collect it concurrently (§2.6)
+        sample = bounded_training_sample(emb, PQ_K)
     cbq: dict = {}
     for m in range(PQ_M):
         sub = sample[:, m * PQ_SUB : (m + 1) * PQ_SUB]
@@ -551,14 +569,23 @@ def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (partitioning-dependent k-means||) — this query is rows-only by
     # design and band-tested, the 10-row output contract is unchanged.
     emb = load_table(spark, sf_dir, "embeddings", widen=False)
-    qmax = float(
-        emb.agg(
-            F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))
-            .cast("double")
-            .alias("qmax")
-        ).collect()[0][0]
+    # qmax agg and the bounded training-sample collect are independent
+    # driver-blocking jobs — overlap them (§2.6, optimization r8); the
+    # trainer itself is driver-side numpy and needs both
+    from porcupine_spark.functions.concurrent import run_concurrently
+    from porcupine_spark.functions.localkmeans import bounded_training_sample
+
+    qmax, sample = run_concurrently(
+        lambda: float(
+            emb.agg(
+                F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))
+                .cast("double")
+                .alias("qmax")
+            ).collect()[0][0]
+        ),
+        lambda: bounded_training_sample(emb, PQ_K),
     )
-    cbq = _pq_kmeans_codebook(emb, qmax)
+    cbq = _pq_kmeans_codebook(emb, qmax, sample=sample)
     exact = cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )

@@ -165,7 +165,20 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     emb_raw = load_table(spark, sf_dir, "embeddings", widen=False)
 
-    qloc = emb_raw.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
+    # the query-set collect and the norms checkpoint (below) are
+    # independent driver-blocking jobs — overlap them (guide §2.6,
+    # optimization r8); each is tiny but the job-submission floors
+    # dominate at any corpus size
+    from porcupine_spark.functions.concurrent import run_concurrently
+
+    qloc, norms = run_concurrently(
+        lambda: emb_raw.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .toPandas(),
+        lambda: _exact_norms(
+            emb_raw, keep=[("vec_id", "long"), ("embedding", "array<float>")]
+        ).localCheckpoint(eager=True),
+    )
     q_ids = qloc["vec_id"].to_numpy()
     q_mat = np.array(qloc["embedding"].tolist(), dtype=np.float64)
     q_mat_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -193,11 +206,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.mapInPandas(prefilter, schema="query_id long, neighbor_id long")
     # exact re-score of the surviving pairs only; norms once per vector
     # (both Arrow-vectorized, bit-identical to the decimal expressions)
-    # one eager pass: four consumers below would otherwise re-run the
-    # Arrow norm stage each (tiny table: id + embedding + vn per vector)
-    norms = _exact_norms(
-        emb_raw, keep=[("vec_id", "long"), ("embedding", "array<float>")]
-    ).localCheckpoint(eager=True)
+    # one eager pass (checkpointed above, concurrently with the query
+    # collect): four consumers below would otherwise re-run the Arrow
+    # norm stage each (tiny table: id + embedding + vn per vector)
     q = norms.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),

@@ -126,26 +126,16 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 per-band join subtrees (plus the exact-hash side) would
     # re-run the whole corpus minhash pipeline per microbatch.
     # The two indexes are independent: materialize them CONCURRENTLY
-    # (guide §2.6 — actions are only sequential because driver code
-    # calls them sequentially; the md5-distinct's shuffle tail
-    # backfills with the minhash compute). InheritableThread keeps the
-    # JVM thread-locals (job group/description) correct.
-    from pyspark import InheritableThread
+    # (guide §2.6 — the md5-distinct's shuffle tail backfills with the
+    # minhash compute; interleaved A/B min-of-5 3.21 -> 2.55 s).
+    from porcupine_spark.functions.concurrent import run_concurrently
 
-    results: dict = {}
-
-    def _ckpt(key, df):
-        results[key] = df.localCheckpoint(eager=True)
-
-    t1 = InheritableThread(
-        target=_ckpt,
-        args=("h", base.select(F.md5(F.trim(F.col("text"))).alias("h")).distinct()),
+    base_h, base_bands = run_concurrently(
+        lambda: base.select(F.md5(F.trim(F.col("text"))).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True),
+        lambda: _band_table(minhash_signatures(base)).localCheckpoint(eager=True),
     )
-    t2 = InheritableThread(
-        target=_ckpt, args=("bands", _band_table(minhash_signatures(base)))
-    )
-    t1.start(); t2.start(); t1.join(); t2.join()
-    base_h, base_bands = results["h"], results["bands"]
 
     stream = load_docs_stream(spark, sf_dir).filter(
         F.col("doc_id") % NEW_BATCH_MOD == 0
