@@ -2194,7 +2194,18 @@ def verbatim_spans_over(
     (split_verbatim_leakage) both derive from this grain."""
     from pyspark.sql import Window as W
 
-    wins = verbatim_window_table(docs, k)
+    # ONE tokenize pass feeds the whole span pipeline (optimization r8,
+    # guide §5): the window table is downstream of a heavy tokenize+md5
+    # explode, and the old shape recomputed that pass for the
+    # hot-filter aggregation AND again for the self-join sides (AQE
+    # stage reuse deduped the two join sides but not the differing
+    # hot-agg subtree). Checkpointed, it is computed once; downstream
+    # exchanges then move 20-byte (doc_id, pos, h) rows, not text.
+    # (A repartition("h") before the checkpoint would in principle also
+    # kill those exchanges, but localCheckpoint in this Spark build
+    # reports UnknownPartitioning on the restored RDD, so the extra
+    # shuffle bought nothing — measured and dropped.)
+    wins = verbatim_window_table(docs, k).localCheckpoint(eager=True)
     hot = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -2207,7 +2218,8 @@ def verbatim_spans_over(
     # the window table is CORPUS-SIZED and downstream of an explode, whose
     # size Catalyst underestimates badly enough to BROADCAST it (measured
     # at 10x: 36.7 s broadcast plan vs 6.5 s shuffled, identical rows) —
-    # pin the scale-correct strategy; the hash join shuffles 8-byte keys
+    # pin the scale-correct strategy; the hash join compares co-located
+    # 8-byte keys (no exchange: both sides read the h-partitioned ckpt)
     matches = a.join(
         b.hint("shuffle_hash"),
         (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -2304,7 +2316,10 @@ def intra_doc_repeated_spans(
     max_span_tokens, total_span_tokens)."""
     from pyspark.sql import Window as W
 
-    wins = verbatim_window_table(docs, k)
+    # same single-pass discipline as verbatim_spans_over (r8): the
+    # tokenize+md5 window pass materializes once; every consumer reads
+    # the checkpoint instead of recomputing the text pipeline
+    wins = verbatim_window_table(docs, k).localCheckpoint(eager=True)
     hot = (
         wins.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
