@@ -1779,15 +1779,21 @@ def dup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"never corpus-sized.",
 )
 def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions.concurrent import run_concurrently
+
     docs = load_table(spark, sf_dir, "documents")
-    a = (
-        minhash_lsh_pairs(docs)
-        .filter(F.col("jaccard") >= DEDUP_CANON_T)
-        .select("doc_a", "doc_b", F.lit(1).alias("in_mh"))
+    # each generator eagerly checkpoints its signature table during the
+    # BUILD — two independent corpus passes (minhash shingles vs simhash
+    # bit-sums); build them concurrently (§2.6, r8) so the checkpoints
+    # overlap instead of running back to back
+    a_raw, b_raw = run_concurrently(
+        lambda: minhash_lsh_pairs(docs),
+        lambda: simhash_pairs(spark, sf_dir),
     )
-    b = simhash_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_sh")
+    a = a_raw.filter(F.col("jaccard") >= DEDUP_CANON_T).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_mh")
     )
+    b = b_raw.select("doc_a", "doc_b", F.lit(1).alias("in_sh"))
     m = a.join(b, ["doc_a", "doc_b"], "full_outer")
     return m.agg(
         F.sum(
