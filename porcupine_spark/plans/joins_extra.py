@@ -262,7 +262,21 @@ BASKET_MIN_SUPPORT = 3
 )
 def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # One exchange feeds every consumer of the basket item set
+    # (optimization r8, guide §2.4 — the _copurchase_edges layout):
+    # repartition the (orderkey, partkey) scan by l_orderkey FIRST.
+    # HashPartitioning(ok) satisfies the distinct's clustering on
+    # (ok, pk), the self-join's clustering on ok, AND the order-count
+    # distinct on ok — so the old shape's per-consumer
+    # Exchange(ok, pk) chains (5 lineitem scans + 5 distinct subtrees
+    # in the executed plan: join sides a/b, freq twice, n once)
+    # collapse onto one shuffle whose map stage AQE physically reuses.
+    # Row set is identical — repartitioning commutes with distinct.
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .distinct()
+    )
     n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
