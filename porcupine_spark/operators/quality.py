@@ -197,28 +197,59 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at any customer count.",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from porcupine_spark.functions.concurrent import run_concurrently
     from porcupine_spark.functions.topk import global_rank, ntile_from_rank
 
     o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    # The three quartile rankings are INDEPENDENT total orders over the
+    # same customer aggregate — the old chained form (rank R, then F
+    # over R's output, then M over F's) serialized three range-shuffle +
+    # checkpoint + offset-collect rounds for no reason. Checkpoint the
+    # aggregate once, run the three global_ranks concurrently
+    # (optimization r8, guide §2.6), and recombine on the unique
+    # customer key: a global rank is determined purely by its total
+    # order (the offset pass corrects for ANY partition layout), so
+    # each rank column is identical to the chained form's.
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .localCheckpoint(eager=True)
     )
-    r_rk, n, _ = global_rank(
-        per_cust, [F.desc("last_order"), F.asc("o_custkey")], rank_col="_r"
+
+    def _ranked(metric: str, rank_col: str, keep_metric: bool):
+        cols = ["o_custkey", metric]
+
+        def thunk():
+            rk, n, _ = global_rank(
+                per_cust.select(*cols),
+                [F.desc(metric), F.asc("o_custkey")],
+                rank_col=rank_col,
+            )
+            out_cols = ["o_custkey", rank_col] + ([metric] if keep_metric else [])
+            return rk.select(*out_cols), n
+
+        return thunk
+
+    (r_out, n), (f_out, _), (m_out, _) = run_concurrently(
+        _ranked("last_order", "_r", False),
+        _ranked("frequency", "_f", False),
+        _ranked("monetary", "_m", True),
     )
-    f_rk, _, _ = global_rank(
-        r_rk, [F.desc("frequency"), F.asc("o_custkey")], rank_col="_f"
-    )
-    m_rk, _, _ = global_rank(
-        f_rk, [F.desc("monetary"), F.asc("o_custkey")], rank_col="_m"
-    )
-    scored = m_rk.select(
-        "monetary",
-        ntile_from_rank("_r", n, 4).cast("long").alias("r_quartile"),
-        ntile_from_rank("_f", n, 4).cast("long").alias("f_quartile"),
-        ntile_from_rank("_m", n, 4).cast("long").alias("m_quartile"),
+    scored = (
+        m_out.join(r_out, "o_custkey")
+        .join(f_out, "o_custkey")
+        .select(
+            "monetary",
+            ntile_from_rank("_r", n, 4).cast("long").alias("r_quartile"),
+            ntile_from_rank("_f", n, 4).cast("long").alias("f_quartile"),
+            ntile_from_rank("_m", n, 4).cast("long").alias("m_quartile"),
+        )
     )
     return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).alias("n_customers"),

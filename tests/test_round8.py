@@ -155,3 +155,91 @@ def test_bounded_training_sample_hash_order(spark):
     )
     assert np.array_equal(s1[:, 0], exp)
     assert not np.array_equal(np.sort(exp), np.arange(200.0))  # not a prefix
+
+
+def test_basket_items_single_exchange_and_equivalence(spark):
+    """r8: basket_pair_lift derives its item set off ONE l_orderkey
+    exchange (same layout trick as _copurchase_edges); no (ok, pk)-keyed
+    exchange survives, and the result matches the naive distinct form."""
+    import re
+
+    from porcupine_spark.plans.joins_extra import (
+        BASKET_MIN_SUPPORT,
+        basket_pair_lift,
+    )
+    from porcupine_spark.tables import load_table
+
+    new = basket_pair_lift(spark, SF)
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"Exchange hashpartitioning\(l_orderkey#\d+L, \d+\)", plan), plan
+    assert not re.search(
+        r"Exchange hashpartitioning\(l_orderkey#\d+L, l_partkey", plan
+    ), plan
+
+    li = load_table(spark, SF, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    old = (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "support", "n_a", "n_b",
+            (
+                (F.col("support").cast("decimal(38,0)") * F.col("n_orders")).cast("double")
+                / (F.col("n_a").cast("decimal(38,0)") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_rfm_concurrent_ranks_match_chained(spark):
+    """r8: the three RFM quartile rankings run as concurrent jobs and
+    recombine on the unique customer key — the segment table must be
+    byte-identical to the old chained global_rank form."""
+    from porcupine_spark.functions.topk import global_rank, ntile_from_rank
+    from porcupine_spark.operators.quality import rfm_segmentation
+    from porcupine_spark.tables import load_table
+
+    new = rfm_segmentation(spark, SF)
+
+    o = load_table(spark, SF, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("monetary"),
+    )
+    r_rk, n, _ = global_rank(
+        per_cust, [F.desc("last_order"), F.asc("o_custkey")], rank_col="_r"
+    )
+    f_rk, _, _ = global_rank(
+        r_rk, [F.desc("frequency"), F.asc("o_custkey")], rank_col="_f"
+    )
+    m_rk, _, _ = global_rank(
+        f_rk, [F.desc("monetary"), F.asc("o_custkey")], rank_col="_m"
+    )
+    scored = m_rk.select(
+        "monetary",
+        ntile_from_rank("_r", n, 4).cast("long").alias("r_quartile"),
+        ntile_from_rank("_f", n, 4).cast("long").alias("f_quartile"),
+        ntile_from_rank("_m", n, 4).cast("long").alias("m_quartile"),
+    )
+    old = scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("monetary").alias("min_monetary"),
+        F.max("monetary").alias("max_monetary"),
+    )
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
