@@ -277,12 +277,11 @@ SQL_SPLIT_CTE = """sp AS (
     )"""
 
 
-def split_col() -> Column:
+def split_col(doc_id: Column | None = None) -> Column:
     """train/val/test split of a documents row (Spark twin of
-    SQL_SPLIT_CTE)."""
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
-        "int"
-    ) % 100
+    SQL_SPLIT_CTE); ``doc_id`` defaults to the column of that name."""
+    src = F.col("doc_id") if doc_id is None else doc_id
+    h = F.conv(F.substring(F.md5(src.cast("string")), 1, 4), 16, 10).cast("int") % 100
     return F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
 
 

@@ -61,16 +61,21 @@ def hashed_shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def hashed_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, arr) with arr = distinct xxhash64'd n-gram shingles as a
-    long array (see hashed_shingle_table for the hashing scheme)."""
+def hashed_shingle_arrays(
+    docs: DataFrame, n: int = 3, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [keep...,] arr) with arr = distinct xxhash64'd n-gram
+    shingles as a long array (see hashed_shingle_table for the hashing
+    scheme). ``keep`` carries extra doc columns through unchanged."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    with_th = docs.select("doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("th"))
+    with_th = docs.select(
+        "doc_id", *keep, F.transform(toks, lambda t: F.xxhash64(t)).alias("th")
+    )
     hashes = F.transform(
         seq1(F.size(F.col("th")) - (n - 1)),
         lambda i: F.xxhash64(*[F.element_at("th", i + j) for j in range(n)]),
     )
-    return with_th.select("doc_id", F.array_distinct(hashes).alias("arr"))
+    return with_th.select("doc_id", *keep, F.array_distinct(hashes).alias("arr"))
 
 
 # SQL mirror: DuckDB shingle CTE (distinct word n-grams, n=3)
@@ -356,10 +361,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs)
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for band-bucket-colliding doc pairs —
-    the shared candidate+verify core of dedup_minhash_lsh and
-    dedup_keep_canonical."""
+def minhash_lsh_pairs(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_a, doc_b, jaccard[, <c>_a, <c>_b ...]) for band-bucket-
+    colliding doc pairs — the shared candidate+verify core of
+    dedup_minhash_lsh and dedup_keep_canonical.
+
+    ``carry`` names extra per-doc columns to ride the verification join
+    (they travel on the shingle-array side, which scans the documents
+    anyway), surfacing as ``<col>_a`` / ``<col>_b`` — consumers that
+    need doc attributes per pair (e.g. cross_source_dup_matrix) get
+    them WITHOUT re-joining the corpus by doc id (optimization r8,
+    guide §2.4: each such join was one more doc-keyed exchange chain)."""
+    return _minhash_lsh_pairs_and_sigs(docs, carry)[0]
+
+
+def _minhash_lsh_pairs_and_sigs(
+    docs: DataFrame, carry: tuple[str, ...] = ()
+) -> tuple[DataFrame, DataFrame]:
+    """minhash_lsh_pairs plus the eagerly-checkpointed per-doc signature
+    table it builds internally — so a consumer that ALSO needs the
+    signatures (minhash_estimator_calibration) reuses the materialized
+    pass instead of recomputing the full md5 scan (within ONE query
+    build; nothing crosses runs)."""
     # per-row signatures (no shuffle); checkpoint so the band SELF-join
     # (two refs) and the candidate join don't recompute the md5 pass
     sigs = minhash_signatures(docs).localCheckpoint(eager=True)
@@ -410,15 +433,29 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     # sets modulo 64-bit collisions, and the intersection compares
     # longs, not strings. The md5 minhash SIGNATURES above stay
     # string-based — the candidate set must match the oracle's md5s.
-    arrays = hashed_shingle_arrays(docs)
-    aa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
-    ab = arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    arrays = hashed_shingle_arrays(docs, keep=carry)
+    aa = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    ab = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
     paired = cand.join(aa, "doc_a").join(ab, "doc_b")
     i = F.size(F.array_intersect("arr_a", "arr_b"))
     jac = F.coalesce(
         i.cast("double") / (F.size("arr_a") + F.size("arr_b") - i), F.lit(0.0)
     )
-    return paired.select("doc_a", "doc_b", jac.alias("jaccard"))
+    out = paired.select(
+        "doc_a",
+        "doc_b",
+        jac.alias("jaccard"),
+        *[c for base in carry for c in (f"{base}_a", f"{base}_b")],
+    )
+    return out, sigs
 
 
 DEDUP_CANON_T = 0.5  # verified-jaccard threshold for dropping a doc
@@ -1077,8 +1114,10 @@ def winnow_pairs(docs: DataFrame, fp_cutoff: int | None = None) -> DataFrame:
 )
 def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs)
-    sigs = minhash_signatures(docs)
+    # reuse the signature table the pair generator already materialized
+    # (optimization r8): the old form ran the full per-doc md5 minhash
+    # scan a SECOND time just to join signatures back onto candidates
+    pairs, sigs = _minhash_lsh_pairs_and_sigs(docs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_PERMS)]
     )
@@ -1383,12 +1422,18 @@ def lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cross_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
-    sp = docs.select("doc_id", split_col().alias("split"))
-    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
-    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    # the split is a pure hash of doc_id (split_col/SQL_SPLIT_CTE), so
+    # compute it directly on the pair endpoints — the old shape paid
+    # two doc-keyed corpus joins to look up a value derivable per row
+    # (optimization r8, guide §2.4)
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            split_col(F.col("doc_a")).alias("split_a"),
+            split_col(F.col("doc_b")).alias("split_b"),
+            "jaccard",
+        )
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
@@ -1545,15 +1590,15 @@ def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs).filter(F.col("jaccard") >= DEDUP_CANON_T)
-    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
-    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    # source rides the verification join (optimization r8): the old
+    # shape re-joined the corpus twice by doc id just to attach it
+    pairs = minhash_lsh_pairs(docs, carry=("source",)).filter(
+        F.col("jaccard") >= DEDUP_CANON_T
+    )
     m = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.least("src_a", "src_b").alias("source_lo"),
-            F.greatest("src_a", "src_b").alias("source_hi"),
+        pairs.select(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
         )
         .groupBy("source_lo", "source_hi")
         .agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -243,3 +243,23 @@ def test_rfm_concurrent_ranks_match_chained(spark):
         F.max("monetary").alias("max_monetary"),
     )
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_minhash_carry_columns_match_joined(spark):
+    """r8: carry= threads per-doc attributes through the verification
+    join; the pair set and attached values must equal the old
+    join-by-doc-id form exactly."""
+    from porcupine_spark.operators.dedup import minhash_lsh_pairs
+    from porcupine_spark.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    carried = minhash_lsh_pairs(docs, carry=("source",))
+    plain = minhash_lsh_pairs(docs)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    joined = plain.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a", "doc_b", "jaccard", "source_a", "source_b"
+    )
+    assert sorted(map(tuple, carried.collect())) == sorted(
+        map(tuple, joined.collect())
+    )
