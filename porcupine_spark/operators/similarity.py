@@ -300,7 +300,24 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_raw = load_table(spark, sf_dir, "embeddings", widen=False)
     sc = emb.sparkSession.sparkContext
 
-    cloc = emb_raw.filter(F.col("vec_id") < 8).select("vec_id", "embedding").toPandas()
+    # the centroid collect, the norms checkpoint, and the query collect
+    # are mutually independent driver-blocking jobs — overlap them
+    # (optimization r8, guide §2.6) instead of paying three sequential
+    # job floors; the sort alignment below makes the query matrix
+    # collection-order-independent
+    from porcupine_spark.functions.concurrent import run_concurrently
+
+    cloc, vecs, qloc = run_concurrently(
+        lambda: emb_raw.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .toPandas(),
+        lambda: _exact_norms(
+            emb_raw, keep=[("vec_id", "long"), ("embedding", "array<float>")]
+        ).localCheckpoint(eager=True),
+        lambda: emb_raw.filter(F.col("vec_id") < 10)
+        .select("vec_id", "embedding")
+        .toPandas(),
+    )
     c_ids = cloc["vec_id"].to_numpy()
     c_mat = np.array(cloc["embedding"].tolist(), dtype=np.float64)
     c_mat_n = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
@@ -322,9 +339,6 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"vec_id": a_ids[ai], "cid": ids[ci]})
 
     cand = emb.mapInPandas(assign_probe_cands, schema="vec_id long, cid long")
-    vecs = _exact_norms(
-        emb_raw, keep=[("vec_id", "long"), ("embedding", "array<float>")]
-    ).localCheckpoint(eager=True)
     cent = vecs.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cent_e"), F.col("vn").alias("cent_n")
     )
@@ -341,9 +355,9 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = ranked.filter(F.col("arn") == 1).select("vec_id", "embedding", "cid")
 
-    # probe list + query matrix to the driver (tiny), for the stage-3 prefilter
+    # probe list to the driver (tiny), for the stage-3 prefilter; the
+    # query matrix (qloc) was already collected in the overlapped batch
     probe_rows = ranked.filter((F.col("arn") <= 2) & (F.col("vec_id") < 10)).select("vec_id", "cid").collect()
-    qloc = emb_raw.filter(F.col("vec_id") < 10).select("vec_id", "embedding").toPandas()
     q_ids = qloc["vec_id"].to_numpy()
     q_mat = np.array(qloc["embedding"].tolist(), dtype=np.float64)
     q_mat_n = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
