@@ -1907,10 +1907,21 @@ def split_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hyperplane LSH.",
 )
 def lsh_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = cosine_topk(spark, sf_dir).select(
+    from porcupine_spark.functions.concurrent import run_concurrently
+
+    # the two retrieval pipelines are independent and each materializes
+    # its own intermediates (cosine_topk: query collect + norms
+    # checkpoint; lsh_topk: signature checkpoint) — build them
+    # concurrently (optimization r8, guide §2.6) so one branch's
+    # blocking jobs backfill the other's
+    exact_df, approx_df = run_concurrently(
+        lambda: cosine_topk(spark, sf_dir),
+        lambda: lsh_topk(spark, sf_dir),
+    )
+    exact = exact_df.select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
-    approx = lsh_topk(spark, sf_dir).select(
+    approx = approx_df.select(
         "query_id", "neighbor_id", F.lit(1).alias("in_lsh")
     )
     m = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
