@@ -145,10 +145,18 @@ def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retrieval passes.",
 )
 def sq8_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = cosine_topk(spark, sf_dir).select(
+    from porcupine_spark.functions.concurrent import run_concurrently
+
+    # exact and SQ8 branches are independent; each runs its own
+    # blocking driver jobs — build concurrently (optimization r8, §2.6)
+    exact_df, approx_df = run_concurrently(
+        lambda: cosine_topk(spark, sf_dir),
+        lambda: sq8_topk(spark, sf_dir),
+    )
+    exact = exact_df.select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
-    approx = sq8_topk(spark, sf_dir).select(
+    approx = approx_df.select(
         "query_id", "neighbor_id", F.lit(1).alias("in_sq8")
     )
     m = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
@@ -461,10 +469,19 @@ def _pq_adc_ranked(
     f"int8 view. Same composed-oracle construction.",
 )
 def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = cosine_topk(spark, sf_dir).select(
+    from porcupine_spark.functions.concurrent import run_concurrently
+
+    # the exact and ADC branches each materialize their own driver-side
+    # inputs (query collect + norms checkpoint vs qmax agg + codebook
+    # collect) — build them concurrently (optimization r8, guide §2.6)
+    exact_df, approx_df = run_concurrently(
+        lambda: cosine_topk(spark, sf_dir),
+        lambda: _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST),
+    )
+    exact = exact_df.select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
-    approx = _pq_adc_ranked(spark, sf_dir, PQ_SHORTLIST).select(
+    approx = approx_df.select(
         "query_id", "neighbor_id", F.lit(1).alias("in_pq")
     )
     m = exact.join(approx, ["query_id", "neighbor_id"], "full_outer")
@@ -575,7 +592,10 @@ def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from porcupine_spark.functions.concurrent import run_concurrently
     from porcupine_spark.functions.localkmeans import bounded_training_sample
 
-    qmax, sample = run_concurrently(
+    # the exact-baseline build (cosine_topk: query collect + norms
+    # checkpoint) is independent of the PQ trainer inputs — run all
+    # three blocking branches in one concurrent batch (optimization r8)
+    qmax, sample, exact_df = run_concurrently(
         lambda: float(
             emb.agg(
                 F.max(F.array_max(F.transform("embedding", lambda v: F.abs(v))))
@@ -584,9 +604,10 @@ def pq_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0][0]
         ),
         lambda: bounded_training_sample(emb, PQ_K),
+        lambda: cosine_topk(spark, sf_dir),
     )
     cbq = _pq_kmeans_codebook(emb, qmax, sample=sample)
-    exact = cosine_topk(spark, sf_dir).select(
+    exact = exact_df.select(
         "query_id", "neighbor_id", F.lit(1).alias("in_exact")
     )
     # qmax is threaded through so the scale agg runs ONCE per build
