@@ -323,14 +323,20 @@ def pagerank_scaled(
     # attaching it to a second |edges|-sized checkpoint; each round
     # joins it to the rank state (|nodes| x |nodes|, tiny) and
     # broadcasts the COMBINED (rank, degree) table into the edge scan
-    outdeg = (
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(eager=True)
-    )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
+    # outdeg and nodes both derive from the checkpointed edges and are
+    # independent of each other — materialize them concurrently
+    # (optimization r8, guide §2.6) instead of as two sequential
+    # blocking jobs
+    from porcupine_spark.functions.concurrent import run_concurrently
+
+    outdeg, nodes = run_concurrently(
+        lambda: edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True),
+        lambda: edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)  # reused every round + for n
+        .localCheckpoint(eager=True),  # reused every round + for n
     )
     n = nodes.count()  # one scalar to the driver (like components' guard)
     # Size gate (optimization r8): broadcast the per-round |nodes|-sized
@@ -780,11 +786,14 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -
     at all (no convergence scalar needed — the budget is fixed).
     """
     edges = edges.select("u", "v").localCheckpoint(eager=True)
+    # all_nodes is consumed exactly ONCE, in the final assembly join —
+    # an eager checkpoint here was a pure extra blocking job on the
+    # critical path (optimization r8): leave it lazy; the distinct runs
+    # inside the final job off the edges checkpoint.
     all_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # Per-round checkpoint discipline (optimization r7, guide §1.3 /
     # §2.1): checkpoint the SMALL per-round victim set, not a growing
