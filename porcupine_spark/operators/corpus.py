@@ -1064,9 +1064,16 @@ def _bpe_train_chain(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # LAZY checkpoints (optimization r8): each round's argmax job
+    # materializes and persists the pending word table as a side effect,
+    # so the chain pays ONE blocking job per round instead of two
+    # (checkpoint + collect); merges and the final table are identical
+    # (A/B-verified) because persistence timing cannot change a
+    # deterministic plan's rows. (r7's *removal* of these checkpoints
+    # was reverted — the replace() lineage must still be truncated.)
     cur = words.select(
         "word", F.regexp_replace("word", "(.)", " $1 ").alias("ws"), "freq"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rnd in range(1, rounds + 1):
         syms = F.split(F.trim(F.col("ws")), "  ")
@@ -1101,7 +1108,7 @@ def _bpe_train_chain(
                 F.col("ws"), F.lit(f" {ls}  {rs} "), F.lit(f" {ls}{rs} ")
             ).alias("ws"),
             "freq",
-        ).localCheckpoint(eager=True)  # truncate per-round lineage
+        ).localCheckpoint(eager=False)  # truncate per-round lineage (lazily)
     return merges, cur
 
 
