@@ -382,7 +382,13 @@ def pagerank_scaled(
                 .cast("decimal(38,0)")
                 .alias("r"),
             )
-            .localCheckpoint(eager=True)  # truncate the per-round lineage
+            # LAZY checkpoint (optimization r8): the plan is truncated at
+            # definition either way, but materialization folds into the
+            # consumer job — the rank state is referenced exactly once
+            # per iteration (the next round's rd join), so the 6 eager
+            # per-iteration blocking jobs collapse into the final action
+            # (4/5 interleaved pairs in favor, means 3.25 -> 3.08 s).
+            .localCheckpoint(eager=False)
         )
     return r.select("node", F.col("r").cast("long").alias("rank_scaled"))
 
