@@ -122,7 +122,13 @@ def global_rank(
     srt = (
         df.repartitionByRange(*order)
         .withColumn("_gr_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint (optimization r8): the offset pass below is the
+        # first consumer and materializes+persists the layout as part of
+        # its own job (one blocking job instead of two); the rank pass
+        # then reads the SAME persisted blocks, so the partition-id
+        # pinning guarantee is unchanged (localCheckpoint never falls
+        # back to recompute — a lost block fails the job instead).
+        .localCheckpoint(eager=False)
     )
     aggs = [F.count(F.lit(1)).alias("_gr_c")]
     for out, src in cumsum.items():
