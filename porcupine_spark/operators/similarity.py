@@ -1517,10 +1517,8 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"),
     )
     dims = elems.groupBy("dim0").agg(F.max(F.abs(F.col("x"))).alias("s"))
-    x, s = F.col("x"), F.col("s")
     # q = trunc(x*127/s): double->long cast truncates toward zero in
     # Spark, mirroring DuckDB's TRUNC(); |x*127/s| <= 127, no overflow
-    dq = (x * 127 / s).cast("long").cast("double") * s / 127
     # attounit integer terms: t2*1e18 is one IEEE multiplication
     # (identical bits both engines), the double->long cast truncates
     # toward zero == DuckDB's TRUNC - no decimal rounding convention
@@ -1530,16 +1528,44 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vectors than the test corpus (Spark long sums wrap SILENTLY,
     # non-ANSI, while the oracle's HUGEINT stays exact) — accumulate
     # in decimal(38,0), the repo's exact-sum convention
-    term = (
-        (F.when(s == 0, F.lit(0.0)).otherwise((x - dq) * (x - dq)) * F.lit(1e18))
-        .cast("long")
-        .cast("decimal(38,0)")
+    # per-vector error without the second |vecs|x|dims| explode
+    # (optimization r8): the per-dim scales pack into ONE dim-ordered
+    # array (a 1-row broadcast), each vector folds its own elements
+    # with zip_with/aggregate. The per-element term is the identical
+    # IEEE expression; the decimal accumulation is exact, so the
+    # dim-order sum equals the old hash-agg sum bit-for-bit. The
+    # size>0 filter mirrors the explode form's row behavior.
+    scales = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim0", "s"))), lambda r: r["s"]
+        ).alias("s_arr")
     )
+
+    def _term_e(xe, se):
+        dq_e = (xe * 127 / se).cast("long").cast("double") * se / 127
+        return (
+            (
+                F.when(se == 0, F.lit(0.0)).otherwise((xe - dq_e) * (xe - dq_e))
+                * F.lit(1e18)
+            )
+            .cast("long")
+            .cast("decimal(38,0)")
+        )
+
     per_vec = (
-        elems.join(F.broadcast(dims), "dim0")
-        .select("vec_id", "label", term.alias("t"))
-        .groupBy("vec_id", "label")
-        .agg(F.sum("t").alias("sq_err"))
+        emb.filter(F.size("embedding") > 0)
+        .crossJoin(F.broadcast(scales))
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"), F.col("s_arr"), _term_e
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, t: acc + t,
+            ).alias("sq_err"),
+        )
     )
     # accumulate in decimal(38,0) (never wraps); REPORT the total in
     # picounits so the output column is a plain int64 on both engines
@@ -1625,15 +1651,32 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = elems.groupBy("label", "dim").agg(
         F.expr("CAST(SUM(s) AS BIGINT) div COUNT(*)").alias("c")
     )
+    # per-vector distance without the second |vecs|x|dims| explode
+    # (optimization r8 — same array-HOF fold as label_centroid_
+    # separation; exact decimal accumulation, identical per-element
+    # terms, size>0 filter mirrors the explode form's row behavior)
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("c_arr")
+    )
+    s_arr = F.transform(
+        "embedding", lambda x: (x.cast("double") * F.lit(1e6)).cast("long")
+    )
     per_vec = (
-        elems.join(F.broadcast(cent), ["label", "dim"])
+        emb.filter(F.size("embedding") > 0)
+        .join(F.broadcast(cent_arr), "label")
         .select(
             "vec_id",
             "label",
-            ((F.col("s") - F.col("c")) * (F.col("s") - F.col("c"))).alias("t"),
+            F.aggregate(
+                F.zip_with(s_arr, F.col("c_arr"), lambda s, c: (s - c) * (s - c)),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, t: acc + t.cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("dist_sq_pico"),
         )
-        .groupBy("vec_id", "label")
-        .agg(F.sum(F.col("t").cast("decimal(38,0)")).cast("long").alias("dist_sq_pico"))
     )
     down = per_vec.withColumn(
         "d", F.expr("CAST(dist_sq_pico div 1000000 AS DECIMAL(38,0))")
@@ -1725,7 +1768,7 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         (F.col("x").cast("double") * F.lit(1e6)).cast("long").alias("s"),
     )
-    # |labels| x |dims| rows; materialize once so the per-vec join and
+    # |labels| x |dims| rows; materialize once so the per-vec pass and
     # BOTH sides of the pairwise step don't each re-run the element
     # aggregation over the full embeddings table.
     cent = (
@@ -1733,15 +1776,34 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(SUM(s) AS BIGINT) div COUNT(*)").alias("c"))
         .localCheckpoint(eager=True)
     )
+    # per-vector distance WITHOUT the second |vecs|x|dims| explode
+    # (optimization r8, guide §4.1/§2.3): pack each label's centroid
+    # into a dim-ordered array, broadcast-join one row per vector, and
+    # fold the squared differences with array HOFs. Per-element math is
+    # the identical expression tree; the decimal accumulation is exact,
+    # so the dim-order sum equals the old hash-agg sum bit-for-bit.
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("c_arr")
+    )
+    s_arr = F.transform(
+        "embedding", lambda x: (x.cast("double") * F.lit(1e6)).cast("long")
+    )
+    # size>0 filter mirrors the explode form exactly: a NULL/empty
+    # embedding produced no element rows (so no per_vec row) there
     per_vec = (
-        elems.join(F.broadcast(cent), ["label", "dim"])
+        emb.filter(F.size("embedding") > 0)
+        .join(F.broadcast(cent_arr), "label")
         .select(
             "vec_id",
             "label",
-            ((F.col("s") - F.col("c")) * (F.col("s") - F.col("c"))).alias("t"),
+            F.aggregate(
+                F.zip_with(s_arr, F.col("c_arr"), lambda s, c: (s - c) * (s - c)),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, t: acc + t.cast("decimal(38,0)"),
+            ).alias("dsp"),
         )
-        .groupBy("vec_id", "label")
-        .agg(F.sum(F.col("t").cast("decimal(38,0)")).alias("dsp"))
     )
     within = per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
