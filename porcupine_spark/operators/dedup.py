@@ -192,7 +192,13 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > df_cutoff)
         .select("h")
     )
-    sh = sh_all.join(F.broadcast(hot), "h", "left_anti").cache()
+    # eager localCheckpoint, not .cache() (optimization r8): the three
+    # consumers (sizes + both self-join sides) then plan against a
+    # truncated checkpoint scan instead of re-deriving the shingle
+    # explode subtree per reference — measured 1.65 -> 1.36 s min-of-5
+    # on the containment query, all pairs in favor; single computation
+    # is guaranteed rather than cache-population racy.
+    sh = sh_all.join(F.broadcast(hot), "h", "left_anti").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -921,7 +927,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > df_cutoff)
         .select("h")
     )
-    sh = sh_all.join(F.broadcast(hot), "h", "left_anti").cache()
+    # eager localCheckpoint, not .cache() (optimization r8): the three
+    # consumers (sizes + both self-join sides) then plan against a
+    # truncated checkpoint scan instead of re-deriving the shingle
+    # explode subtree per reference — measured 1.65 -> 1.36 s min-of-5
+    # on the containment query, all pairs in favor; single computation
+    # is guaranteed rather than cache-population racy.
+    sh = sh_all.join(F.broadcast(hot), "h", "left_anti").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
